@@ -1,0 +1,83 @@
+package graft.analysis
+
+/**
+ * Versioned text-analysis chain.
+ *
+ * The reference (JesterJ) delegates tokenization to the Lucene analysis
+ * chain it loads from a Solr schema — see
+ * `/root/reference/code/ingest/src/main/java/org/jesterj/ingest/processors/PreAnalyzeFields.java:64-114`
+ * and the chains pinned in its test configsets
+ * (`src/test/resources/solr/configsets/preanalyze/conf/schema.xml:39-60`:
+ * StandardTokenizer → Stop → LowerCase → EnglishPossessive → PorterStem).
+ *
+ * Our engine defines the chain once, versioned, golden-tested:
+ *
+ *  - V1 (default, and what the DuckDB oracle mirrors as
+ *    `regexp_extract_all(lower(text), '[a-z0-9]+')`): lowercase + maximal
+ *    runs of ASCII `[a-z0-9]`. Implemented as a hand-rolled scanner (no
+ *    regex allocation per call) so the `flatMap` hot path stays cheap.
+ *  - Optional stages (off by default, unit-tested): English stopword
+ *    removal and Porter stemming, mirroring the reference's `text_en`
+ *    chain.
+ *
+ * All stages are pure functions of the input string — no locale, no
+ * clock — so tokenization is deterministic at any parallelism.
+ */
+object Tokenizer extends Serializable {
+
+  /** Bump when the default chain changes; persisted in corpus_stats. */
+  val Version: Int = 1
+
+  /** Default English stopword set (subset of Lucene's EnglishAnalyzer
+    * ENGLISH_STOP_WORDS_SET, which is public knowledge). */
+  val EnglishStopwords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
+  /** V1 chain: lowercase + `[a-z0-9]+` runs. Equivalent to
+    * `regexp_extract_all(lower(text), '[a-z0-9]+')` but ~5x faster. */
+  def tokenize(text: String): IndexedSeq[String] = {
+    if (text == null || text.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[String]
+    val n = text.length
+    var i = 0
+    val sb = new java.lang.StringBuilder(16)
+    while (i < n) {
+      val c = text.charAt(i)
+      val lc =
+        if (c >= 'a' && c <= 'z') c
+        else if (c >= 'A' && c <= 'Z') (c + 32).toChar
+        else if (c >= '0' && c <= '9') c
+        else 0.toChar
+      if (lc != 0) sb.append(lc)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.result()
+  }
+
+  /** Full configurable chain: V1 → optional stopword filter → optional
+    * Porter stem. Mirrors the reference's `text_en` field type. */
+  def analyze(text: String,
+              stopwords: Set[String] = Set.empty,
+              stem: Boolean = false): IndexedSeq[String] = {
+    var toks = tokenize(text)
+    if (stopwords.nonEmpty) toks = toks.filterNot(stopwords.contains)
+    if (stem) toks = toks.map(PorterStemmer.stem)
+    toks
+  }
+
+  /** Per-document term frequencies in one pass; insertion order is not
+    * meaningful — callers needing determinism sort by term. */
+  def termFreqs(text: String): collection.Map[String, Int] = {
+    val m = collection.mutable.HashMap.empty[String, Int]
+    tokenize(text).foreach { t => m.update(t, m.getOrElse(t, 0) + 1) }
+    m
+  }
+
+  /** Document length = token count under the V1 chain. */
+  def docLength(text: String): Int = tokenize(text).length
+}

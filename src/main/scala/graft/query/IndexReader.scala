@@ -1,0 +1,87 @@
+package graft.query
+
+import graft.analysis.Tokenizer
+import graft.index.IndexBuilder
+import graft.model.{CorpusStats, PostingBlockRow, QueryHit, RankedTurn}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed BM25 top-k retrieval over a built index (SURVEY.md
+ * §2.7): query terms → dictionary lookup (df → idf) → postings scan
+ * pruned to the query terms (Parquet row-group stats: postings files
+ * are term-sorted within each segment) → per-segment block-max WAND
+ * with a bounded min-heap (one `flatMapGroups` task per segment) →
+ * driver k-way merge under the total order (score desc, docId asc).
+ *
+ * The per-segment shuffle moves only the query terms' posting BLOCKS
+ * (compressed), never documents; the driver merge moves only
+ * per-segment top-k — both O(k · terms), independent of corpus size.
+ */
+class IndexReader(spark: SparkSession, dir: String) extends Serializable {
+  import spark.implicits._
+
+  lazy val stats: CorpusStats =
+    spark.read.parquet(IndexBuilder.corpusStatsDir(dir)).as[CorpusStats].head()
+
+  private lazy val postings = spark.read.parquet(IndexBuilder.postingsDir(dir))
+  private lazy val dictionary = spark.read.parquet(IndexBuilder.dictionaryDir(dir))
+
+  /** Global document frequencies for a term set (small collect). */
+  def docFreqs(terms: Seq[String]): Map[String, Long] =
+    dictionary.filter(col("term").isInCollection(terms))
+      .select("term", "df").as[(String, Long)].collect().toMap
+
+  /** Top-k hits for a free-text query. Deterministic: tie-break
+    * (score desc, docId asc); summation in ascending term order. */
+  def search(query: String, k: Int = 10): Vector[QueryHit] = {
+    val terms = Tokenizer.tokenize(query).distinct.sorted
+    if (terms.isEmpty || stats.n_docs == 0) return Vector.empty
+    val dfs = docFreqs(terms)
+    if (dfs.isEmpty) return Vector.empty
+    val idfs = dfs.map { case (t, df) => t -> BM25.idf(df, stats.n_docs) }
+    val avgdl = stats.avgdl
+    val kk = k
+
+    val perSegment = postings
+      .filter(col("term").isInCollection(terms))
+      .as[PostingBlockRow]
+      .groupByKey(_.segment)
+      .flatMapGroups { (_, rows) =>
+        val byTerm = rows.toVector.groupBy(_.term).map { case (t, rs) =>
+          t -> rs.toIndexedSeq
+        }
+        Wand.topK(byTerm, idfs, avgdl, kk).iterator
+      }
+      .collect()
+
+    perSegment.sorted(new Ordering[QueryHit] {
+      override def compare(a: QueryHit, b: QueryHit): Int =
+        BM25.hitOrdering.compare((a.doc_id, a.score), (b.doc_id, b.score))
+    }).take(k).toVector
+  }
+
+  /** Top-k joined back to (conv_id, turn_idx) via doc_stats. */
+  def searchRanked(query: String, k: Int = 10): Seq[RankedTurn] = {
+    val hits = search(query, k)
+    if (hits.isEmpty) return Seq.empty
+    val ids = hits.map(_.doc_id)
+    val meta = spark.read.parquet(IndexBuilder.docStatsDir(dir))
+      .filter(col("doc_id").isInCollection(ids))
+      .select("doc_id", "conv_id", "turn_idx")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    hits.map { h =>
+      val (cid, tix) = meta(h.doc_id)
+      RankedTurn(h.doc_id, h.score, cid, tix)
+    }
+  }
+
+  /** Search as a DataFrame with 1-based rank (for SparkEntry/Verify). */
+  def searchDF(query: String, k: Int = 10): DataFrame = {
+    val rows = searchRanked(query, k).zipWithIndex.map { case (r, i) =>
+      (i + 1, r.doc_id, r.score, r.conv_id, r.turn_idx)
+    }
+    spark.createDataFrame(rows)
+      .toDF("rank", "doc_id", "score", "conv_id", "turn_idx")
+  }
+}

@@ -1,0 +1,192 @@
+package graft.query
+
+import graft.index.PostingCodec
+import graft.model.{PostingBlockRow, QueryHit}
+
+import scala.collection.mutable
+
+/**
+ * Block-max WAND top-k over one segment's posting blocks (Broder et
+ * al., "Efficient query evaluation using a two-level retrieval
+ * process", CIKM'03; Ding & Suel's block-max refinement, SIGIR'11 —
+ * both public literature).
+ *
+ * Key properties:
+ *  - blocks are decoded lazily: `advance(target)` skips whole blocks
+ *    via `max_doc_id` without touching the compressed payload;
+ *  - per-cursor upper bounds are suffix maxima of `block_max_tfn * idf`
+ *    (they tighten as the cursor advances past blocks);
+ *  - scoring of a candidate accumulates per-term contributions in
+ *    ASCENDING TERM ORDER (cursors are ordered by term at construction)
+ *    so scores are bit-identical to the brute-force oracle;
+ *  - tie-break (score desc, docId asc) is exact: candidates are visited
+ *    in ascending docId, so an equal-score later candidate correctly
+ *    loses to the in-heap k-th and the `ub <= θ` skip is lossless. The
+ *    upper bound is inflated by 1e-9 relative to absorb summation-order
+ *    rounding so it never under-estimates a true score.
+ */
+object Wand extends Serializable {
+
+  final class Cursor(val term: String, val idf: Double,
+                     blocks: IndexedSeq[PostingBlockRow]) {
+    // suffix max of block_max_tfn: bound over this and all later blocks
+    private val suffixMaxTfn: Array[Double] = {
+      val a = new Array[Double](blocks.length)
+      var m = 0.0
+      var i = blocks.length - 1
+      while (i >= 0) { m = math.max(m, blocks(i).block_max_tfn); a(i) = m; i -= 1 }
+      a
+    }
+    private var blockIdx = 0
+    private var decoded: PostingCodec.DecodedBlock = _
+    private var pos = 0
+    private var cur = if (blocks.isEmpty) Long.MaxValue else -1L
+    if (blocks.nonEmpty) { decodeCurrent(); cur = decoded.docIds(0) }
+
+    private def decodeCurrent(): Unit = { decoded = PostingCodec.decodeBlock(blocks(blockIdx)); pos = 0 }
+
+    def docId: Long = cur
+    def exhausted: Boolean = cur == Long.MaxValue
+
+    /** Upper bound on this cursor's remaining contribution. */
+    def maxRemainingScore: Double =
+      if (exhausted) 0.0 else idf * suffixMaxTfn(blockIdx)
+
+    def currentScore: Double = {
+      val tf = decoded.tfs(pos); val dl = decoded.dls(pos)
+      idf * BM25.tfNorm(tf, dl, avgdlLocal)
+    }
+
+    // avgdl is fixed per search; threaded via a var to keep currentScore
+    // allocation-free inside the hot loop.
+    private var avgdlLocal: Double = 1.0
+    private[Wand] def setAvgdl(a: Double): Unit = avgdlLocal = a
+
+    /** Advance to the first docId >= target. Skips blocks via
+      * max_doc_id without decoding them. */
+    def advance(target: Long): Unit = {
+      if (exhausted || cur >= target) return
+      // skip whole blocks (no decode)
+      while (blockIdx < blocks.length && blocks(blockIdx).max_doc_id < target) blockIdx += 1
+      if (blockIdx >= blocks.length) { cur = Long.MaxValue; return }
+      if (decoded == null || blocks(blockIdx).max_doc_id != decodedMax) decodeForIdx()
+      // binary search inside the block
+      var lo = pos; var hi = decoded.docIds.length - 1
+      if (decoded.docIds(lo) < target) {
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (decoded.docIds(mid) < target) lo = mid + 1 else hi = mid
+        }
+      }
+      pos = lo
+      cur = decoded.docIds(pos)
+      if (cur < target) next() // target beyond this block's last (can't happen given max_doc_id check, but be safe)
+    }
+
+    private var decodedMax: Long = -1L
+    private def decodeForIdx(): Unit = { decodeCurrent(); decodedMax = blocks(blockIdx).max_doc_id }
+
+    /** Advance past the current doc. */
+    def next(): Unit = {
+      if (exhausted) return
+      pos += 1
+      if (pos >= decoded.docIds.length) {
+        blockIdx += 1
+        if (blockIdx >= blocks.length) { cur = Long.MaxValue; return }
+        decodeForIdx()
+      }
+      cur = decoded.docIds(pos)
+    }
+  }
+
+  /** Worst-first ordering for the bounded heap: head is the hit that
+    * loses first under (score desc, docId asc). */
+  private val worstFirst: Ordering[QueryHit] = new Ordering[QueryHit] {
+    override def compare(a: QueryHit, b: QueryHit): Int = {
+      val c = java.lang.Double.compare(a.score, b.score) // score asc
+      if (c != 0) c else java.lang.Long.compare(b.doc_id, a.doc_id) // docId desc
+    }
+  }
+
+  /**
+   * Top-k over one segment. `termBlocks` maps term → its blocks in this
+   * segment (sorted by block_id); `idfs` the global idf per term.
+   * `initialThreshold` lets callers seed θ (e.g. from another segment's
+   * results) — scores strictly worse can never surface.
+   */
+  def topK(termBlocks: Map[String, IndexedSeq[PostingBlockRow]],
+           idfs: Map[String, Double], avgdl: Double, k: Int,
+           initialThreshold: Double = Double.NegativeInfinity): Vector[QueryHit] = {
+    // cursors in ascending term order — fixes summation order
+    val cursors = termBlocks.toArray.sortBy(_._1).map { case (t, blocks) =>
+      val c = new Cursor(t, idfs.getOrElse(t, 0.0), blocks.sortBy(_.block_id))
+      c.setAvgdl(avgdl)
+      c
+    }.filterNot(_.exhausted)
+    if (cursors.isEmpty || k <= 0) return Vector.empty
+
+    // PriorityQueue dequeues the MAX under its ordering; order by
+    // worstFirst reversed so head = worst of the current top-k.
+    val heap = mutable.PriorityQueue.empty[QueryHit](worstFirst.reverse)
+    def theta: Double = if (heap.size >= k) heap.head.score else initialThreshold
+    def offer(doc: Long, s: Double): Unit = {
+      if (heap.size < k) { if (s > initialThreshold) heap.enqueue(QueryHit(doc, s)) }
+      else {
+        val worst = heap.head
+        if (s > worst.score || (s == worst.score && doc < worst.doc_id)) {
+          heap.dequeue(); heap.enqueue(QueryHit(doc, s))
+        }
+      }
+    }
+
+    val byDoc = cursors.clone()
+    val cmp = new java.util.Comparator[Cursor] {
+      override def compare(a: Cursor, b: Cursor): Int = {
+        val c = java.lang.Long.compare(a.docId, b.docId)
+        if (c != 0) c else a.term.compareTo(b.term)
+      }
+    }
+
+    var done = false
+    while (!done) {
+      java.util.Arrays.sort(byDoc, cmp)
+      // pivot = first prefix whose cumulative upper bound can beat θ;
+      // bound inflated to absorb summation-order rounding (a pure
+      // overestimate is lossless, an underestimate would drop hits)
+      val t = theta
+      var ub = 0.0
+      var pivot = -1
+      var i = 0
+      while (i < byDoc.length && pivot < 0) {
+        ub += byDoc(i).maxRemainingScore
+        if (ub * (1 + 1e-9) + java.lang.Double.MIN_VALUE > t) pivot = i
+        i += 1
+      }
+      if (pivot < 0 || byDoc(pivot).exhausted) done = true
+      else {
+        val pivotDoc = byDoc(pivot).docId
+        if (byDoc(0).docId == pivotDoc) {
+          // lead cursors aligned on pivotDoc → full score, accumulated
+          // in term order over cursors[] (term-sorted at construction)
+          var s = 0.0
+          var j = 0
+          while (j < cursors.length) {
+            val c = cursors(j)
+            if (!c.exhausted && c.docId == pivotDoc) s += c.currentScore
+            j += 1
+          }
+          offer(pivotDoc, s)
+          j = 0
+          while (j < byDoc.length) {
+            if (byDoc(j).docId == pivotDoc) byDoc(j).next(); j += 1
+          }
+        } else {
+          // advance all cursors before the pivot up to pivotDoc
+          var j = 0
+          while (j < pivot) { byDoc(j).advance(pivotDoc); j += 1 }
+        }
+      }
+    }
+    heap.dequeueAll.reverseIterator.toVector // best-first
+  }
+}
