@@ -1,0 +1,172 @@
+package graft.index
+
+import graft.SparkFunSuite
+import graft.analysis.Tokenizer
+import graft.model.Turn
+import graft.query.{BM25, IndexReader}
+import graft.sources.SyntheticTranscripts
+import graft.store.Manifest
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/**
+ * End-to-end build + query tests (SURVEY.md §5, §7.3): the minimum
+ * slice — synthetic corpus → build → query → rank parity vs the
+ * brute-force oracle — plus the determinism, resume, and ingestion-
+ * equality invariants from FIXTURES.md §4.
+ */
+class IndexBuilderSpec extends SparkFunSuite {
+  import graft.SparkTestBase.spark.implicits._
+
+  private val Seed = 42L
+  private lazy val turns = SyntheticTranscripts.generate(spark, Seed, nConvs = 500, maxTurns = 10)
+  private lazy val corpus: Vector[Turn] =
+    turns.collect().sortBy(t => (t.conv_id, t.turn_idx)).toVector
+
+  // brute-force oracle state over the same corpus + tokenizer
+  private lazy val docTfs = corpus.zipWithIndex.map { case (t, i) =>
+    (i.toLong, Tokenizer.docLength(t.text), Tokenizer.termFreqs(t.text))
+  }
+  private lazy val nDocs = corpus.length.toLong
+  private lazy val avgdl = docTfs.map(_._2).sum.toDouble / nDocs
+  private lazy val dfs: Map[String, Long] = {
+    val m = collection.mutable.HashMap.empty[String, Long]
+    docTfs.foreach(_._3.keys.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1)))
+    m.toMap
+  }
+
+  // FIXTURES.md §3: the 20-query reference set — single-term, 2–4 term,
+  // head-heavy, rare-tail, and no-hit queries
+  private lazy val referenceQueries: Seq[String] = {
+    val rare = corpus.flatMap(t => Tokenizer.tokenize(t.text).find(_.startsWith("rare"))).take(3)
+    Seq(
+      "assistant tool error", "user", "assistant", "system tool",
+      "ba ce di", "fo gu", "timeout error retrying tool",
+      "ba", "ce", "user assistant system tool",
+      "nosuchtermanywhere", "ba nosuchtermanywhere",
+      "bash search editor", "browser", "fo fo fo ba",
+      "gu hi ja ka", "di hi", "ba ce di fo gu hi ja ka"
+    ) ++ rare
+  }
+
+  private def oracleTopK(q: String, k: Int = 10): Seq[(Long, Double)] =
+    BM25.bruteForceTopK(Tokenizer.tokenize(q).distinct.sorted, docTfs, dfs, nDocs, avgdl, k)
+
+  test("e2e: build at local parallelism, 20-query rank parity vs oracle") {
+    val dir = tmpDir("idx-e2e")
+    val report = IndexBuilder.build(spark, turns, BuildConfig(dir, nSegments = 8, waveSize = 3))
+    assert(report.nDocs == nDocs)
+    assert(math.abs(report.avgdl - avgdl) < 1e-12)
+
+    val reader = new IndexReader(spark, dir)
+    referenceQueries.foreach { q =>
+      val got = reader.search(q, 10).map(h => (h.doc_id, h.score))
+      val want = oracleTopK(q)
+      assert(got == want, s"query '$q'") // bit-identical scores + ranks
+    }
+  }
+
+  test("docID stability: identical ids at 2 vs 13 sort partitions") {
+    val dirA = tmpDir("idx-p2"); val dirB = tmpDir("idx-p13")
+    IndexBuilder.build(spark, turns, BuildConfig(dirA, nSegments = 4, sortPartitions = 2))
+    IndexBuilder.build(spark, turns, BuildConfig(dirB, nSegments = 4, sortPartitions = 13))
+    val a = spark.read.parquet(IndexBuilder.docStatsDir(dirA))
+      .select("doc_id", "conv_id", "turn_idx").collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(IndexBuilder.docStatsDir(dirB))
+      .select("doc_id", "conv_id", "turn_idx").collect().map(_.toSeq).toSet
+    assert(a == b)
+    // and ids are exactly the rank in (conv_id, turn_idx) order
+    val ordered = spark.read.parquet(IndexBuilder.docStatsDir(dirA))
+      .orderBy("conv_id", "turn_idx").select("doc_id").as[Long].collect()
+    assert(ordered.sameElements(ordered.indices.map(_.toLong)))
+  }
+
+  /** Canonical content hash of the postings tables (file names/bytes
+    * differ per write UUIDs; content must not). */
+  private def postingsFingerprint(dir: String): Set[String] = {
+    spark.read.parquet(IndexBuilder.postingsDir(dir))
+      .select(col("term"), col("segment"), col("block_id"), col("n_docs"),
+        col("max_doc_id"), col("block_max_tfn"),
+        md5(col("doc_deltas")), md5(col("tfs")), md5(col("dls")))
+      .collect().map(_.toSeq.mkString("|")).toSet
+  }
+
+  test("merge determinism: identical index content at different parallelism and wave sizes") {
+    val dirA = tmpDir("idx-detA"); val dirB = tmpDir("idx-detB")
+    IndexBuilder.build(spark, turns, BuildConfig(dirA, nSegments = 6, waveSize = 2, sortPartitions = 3))
+    IndexBuilder.build(spark, turns, BuildConfig(dirB, nSegments = 6, waveSize = 6, sortPartitions = 11))
+    assert(postingsFingerprint(dirA) == postingsFingerprint(dirB))
+  }
+
+  test("resume: kill after one wave, rerun skips COMPLETE segments, index identical") {
+    val dirFull = tmpDir("idx-full"); val dirKill = tmpDir("idx-kill")
+    IndexBuilder.build(spark, turns, BuildConfig(dirFull, nSegments = 8, waveSize = 3))
+
+    intercept[SimulatedKill] {
+      IndexBuilder.build(spark, turns,
+        BuildConfig(dirKill, nSegments = 8, waveSize = 3, failAfterWaves = 1))
+    }
+    val afterKill = Manifest.completeSegments(IndexBuilder.manifestDir(dirKill))
+    assert(afterKill.size == 3) // exactly one wave committed
+    // record manifest mtimes of completed segments
+    val mtimes = afterKill.map { s =>
+      s -> Files.getLastModifiedTime(Manifest.segPath(IndexBuilder.manifestDir(dirKill), s))
+    }.toMap
+
+    val report = IndexBuilder.build(spark, turns, BuildConfig(dirKill, nSegments = 8, waveSize = 3))
+    assert(report.segmentsSkipped == 3 && report.segmentsBuilt == 5)
+    // untouched manifests for the pre-kill segments
+    mtimes.foreach { case (s, t) =>
+      assert(Files.getLastModifiedTime(
+        Manifest.segPath(IndexBuilder.manifestDir(dirKill), s)) == t, s"segment $s manifest touched")
+    }
+    assert(postingsFingerprint(dirFull) == postingsFingerprint(dirKill))
+
+    // and the resumed index answers queries identically
+    val reader = new IndexReader(spark, dirKill)
+    referenceQueries.take(5).foreach { q =>
+      assert(reader.search(q, 10).map(h => (h.doc_id, h.score)) == oracleTopK(q))
+    }
+  }
+
+  test("change detection: same source → phase A skipped; changed source → full rebuild") {
+    val dir = tmpDir("idx-chg")
+    IndexBuilder.build(spark, turns, BuildConfig(dir, nSegments = 4))
+    val statsPath = Paths.get(IndexBuilder.corpusStatsDir(dir))
+    val t1 = Files.getLastModifiedTime(statsPath)
+    // unchanged source: phase A (and corpus_stats) untouched
+    IndexBuilder.build(spark, turns, BuildConfig(dir, nSegments = 4))
+    assert(Files.getLastModifiedTime(statsPath) == t1)
+    // changed source: everything rebuilt
+    val changed = turns.withColumn("text", concat(col("text"), lit(" changedtoken")))
+      .as[Turn]
+    IndexBuilder.build(spark, changed, BuildConfig(dir, nSegments = 4))
+    assert(Files.getLastModifiedTime(statsPath) != t1)
+    val reader = new IndexReader(spark, dir)
+    assert(reader.search("changedtoken", 5).nonEmpty)
+  }
+
+  test("ingestion equality: per-turn text equality vs source (input_hint invariant)") {
+    val dir = tmpDir("idx-ing")
+    IndexBuilder.build(spark, turns, BuildConfig(dir, nSegments = 4))
+    assert(IndexBuilder.verifyIngestion(spark, dir, turns) == 0L)
+    // a corrupted source row IS detected
+    val corrupted = turns.withColumn("text",
+      when(col("conv_id") === "conv-000007" && col("turn_idx") === 0, lit("tampered"))
+        .otherwise(col("text"))).as[Turn]
+    assert(IndexBuilder.verifyIngestion(spark, dir, corrupted) == 1L)
+  }
+
+  test("manifest metrics: per-segment lineage adds up") {
+    val dir = tmpDir("idx-metrics")
+    IndexBuilder.build(spark, turns, BuildConfig(dir, nSegments = 5))
+    val mdir = IndexBuilder.manifestDir(dir)
+    val rows = Manifest.completeSegments(mdir).toSeq.sorted
+      .map(s => Manifest.read(Manifest.segPath(mdir, s)).get)
+    assert(rows.map(_("turns_read").toLong).sum == nDocs)
+    assert(rows.map(_("tokens_emitted").toLong).sum == docTfs.map(_._2.toLong).sum)
+    val totalBlocks = spark.read.parquet(IndexBuilder.postingsDir(dir)).count()
+    assert(rows.map(_("postings_written").toLong).sum == totalBlocks)
+  }
+}

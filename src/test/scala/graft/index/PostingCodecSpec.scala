@@ -1,0 +1,58 @@
+package graft.index
+
+import graft.query.BM25
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class PostingCodecSpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int = 100): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+
+  private val postingsGen: Gen[(Array[Long], Array[Int], Array[Int])] = for {
+    deltas <- Gen.nonEmptyListOf(Gen.chooseNum(1L, 5000L))
+    ids = deltas.scanLeft(41L)(_ + _).tail.toArray
+    tfs <- Gen.listOfN(ids.length, Gen.chooseNum(1, 50))
+    dls <- Gen.listOfN(ids.length, Gen.chooseNum(1, 500))
+  } yield (ids, tfs.toArray, dls.toArray)
+
+  test("block round-trip preserves postings exactly") {
+    samples(postingsGen).foreach { case (ids, tfs, dls) =>
+      val blocks = PostingCodec.encodeTerm("t", 0, ids, tfs, dls, avgdl = 100.0)
+      val decoded = blocks.flatMap { b =>
+        val d = PostingCodec.decodeBlock(b)
+        d.docIds.indices.map(i => (d.docIds(i), d.tfs(i), d.dls(i)))
+      }
+      assert(decoded == ids.indices.map(i => (ids(i), tfs(i), dls(i))).toSeq)
+    }
+  }
+
+  test("block structure: size cap, skip pointers, block ids") {
+    val n = 1000
+    val ids = Array.tabulate(n)(i => (i * 3 + 1).toLong)
+    val tfs = Array.fill(n)(2)
+    val dls = Array.fill(n)(100)
+    val blocks = PostingCodec.encodeTerm("t", 3, ids, tfs, dls, 100.0)
+    assert(blocks.length == math.ceil(n.toDouble / PostingCodec.BlockSize).toInt)
+    assert(blocks.map(_.block_id) == blocks.indices)
+    assert(blocks.forall(_.n_docs <= PostingCodec.BlockSize))
+    assert(blocks.map(_.n_docs).sum == n)
+    // skip pointer = last docId of each block; strictly ascending
+    assert(blocks.map(_.max_doc_id).toVector == blocks.map(b =>
+      PostingCodec.decodeBlock(b).docIds.last).toVector)
+    assert(blocks.map(_.max_doc_id).sliding(2).forall(s => s.length < 2 || s(0) < s(1)))
+  }
+
+  test("block_max_tfn is an exact upper bound of in-block contributions") {
+    samples(postingsGen, 50).foreach { case (ids, tfs, dls) =>
+      val avgdl = 77.7
+      PostingCodec.encodeTerm("t", 0, ids, tfs, dls, avgdl).foreach { b =>
+        val d = PostingCodec.decodeBlock(b)
+        val maxActual = d.docIds.indices
+          .map(i => BM25.tfNorm(d.tfs(i), d.dls(i), avgdl)).max
+        assert(b.block_max_tfn == maxActual) // exact, not approximate
+      }
+    }
+  }
+}
