@@ -1,0 +1,56 @@
+package graft
+
+import graft.index.{BuildConfig, IndexBuilder}
+import graft.query.IndexReader
+import graft.sources.SyntheticTranscripts
+import org.apache.spark.sql.SparkSession
+
+/**
+ * spark-submit entry point (SURVEY.md §7.1):
+ *
+ *   graft.Main build <outDir> [nConvs] [seed]   build index over a synthetic transcript corpus
+ *   graft.Main query <indexDir> <query...>      BM25 top-10 against a built index
+ *   graft.Main entry [sfDir]                    flagship documents-corpus query (driver smoke)
+ */
+object Main {
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "build" :: out :: rest =>
+      val spark = session()
+      val nConvs = rest.headOption.map(_.toLong).getOrElse(10000L)
+      val seed = rest.drop(1).headOption.map(_.toLong).getOrElse(42L)
+      val turns = SyntheticTranscripts.generate(spark, seed, nConvs)
+      val rep = IndexBuilder.build(spark, turns, BuildConfig(out))
+      println(s"built: nDocs=${rep.nDocs} avgdl=${rep.avgdl} nTerms=${rep.nTerms} " +
+        s"segments built=${rep.segmentsBuilt} skipped=${rep.segmentsSkipped} wallMs=${rep.wallMs}")
+      spark.stop()
+    case "query" :: dir :: qs if qs.nonEmpty =>
+      val spark = session()
+      val hits = new IndexReader(spark, dir).searchRanked(qs.mkString(" "), 10)
+      hits.foreach(h => println(f"${h.score}%12.6f  doc=${h.doc_id}%-8d ${h.conv_id}#${h.turn_idx}"))
+      if (hits.isEmpty) println("(no hits)")
+      spark.stop()
+    case "entry" :: rest =>
+      val spark = session()
+      val df = rest.headOption match {
+        case Some(dir) => FtIndex.reader(spark, dir).searchDF(SparkEntry.FtQuery, 10)
+        case None => SparkEntry.entry(spark)
+      }
+      df.show(20, truncate = false)
+      spark.stop()
+    case other =>
+      System.err.println(s"usage: build <outDir> [nConvs] [seed] | query <indexDir> <terms...> | entry [sfDir]; got: $other")
+      sys.exit(2)
+  }
+}

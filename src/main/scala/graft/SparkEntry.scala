@@ -1,13 +1,613 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: one `queries` entry per implemented operator
+ * (SURVEY.md §2 + the training-data-pipeline operator family), each
+ * with an ANSI-SQL oracle the driver runs in DuckDB over the same
+ * parquet tables. Every computed column is aliased identically on both
+ * sides; floating aggregates are rounded on both sides; hash-valued
+ * ops use the cross-engine polynomial hash ([[operators.Hashing]]).
+ *
+ * Naming: q_* relational core, ev_* event/stream ops, s_* scanner ops,
+ * t_* field transforms, r_* routing, d_* dedup, sim_* similarity,
+ * ta_* text analysis, ft_* the fulltext index + BM25 engine itself.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------- shared readers ----------
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------- shared DuckDB SQL fragments (mirrors of the Spark ops) ----------
+  /** Engine V1 analyzer: lowercase + maximal [a-z0-9] runs. */
+  private val ToksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+
+  /** Mirror of Hashing.polyHash (base-257 rolling hash mod 1e9+7). */
+  private def polySql(s: String): String =
+    s"list_reduce(list_concat([0::BIGINT], list_transform(string_split($s, ''), " +
+      s"c -> ascii(c)::BIGINT)), (a, b) -> (a * 257 + b) % 1000000007)"
+
+  /** Mirror of Dedup.shingles(k=3) over a `toks` column. */
+  private val ShinglesSql =
+    "list_distinct(list_filter(list_transform(range(0, greatest(len(toks) - 3, 0) + 1), " +
+      "i -> array_to_string(toks[i+1:i+3], ' ')), s -> len(s) > 0))"
+
+  /** Mirror of Similarity.dot: left-fold in element order, double acc —
+    * bit-identical to Spark's aggregate(zip_with(...)). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_concat([0.0::DOUBLE], list_transform(range(1, len($a) + 1), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private val Langs = Seq("de", "en", "es", "fr")
+  private val StopSql: Map[String, String] = Map(
+    "en" -> inList(Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for")),
+    "es" -> inList(Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "por")),
+    "fr" -> inList(Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est")),
+    "de" -> inList(Seq("der", "die", "das", "und", "von", "zu", "den", "mit", "ist", "ein")))
+
+  private def hitsSql(lang: String): String =
+    s"len(list_filter(toks, t -> t IN ${StopSql(lang)}))::BIGINT"
+
+  /** BM25 reference query for the ft_* entries. */
+  val FtQuery = "dup window spark"
+  private val FtQueryTerms = Seq("dup", "spark", "window") // sorted
+
+  // ---------- flagship ----------
+  /** Flagship: build the inverted index over sf0.001 documents and run
+    * a BM25 top-10 query (driver smoke-checks rows > 0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    FtIndex.reader(spark, dir).searchDF(FtQuery, 10)
+  }
+
+  // =====================================================================
+  // Spark-side queries
+  // =====================================================================
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+
+  private def q3JoinTopn(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .join(broadcast(tbl(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  private def q5Revenue(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(tbl(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  private def wTopnPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    tbl(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  private def qDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events").groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+
+  private def evHourly(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+
+  private def evSessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    tbl(s, dir, "events")
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp_ltz")))
+      .withColumn("prev_ms", lag("ms", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("sess_no", sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id")
+      .agg(max("sess_no").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  private def sExcludeSeen(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val seen = docs.filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id")
+    ScanOps.excludeSeen(docs, seen, "doc_id").select("doc_id", "lang")
+  }
+
+  private def sChangedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val prior = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 2, md5(lit("stale")))
+          .otherwise(md5(col("text"))).as("prior_hash"))
+    ScanOps.changedDocs(docs, prior, "doc_id", "text").select("doc_id", "content_hash")
+  }
+
+  private def sDocPerLine(s: SparkSession, dir: String): DataFrame =
+    ScanOps.docPerLine(tbl(s, dir, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text", " ")
+      .select(col("line_id"), col("line_no").cast("long").as("line_no"), col("line"))
+
+  private def tFieldOps(s: SparkSession, dir: String): DataFrame = {
+    var df = tbl(s, dir, "documents")
+    df = Transforms.copyField(df, "lang", "lang_copy")
+    df = Transforms.setStaticValue(df, "pipeline_version", "v1")
+    df = Transforms.template(df, "tag", col("source"), lit(":"), col("lang"))
+    df = Transforms.trimValues(df, "lang_copy")
+    df.select("doc_id", "lang_copy", "pipeline_version", "tag")
+  }
+
+  private def tRegexReplace(s: SparkSession, dir: String): DataFrame =
+    Transforms.regexReplace(tbl(s, dir, "documents"), "text", "batch", "BATCH",
+        into = Some("replaced"), discardUnmatched = true)
+      .select(col("doc_id"), substring(col("replaced"), 1, 60).as("snippet"))
+
+  private def tDatetimeReformat(s: SparkSession, dir: String): DataFrame =
+    Transforms.reformatDateTime(tbl(s, dir, "events"), "ts", "iso_ts")
+      .select("event_id", "iso_ts")
+
+  private def tReadableSize(s: SparkSession, dir: String): DataFrame =
+    Transforms.readableFileSize(
+        tbl(s, dir, "documents").withColumn("bytes", col("n_chars") * lit(31013L)),
+        "bytes")
+      .select("doc_id", "readable_size", "readable_size_num", "readable_size_units")
+
+  private def tUrlEncode(s: SparkSession, dir: String): DataFrame =
+    Transforms.urlEncodeField(
+        tbl(s, dir, "documents").withColumn("snippet", substring(col("text"), 1, 40)),
+        "snippet", "encoded")
+      .select("doc_id", "encoded")
+
+  private def rRouteByField(s: SparkSession, dir: String): DataFrame = {
+    val branches = Routing.routeByField(tbl(s, dir, "documents"), "lang",
+      branchValues = Seq("en", "fr", "de"))
+    val tagged = branches.toSeq.sortBy(_._1).map { case (v, bdf) =>
+      bdf.withColumn("branch", lit(v))
+    }
+    Routing.merge(tagged).groupBy("branch").agg(count(lit(1)).as("n_docs"))
+  }
+
+  private def rBranchCounts(s: SparkSession, dir: String): DataFrame =
+    Routing.branchCounts(tbl(s, dir, "events"), "event_type")
+
+  /** Dedup key: first 8 analyzer tokens (boilerplate-prefix dedup). */
+  private def withDedupKey(df: DataFrame): DataFrame =
+    df.withColumn("k", array_join(slice(Dedup.tokens(col("text")), 1, 8), " "))
+
+  private def dExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(withDedupKey(tbl(s, dir, "documents")), "doc_id", "k")
+
+  private def dExactRows(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedupRows(withDedupKey(tbl(s, dir, "documents")), "doc_id", "k")
+      .select("doc_id")
+
+  private def dMinhashSig(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashSignaturesPoly(tbl(s, dir, "documents"), "doc_id", "text")
+
+  private def dMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashNearDups(tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+
+  private def dSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPoly(tbl(s, dir, "documents"), "doc_id", "text")
+
+  private def dNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val pairs = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+    Dedup.ngramJaccard(docs, "doc_id", "text", pairs)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  private def dEmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings").filter(col("vec_id") < 300)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("v_a"), col("v_b")), 4).as("cosine"))
+      .filter(col("cosine") >= 0.25)
+  }
+
+  private def queryVec(s: SparkSession, dir: String): Array[Float] =
+    tbl(s, dir, "embeddings").filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0).toArray
+
+  private def simBruteforceTopk(s: SparkSession, dir: String): DataFrame = {
+    val q = queryVec(s, dir)
+    Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding", q, 20)
+      .select(col("rank").cast("long").as("rank"), col("id"), col("cosine"))
+  }
+
+  private def simAnnTopk(s: SparkSession, dir: String): DataFrame = {
+    val q = queryVec(s, dir)
+    Similarity.annTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding", q, 20,
+      planes = 6)
+  }
+
+  private def taLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(tbl(s, dir, "documents"), "text")
+      .select("doc_id", "lang_pred")
+
+  private def taQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(tbl(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("mean_token_len"), col("punct_ratio"), col("stopword_ratio"),
+        col("quality_ok"))
+
+  private def taTokenCounts(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(tbl(s, dir, "documents"), "text")
+      .select("doc_id", "ws_tokens", "bpeish_tokens")
+
+  private def taFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(tbl(s, dir, "documents"), "text")
+      .select("doc_id", "fingerprint")
+
+  private def taRollingHash(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rh"))
+
+  private def pPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val survivors = Dedup.exactDedupRows(docs, "doc_id", "text")
+    val scored = TextAnalysis.qualityScore(survivors, "text").filter(col("quality_ok"))
+    TextAnalysis.languageId(scored, "text")
+      .groupBy("source", "lang_pred").agg(count(lit(1)).as("n_docs"))
+  }
+
+  // ---------- fulltext engine ----------
+
+  private def ftDocStats(s: SparkSession, dir: String): DataFrame =
+    FtIndex.docStats(s, dir)
+
+  private def ftDictionary(s: SparkSession, dir: String): DataFrame = {
+    val idx = FtIndex.ensure(s, dir)
+    s.read.parquet(graft.index.IndexBuilder.dictionaryDir(idx))
+      .select(col("term"), col("df").cast("long").as("df"), col("cf").cast("long").as("cf"))
+  }
+
+  private def ftCorpusStats(s: SparkSession, dir: String): DataFrame = {
+    val idx = FtIndex.ensure(s, dir)
+    s.read.parquet(graft.index.IndexBuilder.corpusStatsDir(idx))
+      .select(col("n_docs"), round(col("avgdl"), 6).as("avgdl"), col("n_terms"))
+  }
+
+  private def ftBm25Topk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rdr = FtIndex.reader(s, dir)
+    // k large enough to capture every matching doc, so the rounded
+    // re-rank below is over the complete candidate set (oracle-exact)
+    val all = rdr.searchRanked(FtQuery, 1000000)
+    val ranked = all
+      .map { r =>
+        val origId = r.conv_id.substring(4).toLong
+        val scoreR = BigDecimal(r.score)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (origId, scoreR)
+      }
+      .sortBy { case (id, sc) => (-sc, id) }
+      .take(20).zipWithIndex
+      .map { case ((id, sc), i) => ((i + 1).toLong, id, sc) }
+    ranked.toDF("rank", "doc_id", "score")
+  }
+
+  // =====================================================================
+  // Registry
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_join_topn" -> (q3JoinTopn _),
+    "q5_revenue" -> (q5Revenue _),
+    "w_topn_per_group" -> (wTopnPerGroup _),
+    "q_distinct_users" -> (qDistinctUsers _),
+    "ev_hourly" -> (evHourly _),
+    "ev_sessions" -> (evSessions _),
+    "s_exclude_seen" -> (sExcludeSeen _),
+    "s_changed_docs" -> (sChangedDocs _),
+    "s_doc_per_line" -> (sDocPerLine _),
+    "t_field_ops" -> (tFieldOps _),
+    "t_regex_replace" -> (tRegexReplace _),
+    "t_datetime_reformat" -> (tDatetimeReformat _),
+    "t_readable_size" -> (tReadableSize _),
+    "t_url_encode" -> (tUrlEncode _),
+    "r_route_by_field" -> (rRouteByField _),
+    "r_branch_counts" -> (rBranchCounts _),
+    "d_exact" -> (dExact _),
+    "d_exact_rows" -> (dExactRows _),
+    "d_minhash_sig" -> (dMinhashSig _),
+    "d_minhash_pairs" -> (dMinhashPairs _),
+    "d_simhash" -> (dSimhash _),
+    "d_ngram_jaccard" -> (dNgramJaccard _),
+    "d_embedding_neardup" -> (dEmbeddingNeardup _),
+    "sim_bruteforce_topk" -> (simBruteforceTopk _),
+    "sim_ann_topk" -> (simAnnTopk _),
+    "ta_lang_id" -> (taLangId _),
+    "ta_quality" -> (taQuality _),
+    "ta_token_counts" -> (taTokenCounts _),
+    "ta_fingerprint" -> (taFingerprint _),
+    "ta_rolling_hash" -> (taRollingHash _),
+    "p_pipeline" -> (pPipeline _),
+    "ft_doc_stats" -> (ftDocStats _),
+    "ft_dictionary" -> (ftDictionary _),
+    "ft_corpus_stats" -> (ftCorpusStats _),
+    "ft_bm25_topk" -> (ftBm25Topk _)
+  )
+
+  // =====================================================================
+  // DuckDB oracles
+  // =====================================================================
+
+  def oracleSql: Map[String, String] = {
+    val langCase = {
+      val whens = Langs.map(l => s"WHEN best > 0 AND h_$l = best THEN '$l'").mkString(" ")
+      s"CASE $whens ELSE 'und' END"
+    }
+    val hitCols = Langs.map(l => s"${hitsSql(l)} AS h_$l").mkString(", ")
+    val bestExpr = s"greatest(${Langs.map(l => s"h_$l").mkString(", ")})"
+
+    val minhashSelects = (1 to 8).map { i =>
+      val a = Hashing.minHashA(i); val b = Hashing.minHashB(i)
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % 1000000007)) AS s$i"
+    }.mkString(", ")
+
+    val simhashBits = (0 until 16).map { j =>
+      s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $j) & 1 = 1 " +
+        s"THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+    val ftTermsIn = inList(FtQueryTerms)
+
+    Map(
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          | round(sum(l_quantity), 2) AS sum_qty,
+          | round(sum(l_extendedprice), 2) AS sum_base_price,
+          | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+          | count(*) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY 1, 2""".stripMargin,
+
+      "q3_join_topn" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+      "q5_revenue" ->
+        """SELECT r_name, n_name,
+          | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          | count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY 1, 2""".stripMargin,
+
+      "w_topn_per_group" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          | SELECT o_custkey, o_orderkey, o_totalprice,
+          |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          | FROM orders) WHERE rn <= 3""".stripMargin,
+
+      "q_distinct_users" ->
+        """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+          |FROM events GROUP BY 1""".stripMargin,
+
+      "ev_hourly" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+          | event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "ev_sessions" ->
+        """WITH g AS (
+          | SELECT user_id, event_id, ts,
+          |  CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+          |        OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+          |       THEN 1 ELSE 0 END AS new_sess
+          | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), se AS (
+          | SELECT user_id,
+          |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_no
+          | FROM g)
+          |SELECT user_id, max(sess_no)::BIGINT AS n_sessions, count(*) AS n_events
+          |FROM se GROUP BY 1""".stripMargin,
+
+      "s_exclude_seen" ->
+        "SELECT doc_id, lang FROM documents WHERE doc_id % 7 <> 0",
+
+      "s_changed_docs" ->
+        """SELECT doc_id, md5(text) AS content_hash FROM documents
+          |WHERE doc_id % 2 = 1 OR doc_id % 4 = 2""".stripMargin,
+
+      "s_doc_per_line" ->
+        """SELECT doc_id::VARCHAR || '#L' || line_no::VARCHAR AS line_id, line_no, line
+          |FROM (
+          | SELECT doc_id, generate_subscripts(parts, 1)::BIGINT - 1 AS line_no, unnest(parts) AS line
+          | FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents WHERE doc_id < 50))""".stripMargin,
+
+      "t_field_ops" ->
+        """SELECT doc_id, lang AS lang_copy, 'v1' AS pipeline_version,
+          | source || ':' || lang AS tag
+          |FROM documents""".stripMargin,
+
+      "t_regex_replace" ->
+        """SELECT doc_id, substr(regexp_replace(text, 'batch', 'BATCH', 'g'), 1, 60) AS snippet
+          |FROM documents WHERE regexp_matches(text, 'batch')""".stripMargin,
+
+      "t_datetime_reformat" ->
+        "SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_ts FROM events",
+
+      "t_readable_size" ->
+        """WITH b AS (SELECT doc_id, n_chars * 31013 AS bytes FROM documents),
+          |u AS (SELECT doc_id,
+          | CASE WHEN bytes >= 1073741824 THEN CAST(floor(bytes / 1073741824.0) AS BIGINT)
+          |      WHEN bytes >= 1048576 THEN CAST(floor(bytes / 1048576.0) AS BIGINT)
+          |      WHEN bytes >= 1024 THEN CAST(floor(bytes / 1024.0) AS BIGINT)
+          |      ELSE bytes END AS readable_size_num,
+          | CASE WHEN bytes >= 1073741824 THEN 'GB' WHEN bytes >= 1048576 THEN 'MB'
+          |      WHEN bytes >= 1024 THEN 'KB' ELSE 'bytes' END AS readable_size_units
+          |FROM b)
+          |SELECT doc_id, readable_size_num::VARCHAR || ' ' || readable_size_units AS readable_size,
+          | readable_size_num, readable_size_units FROM u""".stripMargin,
+
+      "t_url_encode" ->
+        "SELECT doc_id, replace(substr(text, 1, 40), ' ', '+') AS encoded FROM documents",
+
+      "r_route_by_field" ->
+        """SELECT lang AS branch, count(*) AS n_docs FROM documents
+          |WHERE lang IN ('en', 'fr', 'de') GROUP BY 1""".stripMargin,
+
+      "r_branch_counts" ->
+        "SELECT event_type, count(*) AS n_docs FROM events GROUP BY 1",
+
+      "d_exact" ->
+        s"""WITH k AS (SELECT doc_id, md5(array_to_string(($ToksSql)[1:8], ' ')) AS content_hash FROM documents)
+           |SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+           |FROM k GROUP BY 1""".stripMargin,
+
+      "d_exact_rows" ->
+        s"""SELECT min(doc_id) AS doc_id FROM documents
+           |GROUP BY md5(array_to_string(($ToksSql)[1:8], ' '))""".stripMargin,
+
+      "d_minhash_sig" ->
+        s"""WITH base AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+           |sh AS (SELECT doc_id, $ShinglesSql AS shs FROM base),
+           |h AS (SELECT doc_id, list_transform(shs, s -> ${polySql("s")}) AS hs
+           |      FROM sh WHERE len(shs) > 0)
+           |SELECT doc_id, $minhashSelects FROM h""".stripMargin,
+
+      "d_simhash" ->
+        s"""WITH base AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+           |h AS (SELECT doc_id, list_transform(list_distinct(toks), t -> ${polySql("t")}) AS th FROM base)
+           |SELECT doc_id, ($simhashBits)::BIGINT AS simhash FROM h""".stripMargin,
+
+      "d_ngram_jaccard" ->
+        s"""WITH base AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+           |sh AS (SELECT doc_id, $ShinglesSql AS sh FROM base)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           | len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+           |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+           |WHERE a.doc_id % 2 = 0""".stripMargin,
+
+      "d_embedding_neardup" ->
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 300)
+           |SELECT id_a, id_b, cosine FROM (
+           | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  round(${cosSql("a.v", "b.v")}, 4) AS cosine
+           | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           |WHERE cosine >= 0.25""".stripMargin,
+
+      "sim_bruteforce_topk" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+           |c AS (SELECT vec_id AS id, ${cosSql("embedding", "qv")} AS cosine FROM embeddings, q)
+           |SELECT row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank, id, cosine
+           |FROM c ORDER BY rank LIMIT 20""".stripMargin,
+
+      "ta_lang_id" ->
+        s"""WITH base AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+           |h AS (SELECT doc_id, $hitCols FROM base),
+           |b AS (SELECT doc_id, h_de, h_en, h_es, h_fr, $bestExpr AS best FROM h)
+           |SELECT doc_id, $langCase AS lang_pred FROM b""".stripMargin,
+
+      "ta_quality" ->
+        s"""WITH base AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+           |m AS (SELECT doc_id, text, toks, len(toks)::BIGINT AS n_tokens,
+           | (len(text) - len(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::BIGINT AS punct,
+           | ${hitsSql("en")} AS stops FROM base)
+           |SELECT doc_id, n_tokens,
+           | CASE WHEN n_tokens > 0 THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / n_tokens ELSE 0.0 END AS mean_token_len,
+           | CASE WHEN len(text) > 0 THEN punct::DOUBLE / len(text) ELSE 0.0 END AS punct_ratio,
+           | CASE WHEN n_tokens > 0 THEN stops::DOUBLE / n_tokens ELSE 0.0 END AS stopword_ratio,
+           | (n_tokens >= 5
+           |  AND (CASE WHEN n_tokens > 0 THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / n_tokens ELSE 0.0 END) >= 2
+           |  AND (CASE WHEN n_tokens > 0 THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / n_tokens ELSE 0.0 END) <= 12
+           |  AND (CASE WHEN n_tokens > 0 THEN stops::DOUBLE / n_tokens ELSE 0.0 END) >= 0.0) AS quality_ok
+           |FROM m""".stripMargin,
+
+      "ta_token_counts" ->
+        """SELECT doc_id,
+          | len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))::BIGINT AS ws_tokens,
+          | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))::BIGINT AS bpeish_tokens
+          |FROM documents""".stripMargin,
+
+      "ta_fingerprint" ->
+        """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+          |FROM documents""".stripMargin,
+
+      "ta_rolling_hash" ->
+        s"SELECT doc_id, ${polySql("text")} AS rh FROM documents",
+
+      "p_pipeline" ->
+        s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           |d AS (SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)),
+           |base AS (SELECT doc_id, source, text, $ToksSql AS toks FROM d),
+           |m AS (SELECT doc_id, source, toks, len(toks)::BIGINT AS n_tokens,
+           |  CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks) ELSE 0.0 END AS mtl
+           |  FROM base),
+           |ok AS (SELECT doc_id, source, toks FROM m WHERE n_tokens >= 5 AND mtl >= 2 AND mtl <= 12),
+           |h AS (SELECT doc_id, source, $hitCols FROM ok),
+           |b AS (SELECT doc_id, source, h_de, h_en, h_es, h_fr, $bestExpr AS best FROM h)
+           |SELECT source, $langCase AS lang_pred, count(*) AS n_docs
+           |FROM b GROUP BY 1, 2""".stripMargin,
+
+      "ft_doc_stats" ->
+        s"""SELECT doc_id, len($ToksSql)::BIGINT AS dl FROM documents""".stripMargin,
+
+      "ft_dictionary" ->
+        s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)
+           |SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1""".stripMargin,
+
+      "ft_corpus_stats" ->
+        s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+           |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1)
+           |SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+           | round((SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents), 6) AS avgdl,
+           | (SELECT count(DISTINCT term) FROM toks)::BIGINT AS n_terms""".stripMargin,
+
+      "ft_bm25_topk" ->
+        s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+           |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+           |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+           |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftTermsIn GROUP BY 1),
+           |scores AS (
+           | SELECT tf.doc_id,
+           |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+           | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           | GROUP BY tf.doc_id)
+           |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+           | doc_id, round(s, 4) AS score
+           |FROM scores ORDER BY rank LIMIT 20""".stripMargin
+    )
+  }
 }

@@ -34,14 +34,58 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
-  /** Word k-shingles as a distinct array (lowercased tokens). */
+  /** Engine-analyzer token array (mirrors graft.analysis.Tokenizer V1:
+    * lowercase + maximal [a-z0-9] runs) as a column expression. */
+  def tokens(textCol: Column): Column =
+    filter(split(regexp_replace(lower(textCol), "[^a-z0-9]+", " "), " "),
+      t => length(t) > lit(0))
+
+  /** Word k-shingles as a distinct array (engine-analyzer tokens, so
+    * dedup and the fulltext index agree on what a "word" is). */
   def shingles(textCol: Column, k: Int): Column = {
-    val toks = split(lower(textCol), "\\W+")
+    val toks = tokens(textCol)
     // sliding k-grams via transform over indices; filter out ragged tail
     array_distinct(filter(
       transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
         i => array_join(slice(toks, i + lit(1), lit(k)), " ")),
       s => length(s) > lit(0)))
+  }
+
+  /**
+   * Oracle-checkable MinHash signatures: shingle hashes are the
+   * cross-engine polynomial hash ([[Hashing.polyHash]]) instead of
+   * xxhash64, so an external SQL engine reproduces the signature
+   * bit-for-bit. Returns (doc_id, s1..s`numHashes`). Production
+   * candidate generation ([[minHashCandidates]]) keeps xxhash64.
+   */
+  def minHashSignaturesPoly(df: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 8, shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+        shingles(col(textCol), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val hs = sh.select(col("doc_id"),
+      transform(col("sh"), s => Hashing.polyHash(s)).as("hs"))
+    val sigCols = (1 to numHashes).map { i =>
+      array_min(transform(col("hs"),
+        h => Hashing.affine(h, Hashing.minHashA(i), Hashing.minHashB(i)))).as(s"s$i")
+    }
+    hs.select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** Oracle-checkable SimHash over `bits` low bits of the polynomial
+    * token hash (production [[simHash]] uses 64-bit xxhash64). */
+  def simHashPoly(df: DataFrame, idCol: String, textCol: String,
+                  bits: Int = 16): DataFrame = {
+    val th = transform(array_distinct(tokens(col(textCol))),
+      t => Hashing.polyHash(t))
+    val bitCols = (0 until bits).map { j =>
+      val votes = aggregate(th, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    df.select(col(idCol).as("doc_id"),
+      bitCols.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
   }
 
   /**
@@ -62,21 +106,20 @@ object Dedup {
                         bands: Int = 16, maxBucketSize: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
-    // deterministic per-hash-function coefficients
-    val as = Array.tabulate(numHashes)(i => 2654435761L * (i + 1) + 104729L)
-    val bs = Array.tabulate(numHashes)(i => 968665207L * (i + 1) + 15485863L)
+    val p = Hashing.P
 
     val sh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
-    // shingle → stable 64-bit hash
+    // shingle → stable hash, folded into [0, P) so the affine rehash
+    // below never overflows signed-64 (ANSI-safe: a, b < 1e6 ⇒
+    // a*h + b < ~1e15)
     val hashed = sh.select(col("id"),
-      transform(col("sh"), s => abs(xxhash64(s))).as("hs"))
+      transform(col("sh"), s => pmod(xxhash64(s), lit(p))).as("hs"))
     // minhash signature: for each hash fn i, min over shingles of (a*h+b) mod p
-    val sigCols = (0 until numHashes).map { i =>
+    val sigCols = (1 to numHashes).map { i =>
       array_min(transform(col("hs"),
-        h => pmod(h * lit(as(i)) + lit(bs(i)), lit(p))))
+        h => Hashing.affine(h, Hashing.minHashA(i), Hashing.minHashB(i))))
     }
     val sig = hashed.select(col("id"), array(sigCols: _*).as("sig"))
     // band key = hash of the band's slice of the signature

@@ -31,9 +31,12 @@ object ScanOps {
 
   /** Per-line doc splitting (`SimpleFileScanner.docPerLineIfMatches`,
     * `scanners/SimpleFileScanner.java:193-218`): one row per line with
-    * a 0-based line number, id suffixed `#L<n>` like the reference. */
-  def docPerLine(src: DataFrame, idCol: String, textCol: String): DataFrame =
-    src.select(col(idCol), posexplode(split(col(textCol), "\n"))
-        .as(Seq("line_no", "line")))
+    * a 0-based line number, id suffixed `#L<n>` like the reference.
+    * `delim` is taken literally (regex-quoted). */
+  def docPerLine(src: DataFrame, idCol: String, textCol: String,
+                 delim: String = "\n"): DataFrame =
+    src.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("line_no", "line")))
       .withColumn("line_id", concat(col(idCol), lit("#L"), col("line_no")))
 }

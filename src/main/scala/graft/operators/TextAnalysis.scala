@@ -68,14 +68,14 @@ object TextAnalysis {
   }
 
   /** Token counts: whitespace-split words and a BPE-ish regex count
-    * (word pieces + digits + punctuation marks as single tokens) —
-    * the usual cheap proxy for tokenizer budget accounting. */
+    * (letter runs + single digits + punctuation marks as single
+    * tokens) — the usual cheap proxy for tokenizer budget accounting.
+    * Both are pure regex matches, reproducible by any PCRE engine. */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val ws = size(filter(split(t, "\\s+"), x => length(x) > 0))
-    val bpeish = size(filter(
-      split(regexp_replace(t, "([a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s])", "$1"), ""),
-      x => length(trim(x)) > 0))
+    val ws = size(filter(split(t, "\\s+"), x => length(x) > 0)).cast("long")
+    val bpeish = size(regexp_extract_all(t,
+      lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
     df.withColumn("ws_tokens", ws).withColumn("bpeish_tokens", bpeish)
   }
 
@@ -87,14 +87,9 @@ object TextAnalysis {
     df.withColumn(into,
       md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))))
 
-  /** Rolling polynomial hash (Rabin-Karp style, base 257 mod 2^61-1)
+  /** Rolling polynomial hash (Rabin-Karp style, base 257 mod 1e9+7)
     * over the raw text — a locality-sensitive prefix fingerprint used
-    * for streaming dedup windows. Column-expression form. */
-  def rollingHash(text: Column): Column = {
-    // fold over the character codes: h = (h*257 + code) mod p
-    val p = 2305843009213693951L
-    aggregate(
-      transform(split(text, ""), ch => ascii(ch).cast("long")),
-      lit(0L), (h, c) => pmod(h * 257L + c, lit(p)))
-  }
+    * for streaming dedup windows. Cross-engine: see
+    * [[graft.operators.Hashing.polyHash]] for the DuckDB mirror. */
+  def rollingHash(text: Column): Column = Hashing.polyHash(text)
 }
