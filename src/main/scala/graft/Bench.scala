@@ -1,24 +1,147 @@
 package graft
+
+import graft.index.{BuildConfig, IndexBuilder}
+import graft.query.IndexReader
+import graft.sources.SyntheticTranscripts
 import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+/**
+ * Round benchmark (driver-run). Emits ONE JSON line on stdout:
+ *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":"..."}
+ *
+ * Scaling methodology (BASELINE.md): the north rule's N-vs-4N-executor
+ * criterion is evidenced by building the SAME materialized transcript
+ * corpus at local[8] and local[32]. The sandbox VM's wall-clock drifts
+ * ±25% with host load, so trials are INTERLEAVED (8, 32, 8, 32) and
+ * the per-width minimum is used — drift hits both widths equally,
+ * the ratio survives. `scaling_efficiency` = t8_min / (4 * t32_min);
+ * `hw_ceiling` is what the same ratio measures for embarrassingly
+ * parallel in-JVM arithmetic on this box (memory-bandwidth/turbo
+ * bound), i.e. the maximum any software could show here.
+ *
+ * Also reported: `ft_build_turns_per_sec_c32` (headline throughput),
+ * `ft_query_p95` over a 20-query BM25 top-10 set drawn from the
+ * dictionary at head/mid/tail document frequencies, and one timed
+ * entry per SparkEntry operator query at the bench scale factor.
+ */
 object Bench {
+
+  private def session(cpus: Int): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-c$cpus")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    // cluster-realistic fast shuffle disks when tmpfs is available
+    if (Files.isWritable(Paths.get("/dev/shm")))
+      b.config("spark.local.dir", "/dev/shm/graft-spark-local")
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Single-JVM stand-in for the hardware's 8→32-thread throughput
+    * ceiling: the same integer work run on 8 vs 32 threads. */
+  private def hwCeiling(): Double = {
+    def burnAll(threads: Int): Double = {
+      val work = 40_000_000L
+      val (_, t) = timed {
+        val ts = (1 to threads).map { _ =>
+          new Thread(() => {
+            var s = 0L; var i = 0L
+            while (i < work) { s += i * i; i += 1 }
+            if (s == 42) println("") // defeat DCE
+          })
+        }
+        ts.foreach(_.start()); ts.foreach(_.join())
+      }
+      threads / t // throughput
+    }
+    burnAll(8) // warm
+    // interleave trials so host-load drift cancels; best per width
+    val t8 = Seq(burnAll(8), { burnAll(32); burnAll(8) }).max
+    val t32 = Seq(burnAll(32), burnAll(32)).max
+    math.min(1.0, math.rint(t32 / (4.0 * t8) * 1000) / 1000.0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "960000").toLong
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // ---- materialized transcript corpus (the input_hint table shape;
+    // deterministic seed → safe to reuse across rounds) ----
+    val corpusDir = s"/tmp/graft_bench_corpus/c$nConvs"
+    if (!Files.exists(Paths.get(s"$corpusDir/_SUCCESS"))) {
+      val s = session(cpus)
+      SyntheticTranscripts.generate(s, 42L, nConvs)
+        .write.mode("overwrite").parquet(corpusDir)
+      s.stop()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+
+    // ---- interleaved scaling trials ----
+    val widths = Seq(8, 32)
+    val best = scala.collection.mutable.Map(widths.map(_ -> Double.MaxValue): _*)
+    var nTurns = 0L
+    for (_ <- 1 to trials; w <- widths) {
+      val s = session(w)
+      import s.implicits._
+      val dir = s"/tmp/graft_bench_idx/c$w"
+      graft.store.Manifest.deleteRecursively(Paths.get(dir))
+      val turns = s.read.parquet(corpusDir).as[graft.model.Turn]
+      val (rep, t) = timed(IndexBuilder.build(s, turns, BuildConfig(dir)))
+      nTurns = rep.nDocs
+      best(w) = math.min(best(w), t)
+      s.stop()
+    }
+    results += "ft_build_c8" -> best(8)
+    results += "ft_build_c32" -> best(32)
+    results += "scaling_efficiency" ->
+      math.rint(best(8) / (4.0 * best(32)) * 1000) / 1000.0
+    results += "hw_ceiling_8_to_32" -> hwCeiling()
+    results += "ft_build_turns_per_sec_c32" -> math.rint(nTurns / best(32))
+
+    // ---- query latency + per-operator sweep at the driver's width ----
+    val s = session(cpus)
+    val p95 = locally {
+      val idxDir = "/tmp/graft_bench_idx/c32"
+      val rdr = new IndexReader(s, idxDir)
+      import org.apache.spark.sql.functions.col
+      val dict = s.read.parquet(IndexBuilder.dictionaryDir(idxDir))
+        .orderBy(col("df").desc, col("term"))
+        .select("term").collect().map(_.getString(0))
+      def at(fr: Double): String = dict(math.min(dict.length - 1, (fr * dict.length).toInt))
+      val queries = (0 until 20).map { i =>
+        s"${at((i * 5 % 100) / 100.0)} ${at(((i * 7 + 23) % 100) / 100.0)} ${at(((i * 13 + 61) % 100) / 100.0)}"
+      }
+      queries.foreach(q => rdr.search(q, 10)) // warm
+      val lat = queries.map(q => timed(rdr.search(q, 10))._2).sorted
+      lat((0.95 * (lat.length - 1)).round.toInt)
+    }
+    results += "ft_query_p95" -> p95
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t = try timed(fn(s, sfDir).count())._2 catch { case _: Throwable => -1.0 }
+      results += name -> t
+    }
+    s.stop()
+
+    val total = results.collect {
+      case (k, v) if v > 0 && !k.startsWith("scaling") && !k.startsWith("hw_") &&
+        !k.contains("turns_per_sec") => v
+    }.sum
+    val qs = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","bench_turns":$nTurns}""")
   }
 }

@@ -26,11 +26,28 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = args.toList match {
-    case "build" :: out :: rest =>
+    case "gen" :: out :: rest =>
+      // materialize a synthetic transcript corpus as a parquet table —
+      // the realistic input shape (input_hint: an Iceberg table, not a
+      // generator); builds then read it like any other source table
       val spark = session()
       val nConvs = rest.headOption.map(_.toLong).getOrElse(10000L)
       val seed = rest.drop(1).headOption.map(_.toLong).getOrElse(42L)
-      val turns = SyntheticTranscripts.generate(spark, seed, nConvs)
+      SyntheticTranscripts.generate(spark, seed, nConvs)
+        .write.mode("overwrite").parquet(out)
+      println(s"generated: $out nConvs=$nConvs seed=$seed")
+      spark.stop()
+    case "build" :: out :: rest =>
+      val spark = session()
+      import spark.implicits._
+      val turns = rest match {
+        case corpus :: _ if corpus.startsWith("corpus=") =>
+          spark.read.parquet(corpus.stripPrefix("corpus=")).as[graft.model.Turn]
+        case _ =>
+          val nConvs = rest.headOption.map(_.toLong).getOrElse(10000L)
+          val seed = rest.drop(1).headOption.map(_.toLong).getOrElse(42L)
+          SyntheticTranscripts.generate(spark, seed, nConvs)
+      }
       val rep = IndexBuilder.build(spark, turns, BuildConfig(out))
       println(s"built: nDocs=${rep.nDocs} avgdl=${rep.avgdl} nTerms=${rep.nTerms} " +
         s"segments built=${rep.segmentsBuilt} skipped=${rep.segmentsSkipped} wallMs=${rep.wallMs}")

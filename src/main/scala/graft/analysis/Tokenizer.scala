@@ -71,10 +71,31 @@ object Tokenizer extends Serializable {
   }
 
   /** Per-document term frequencies in one pass; insertion order is not
-    * meaningful — callers needing determinism sort by term. */
+    * meaningful — callers needing determinism sort by term. Scans the
+    * text directly (no intermediate token collection — this sits on
+    * the index build's hottest path). */
   def termFreqs(text: String): collection.Map[String, Int] = {
     val m = collection.mutable.HashMap.empty[String, Int]
-    tokenize(text).foreach { t => m.update(t, m.getOrElse(t, 0) + 1) }
+    if (text == null || text.isEmpty) return m
+    val n = text.length
+    var i = 0
+    val sb = new java.lang.StringBuilder(16)
+    while (i < n) {
+      val c = text.charAt(i)
+      val lc =
+        if (c >= 'a' && c <= 'z') c
+        else if (c >= 'A' && c <= 'Z') (c + 32).toChar
+        else if (c >= '0' && c <= '9') c
+        else 0.toChar
+      if (lc != 0) sb.append(lc)
+      else if (sb.length > 0) {
+        val t = sb.toString
+        m.update(t, m.getOrElse(t, 0) + 1)
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    if (sb.length > 0) { val t = sb.toString; m.update(t, m.getOrElse(t, 0) + 1) }
     m
   }
 

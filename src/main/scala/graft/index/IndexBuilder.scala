@@ -10,12 +10,10 @@ import org.apache.spark.storage.StorageLevel
 
 import java.nio.file.{Files, Paths}
 
-/** One (term, docId) posting before encoding. */
-case class TokenRow(term: String, segment: Int, doc_id: Long, tf: Int, dl: Int)
 
 case class BuildConfig(outDir: String,
-                       nSegments: Int = 32,
-                       waveSize: Int = 16,
+                       nSegments: Int = 64,
+                       waveSize: Int = 64,
                        sortPartitions: Int = 0, // 0 → defaultParallelism
                        resume: Boolean = true,
                        failAfterWaves: Int = -1) // test hook: simulated kill
@@ -41,41 +39,86 @@ class SimulatedKill(wave: Int) extends RuntimeException(s"simulated kill after w
  * SEGMENTS = contiguous docId ranges (segment = docId / segSize), the
  * unit of checkpointing. Phase A commits: a staging copy of the corpus
  * partitioned by segment (partition-prunable for Phase B and resume),
- * doc_stats, the global dictionary (term → df, cf), corpus_stats, and
- * a phaseA manifest carrying an order-insensitive corpus content hash
- * (xor of xxhash64(conv_id, turn_idx, text)) for change detection —
- * the reference's `jj_scanner_doc_hash` analog
- * (`ScannerImpl.java:380-417`).
+ * doc_stats, and a phaseA manifest carrying an order-insensitive
+ * corpus content hash (xor of xxhash64(conv_id, turn_idx, text)) for
+ * change detection — the reference's `jj_scanner_doc_hash` analog
+ * (`ScannerImpl.java:380-417`). The dictionary and corpus_stats are
+ * derived AFTER the waves from the posting-block footers
+ * (sum(n_docs), sum(block_cf) per term) — a shuffle over block rows
+ * (≈ postings/128), not a third tokenize pass over the corpus.
  *
  * == Phase B (postings, per-segment, in waves) ==
  * For each wave of segments not yet COMPLETE: read staging (partition
- * pruning selects only the wave's segments) → tokenize →
- * (term, segment, docId, tf, dl) → `repartition($"segment")` +
- * `sortWithinPartitions(segment, term, doc_id)` → streaming block
- * encoder (`mapPartitions`, O(blockSize) memory) → write partitioned
- * by segment → atomic per-segment publish + manifest row.
+ * pruning selects only the wave's segments) → range-repartition DOC
+ * rows by segment (exactly one segment per partition; equal keys never
+ * split) → local doc_id sort → streaming [[encodeDocs]]: tokenize each
+ * doc and APPEND to per-term posting buffers — docIds arrive ascending
+ * per segment, so posting lists are sorted by construction and the
+ * exploded token stream is never shuffled OR sorted → write
+ * partitioned by segment → atomic per-segment publish + manifest row.
  *
  * == Why this scales ==
- * There is NO global repartition-by-term shuffle: the segment IS the
- * docId-range salt of SURVEY.md §2.7 applied uniformly, so a head term
- * with df ≈ N is split across every segment with at most segSize
- * postings per segment — skew is structurally bounded, and per-term
- * segment postings concatenate in segment order into globally
- * docId-sorted lists. The only corpus-wide shuffles are the Phase-A
- * range sort and the dictionary groupBy (map-side partial agg). Wave
- * size bounds the working set; killed builds resume by manifest
- * anti-planning, and replays are idempotent (overwrite-by-partition).
+ * There is NO global repartition-by-term shuffle and no token-level
+ * sort: the segment IS the docId-range salt of SURVEY.md §2.7 applied
+ * uniformly, so a head term with df ≈ N is split across every segment
+ * with at most segSize postings per segment — skew is structurally
+ * bounded, and per-term segment postings concatenate in segment order
+ * into globally docId-sorted lists. Everything that crosses the wire
+ * is doc rows (compact) or encoded blocks (compressed); per-task
+ * memory is O(per-segment vocabulary), tuned by nSegments. The only
+ * corpus-wide shuffles are the Phase-A range sort and the
+ * dictionary's block-footer groupBy. Wave size bounds the working
+ * set; killed builds resume by manifest anti-planning, and replays
+ * are idempotent (overwrite-by-partition).
  */
 object IndexBuilder {
 
   def stagingDir(outDir: String) = s"$outDir/_staging/docs"
   def manifestDir(outDir: String) = s"$outDir/_manifest"
   def postingsDir(outDir: String) = s"$outDir/postings"
-  def docStatsDir(outDir: String) = s"$outDir/doc_stats"
+  /** doc_stats IS the staging table read with column pruning — the
+    * files are doc_id-sorted and segment-clustered, so doc lookups
+    * prune by row-group stats; a second sorted copy would buy nothing. */
+  def docStatsDir(outDir: String) = stagingDir(outDir)
   def dictionaryDir(outDir: String) = s"$outDir/dictionary"
   def corpusStatsDir(outDir: String) = s"$outDir/corpus_stats"
 
+  /** Per-segment Long-counter accumulator (merge = pointwise sum). */
+  private class SegCounter extends org.apache.spark.util.AccumulatorV2[(Int, Long), Map[Int, Long]] {
+    private val m = scala.collection.mutable.HashMap.empty[Int, Long]
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): SegCounter = {
+      val c = new SegCounter; m.foreach { case (k, v) => c.m.update(k, v) }; c
+    }
+    override def reset(): Unit = m.clear()
+    override def add(v: (Int, Long)): Unit =
+      m.update(v._1, m.getOrElse(v._1, 0L) + v._2)
+    override def merge(other: org.apache.spark.util.AccumulatorV2[(Int, Long), Map[Int, Long]]): Unit =
+      other.value.foreach { case (k, v) => m.update(k, m.getOrElse(k, 0L) + v) }
+    override def value: Map[Int, Long] = m.toMap
+  }
+
   def build(spark: SparkSession, turns: Dataset[Turn], cfg: BuildConfig): BuildReport = {
+    // Small-corpus builds: the default 128 MB split size collapses the
+    // staging read into a handful of input tasks, capping every
+    // downstream map stage at that width regardless of cluster size.
+    // Splits are sized so the read parallelism tracks the cluster; at
+    // TB scale the defaults already give plentiful splits and these
+    // bounds are no-ops in practice.
+    val prevSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.getOption("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (16L << 20).toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", (1L << 20).toString)
+    try buildInner(spark, turns, cfg)
+    finally {
+      prevSplit.fold(spark.conf.unset("spark.sql.files.maxPartitionBytes"))(
+        spark.conf.set("spark.sql.files.maxPartitionBytes", _))
+      prevOpen.fold(spark.conf.unset("spark.sql.files.openCostInBytes"))(
+        spark.conf.set("spark.sql.files.openCostInBytes", _))
+    }
+  }
+
+  private def buildInner(spark: SparkSession, turns: Dataset[Turn], cfg: BuildConfig): BuildReport = {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
     val mdir = manifestDir(cfg.outDir)
@@ -95,10 +138,10 @@ object IndexBuilder {
         m.get("content_hash").contains(srcHash) &&
         Files.exists(Paths.get(stagingDir(cfg.outDir))))
 
-    val (nDocs, avgdl, nTerms, segSize, nSegEff) =
+    val (nDocs, avgdl, segSize, nSegEff) =
       if (phaseAValid) {
         val m = prior.get
-        (m("n_docs").toLong, m("avgdl").toDouble, m("n_terms").toLong,
+        (m("n_docs").toLong, m("avgdl").toDouble,
           m("seg_size").toLong, m("n_segments_effective").toInt)
       } else {
         // source changed or fresh build → reset everything
@@ -118,13 +161,23 @@ object IndexBuilder {
       wavesDone += 1
     }
 
+    // ---- finalize: dictionary + corpus_stats from the posting blocks
+    // (no extra tokenize pass; resumes for free — skipped iff nothing
+    // was rebuilt and a COMPLETE finalize manifest exists) ----
+    val finPath = Manifest.finalizePath(mdir)
+    val nTerms =
+      if (pending.isEmpty && Manifest.isComplete(finPath) &&
+          Files.exists(Paths.get(corpusStatsDir(cfg.outDir))))
+        Manifest.read(finPath).get("n_terms").toLong
+      else finalizeStats(spark, cfg, nDocs, avgdl, nSegEff)
+
     BuildReport(nDocs, avgdl, nTerms, pending.size, complete.size,
       System.currentTimeMillis() - t0)
   }
 
-  /** Phase A. Returns (nDocs, avgdl, nTerms, segSize, effective segment count). */
+  /** Phase A. Returns (nDocs, avgdl, segSize, effective segment count). */
   private def phaseA(spark: SparkSession, turns: Dataset[Turn], cfg: BuildConfig,
-                     srcHash: String, srcCount: Long): (Long, Double, Long, Long, Int) = {
+                     srcHash: String, srcCount: Long): (Long, Double, Long, Int) = {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
     val p = if (cfg.sortPartitions > 0) cfg.sortPartitions
@@ -139,9 +192,12 @@ object IndexBuilder {
     // range partitions are globally ordered and keys are unique, so the
     // assigned id equals the row's rank in the total order regardless
     // of p — SURVEY.md §7.5)
-    val counts = sorted.mapPartitions { it =>
-      Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
-    }.collect().sortBy(_._1)
+    val (counts, tCounts) = timedMs {
+      sorted.mapPartitions { it =>
+        Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+      }.collect().sortBy(_._1)
+    }
+    dbg(s"phaseA sort+count ${tCounts}ms")
     val nDocs = counts.map(_._2).sum
     require(nDocs == srcCount, s"sorted count $nDocs != source count $srcCount")
     val offsets = new Array[Long](counts.length.max(1))
@@ -151,67 +207,98 @@ object IndexBuilder {
     val nSegEff = if (nDocs == 0) 0 else (((nDocs - 1) / segSize) + 1).toInt
     val offB = spark.sparkContext.broadcast(offsets)
 
-    // pass 2: assign ids + doc length
+    // pass 2: assign ids + doc length; dl total folds into the same
+    // job via an accumulator (updates are applied once per successful
+    // result-stage task), so avgdl costs no extra pass
+    val dlAcc = spark.sparkContext.longAccumulator("graft.dlSum")
     val docTurns: Dataset[DocTurn] = sorted.mapPartitions { it =>
       val off = offB.value(TaskContext.getPartitionId())
       var i = 0L
       it.map { t =>
         val id = off + i; i += 1
+        val dl = Tokenizer.docLength(t.text)
+        dlAcc.add(dl)
         DocTurn(id, (id / segSize).toInt, t.conv_id, t.turn_idx, t.role,
-          t.text, t.tool, Tokenizer.docLength(t.text))
+          t.text, t.tool, dl)
       }
     }
 
-    // staging: corpus + ids, partitioned by segment (atomic publish)
+    // staging: corpus + ids, partitioned by segment (atomic publish).
+    // doc_stats is this same table read with column pruning (doc_id,
+    // conv_id, turn_idx, dl) — files are doc_id-sorted and segment-
+    // clustered, so row-group stats prune point lookups; no separate
+    // doc_stats write is needed.
     val stagingTmp = Paths.get(cfg.outDir, "_tmp_staging_docs")
     Manifest.deleteRecursively(stagingTmp)
-    docTurns.write.partitionBy("segment").mode("overwrite").parquet(stagingTmp.toString)
+    val (_, tStag) = timedMs {
+      docTurns.write.partitionBy("segment").mode("overwrite").parquet(stagingTmp.toString)
+    }
+    dbg(s"phaseA staging-write ${tStag}ms")
     Manifest.publishDir(stagingTmp, Paths.get(stagingDir(cfg.outDir)))
     sorted.unpersist()
 
-    val staging = spark.read.parquet(stagingDir(cfg.outDir))
-
-    // doc_stats
-    writeAtomic(spark, cfg.outDir, "doc_stats") { tmp =>
-      staging.select("doc_id", "conv_id", "turn_idx", "dl", "segment")
-        .repartitionByRange(math.max(1, p / 4), col("doc_id"))
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite").parquet(tmp)
-    }
-
-    // dictionary: global df/cf per term (map-side partial agg absorbs
-    // the head-term skew; term-range-sorted files for scan pruning)
-    writeAtomic(spark, cfg.outDir, "dictionary") { tmp =>
-      staging.select($"doc_id", $"text").as[(Long, String)]
-        .flatMap { case (_, text) =>
-          Tokenizer.termFreqs(text).iterator.map { case (t, tf) => (t, tf.toLong) }
-        }.toDF("term", "tf")
-        .groupBy("term").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-        .repartitionByRange(math.max(1, p / 4), col("term"))
-        .sortWithinPartitions("term")
-        .write.mode("overwrite").parquet(tmp)
-    }
-    val nTerms = spark.read.parquet(dictionaryDir(cfg.outDir)).count()
-
-    // corpus_stats — avgdl defined as sum(dl)/n_docs in double
-    val dlSum = staging.agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
-    val avgdl = if (nDocs == 0) 1.0 else dlSum.toDouble / nDocs
-    writeAtomic(spark, cfg.outDir, "corpus_stats") { tmp =>
-      Seq(CorpusStats(nDocs, avgdl, nTerms, 1, Tokenizer.Version)).toDS()
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-    }
+    // avgdl — defined as sum(dl)/n_docs in double (the dictionary is
+    // derived AFTER phase B from the encoded posting blocks, so the
+    // corpus is tokenized exactly twice: dl here, postings in B)
+    val avgdl = if (nDocs == 0) 1.0 else dlAcc.value.toDouble / nDocs
 
     Manifest.writeAtomic(Manifest.phaseAPath(manifestDir(cfg.outDir)), Map(
       "status" -> Manifest.Complete,
       "n_docs" -> nDocs.toString,
       "avgdl" -> avgdl.toString,
-      "n_terms" -> nTerms.toString,
       "seg_size" -> segSize.toString,
       "n_segments_effective" -> nSegEff.toString,
       "content_hash" -> srcHash,
       "tokenizer_version" -> Tokenizer.Version.toString,
       "wall_ms" -> (System.currentTimeMillis() - t0).toString))
-    (nDocs, avgdl, nTerms, segSize, nSegEff)
+    (nDocs, avgdl, segSize, nSegEff)
+  }
+
+  /** Post-wave finalize: dictionary (term → global df, cf) aggregated
+    * from the posting-block footers — sum(n_docs) and sum(block_cf)
+    * per term, a shuffle over BLOCK ROWS (≈ postings/128), never over
+    * the token stream — then corpus_stats, then the finalize manifest
+    * as the commit point. Returns n_terms. */
+  private def finalizeStats(spark: SparkSession, cfg: BuildConfig,
+                            nDocs: Long, avgdl: Double, nSegEff: Int): Long = {
+    import spark.implicits._
+    val t0 = System.currentTimeMillis()
+    val p = if (cfg.sortPartitions > 0) cfg.sortPartitions
+            else spark.sparkContext.defaultParallelism
+    val hasPostings = nSegEff > 0 &&
+      Files.exists(Paths.get(postingsDir(cfg.outDir))) &&
+      spark.read.parquet(postingsDir(cfg.outDir)).columns.nonEmpty
+
+    writeAtomic(spark, cfg.outDir, "dictionary") { tmp =>
+      val dict =
+        if (hasPostings)
+          spark.read.parquet(postingsDir(cfg.outDir))
+            .groupBy("term")
+            .agg(sum(col("n_docs").cast("long")).as("df"), sum("block_cf").as("cf"))
+        else Seq.empty[DictEntry].toDS().toDF()
+      dict.repartitionByRange(math.max(1, p / 4), col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val nTerms = spark.read.parquet(dictionaryDir(cfg.outDir)).count()
+
+    writeAtomic(spark, cfg.outDir, "corpus_stats") { tmp =>
+      Seq(CorpusStats(nDocs, avgdl, nTerms, 1, Tokenizer.Version)).toDS()
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    Manifest.writeAtomic(Manifest.finalizePath(manifestDir(cfg.outDir)), Map(
+      "status" -> Manifest.Complete,
+      "n_terms" -> nTerms.toString,
+      "wall_ms" -> (System.currentTimeMillis() - t0).toString))
+    nTerms
+  }
+
+  private def dbg(msg: => String): Unit =
+    if (sys.env.contains("GRAFT_BUILD_TIMING")) System.err.println(s"[build] $msg")
+
+  private def timedMs[T](f: => T): (T, Long) = {
+    val t = System.currentTimeMillis(); val r = f
+    (r, System.currentTimeMillis() - t)
   }
 
   /** Build + atomically publish one wave of segments. */
@@ -222,33 +309,53 @@ object IndexBuilder {
     val staging = spark.read.parquet(stagingDir(cfg.outDir))
       .filter(col("segment").isInCollection(wave)) // partition pruning
 
-    // ingest metrics per segment (one cheap agg over pruned staging)
-    val ingest = staging.groupBy("segment")
-      .agg(count(lit(1)).as("turns"), sum("dl").as("tokens"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // per-segment lineage counters ride the encode job as accumulators
+    // (one update per successful result-stage task) — no separate
+    // metrics aggregation jobs
+    val turnsAcc = new SegCounter; val tokensAcc = new SegCounter
+    val blocksAcc = new SegCounter
+    spark.sparkContext.register(turnsAcc, "graft.turns")
+    spark.sparkContext.register(tokensAcc, "graft.tokens")
+    spark.sparkContext.register(blocksAcc, "graft.blocks")
 
-    val tokenRows: Dataset[TokenRow] = staging
+    // Shuffle DOC rows, never token rows: the segment repartition
+    // moves the compact text corpus (one row per turn) and a LOCAL
+    // doc_id sort restores each segment's document order — both ~100x
+    // smaller than exchanging/sorting the exploded token stream, which
+    // profiling showed costs microseconds per posting in UnsafeRow
+    // serialization + external-sort memory stalls. Tokenization and
+    // posting-list construction then happen streaming inside the
+    // encoder: docIds arrive ascending per segment, so each term's
+    // postings are built by APPEND (no sort over tokens at all).
+    //
+    // RANGE partition, not hash: hashing `wave.size` distinct segment
+    // ids into `wave.size` buckets leaves ~1/e of the buckets empty
+    // and piles 3-4 segments onto the stragglers (balls-in-bins), so
+    // past ~N/4 cores the stage tail IS the stage. Range bounds place
+    // exactly one segment per partition; equal keys never split, which
+    // is the encoder's only requirement.
+    val encoded: Dataset[PostingBlockRow] = staging
       .select($"doc_id", $"segment", $"text", $"dl")
+      .repartitionByRange(wave.size, col("segment"))
+      .sortWithinPartitions("segment", "doc_id")
       .as[(Long, Int, String, Int)]
-      .flatMap { case (docId, seg, text, dl) =>
-        Tokenizer.termFreqs(text).iterator.map { case (t, tf) =>
-          TokenRow(t, seg, docId, tf, dl)
+      .mapPartitions { docs =>
+        val counted = docs.map { d =>
+          turnsAcc.add(d._2 -> 1L); tokensAcc.add(d._2 -> d._4.toLong); d
+        }
+        encodeDocs(counted, avgdl).map { b =>
+          blocksAcc.add(b.segment -> 1L); b
         }
       }
 
-    val encoded: Dataset[PostingBlockRow] = tokenRows
-      .repartition(wave.size, col("segment"))
-      .sortWithinPartitions("segment", "term", "doc_id")
-      .mapPartitions(encodePartition(_, avgdl))
-
     val waveTmp = Paths.get(cfg.outDir, "_tmp_wave")
     Manifest.deleteRecursively(waveTmp)
-    encoded.write.partitionBy("segment").mode("overwrite").parquet(waveTmp.toString)
-
-    // postings counts per segment from the freshly written footers
-    val written = spark.read.parquet(waveTmp.toString)
-      .groupBy("segment").agg(count(lit(1)).as("blocks"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (_, tEnc) = timedMs {
+      encoded.write.partitionBy("segment").mode("overwrite").parquet(waveTmp.toString)
+    }
+    dbg(s"wave tokenize+shuffle+encode+write ${tEnc}ms")
+    val ingest = turnsAcc.value; val tokens = tokensAcc.value
+    val written = blocksAcc.value
 
     // atomic per-segment publish + manifest commit point
     val wallMs = System.currentTimeMillis() - t0
@@ -257,12 +364,11 @@ object IndexBuilder {
       val dest = Paths.get(postingsDir(cfg.outDir), s"segment=$seg")
       if (Files.exists(src)) Manifest.publishDir(src, dest)
       else Files.createDirectories(dest) // segment with no postings
-      val (turns, tokens) = ingest.getOrElse(seg, (0L, 0L))
       Manifest.writeAtomic(Manifest.segPath(manifestDir(cfg.outDir), seg), Map(
         "segment" -> seg.toString,
         "status" -> Manifest.Complete,
-        "turns_read" -> turns.toString,
-        "tokens_emitted" -> tokens.toString,
+        "turns_read" -> ingest.getOrElse(seg, 0L).toString,
+        "tokens_emitted" -> tokens.getOrElse(seg, 0L).toString,
         "postings_written" -> written.getOrElse(seg, 0L).toString,
         "attempts" -> "1",
         "snapshot_id" -> t0.toString,
@@ -271,61 +377,110 @@ object IndexBuilder {
     Manifest.deleteRecursively(waveTmp)
   }
 
-  /** Streaming block encoder over rows sorted by (segment, term,
-    * doc_id): O(BlockSize) memory, emits a block every 128 postings or
-    * at each (segment, term) boundary. */
-  private[index] def encodePartition(rows: Iterator[TokenRow], avgdl: Double): Iterator[PostingBlockRow] =
-    new Iterator[PostingBlockRow] {
-      private val B = PostingCodec.BlockSize
-      private val ids = new Array[Long](B)
-      private val tfs = new Array[Int](B)
-      private val dls = new Array[Int](B)
-      private var n = 0
-      private var curTerm: String = _
-      private var curSeg: Int = -1
-      private var blockId = 0
-      private var pendingRow: TokenRow = _
-      private var out: PostingBlockRow = _
+  /** Open posting buffer for one term within the current segment. */
+  private final class TermBuf {
+    var blockId = 0
+    val ids = new Array[Long](PostingCodec.BlockSize)
+    val tfs = new Array[Int](PostingCodec.BlockSize)
+    val dls = new Array[Int](PostingCodec.BlockSize)
+    var n = 0
+  }
 
-      private def flush(): Unit = {
-        val bIds = java.util.Arrays.copyOf(ids, n)
-        val bTfs = java.util.Arrays.copyOf(tfs, n)
-        val bDls = java.util.Arrays.copyOf(dls, n)
+  /**
+   * Streaming posting-list builder over DOC rows sorted by
+   * (segment, doc_id): tokenizes each doc and APPENDS to per-term
+   * buffers — docIds arrive ascending within a segment, so posting
+   * lists are sorted by construction with no token-level sort or
+   * shuffle. A term's block is emitted the moment it reaches
+   * [[PostingCodec.BlockSize]] postings; partial tail blocks flush at
+   * each segment boundary in sorted term order (determinism).
+   *
+   * Memory: O(per-segment vocabulary) open buffers — BlockSize
+   * postings each — NOT O(segment postings); `nSegments` is the knob
+   * that bounds it (Heaps' law: vocab grows ~√tokens per segment).
+   */
+  private[index] def encodeDocs(docs: Iterator[(Long, Int, String, Int)],
+                                avgdl: Double): Iterator[PostingBlockRow] =
+    new Iterator[PostingBlockRow] {
+      private var bufs = new java.util.HashMap[String, TermBuf]()
+      private var curSeg = Int.MinValue
+      private var pending: (Long, Int, String, Int) = _
+      private var segFlush: Iterator[PostingBlockRow] = Iterator.empty
+      private val ready = new java.util.ArrayDeque[PostingBlockRow]()
+
+      private def encodeBlock(term: String, seg: Int, b: TermBuf): PostingBlockRow = {
+        val ids = java.util.Arrays.copyOf(b.ids, b.n)
+        val tfs = java.util.Arrays.copyOf(b.tfs, b.n)
+        val dls = java.util.Arrays.copyOf(b.dls, b.n)
         var maxTfn = 0.0
+        var cf = 0L
         var i = 0
-        while (i < n) {
-          val t = graft.query.BM25.tfNorm(bTfs(i), bDls(i), avgdl)
+        while (i < b.n) {
+          val t = graft.query.BM25.tfNorm(tfs(i), dls(i), avgdl)
           if (t > maxTfn) maxTfn = t
+          cf += tfs(i)
           i += 1
         }
-        out = PostingBlockRow(curTerm, curSeg, blockId, n, bIds(n - 1), maxTfn,
-          VByte.encode(VByte.deltas(bIds)), VByte.encodeInts(bTfs),
-          VByte.encodeInts(bDls))
-        blockId += 1
-        n = 0
+        val row = PostingBlockRow(term, seg, b.blockId, b.n, ids(b.n - 1), maxTfn,
+          VByte.encode(VByte.deltas(ids)), VByte.encodeInts(tfs),
+          VByte.encodeInts(dls), cf)
+        b.blockId += 1
+        b.n = 0
+        row
+      }
+
+      /** Lazily drain a finished segment's partial blocks in sorted
+        * term order; the iterator owns the old map, `bufs` is replaced
+        * so the next segment starts fresh. */
+      private def startSegFlush(seg: Int): Unit = {
+        val old = bufs
+        bufs = new java.util.HashMap[String, TermBuf]()
+        if (old.isEmpty) { segFlush = Iterator.empty; return }
+        val keys = old.keySet.toArray(new Array[String](old.size))
+        java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
+        segFlush = keys.iterator.filter(old.get(_).n > 0)
+          .map(k => encodeBlock(k, seg, old.get(k)))
+      }
+
+      private def process(row: (Long, Int, String, Int)): Unit = {
+        val (docId, seg, text, dl) = row
+        Tokenizer.termFreqs(text).foreach { case (term, tf) =>
+          var b = bufs.get(term)
+          if (b == null) { b = new TermBuf; bufs.put(term, b) }
+          b.ids(b.n) = docId; b.tfs(b.n) = tf; b.dls(b.n) = dl; b.n += 1
+          if (b.n == PostingCodec.BlockSize) ready.addLast(encodeBlock(term, seg, b))
+        }
       }
 
       private def advance(): Unit = {
-        while (out == null && (pendingRow != null || rows.hasNext)) {
-          val r = if (pendingRow != null) { val x = pendingRow; pendingRow = null; x }
-                  else rows.next()
-          if (curTerm == null) { curTerm = r.term; curSeg = r.segment }
-          if (r.term != curTerm || r.segment != curSeg) {
-            pendingRow = r
-            if (n > 0) flush()
-            curTerm = r.term; curSeg = r.segment; blockId = 0
+        while (ready.isEmpty && !segFlush.hasNext && (pending != null || docs.hasNext)) {
+          val row = if (pending != null) { val x = pending; pending = null; x }
+                    else docs.next()
+          if (row._2 != curSeg && curSeg != Int.MinValue && !bufs.isEmpty) {
+            pending = row // replay after the finished segment drains
+            val finished = curSeg
+            curSeg = row._2
+            startSegFlush(finished)
           } else {
-            ids(n) = r.doc_id; tfs(n) = r.tf; dls(n) = r.dl; n += 1
-            if (n == B) flush()
+            curSeg = row._2
+            process(row)
           }
         }
-        if (out == null && n > 0) flush()
+        if (ready.isEmpty && !segFlush.hasNext && pending == null && !docs.hasNext &&
+            !bufs.isEmpty) {
+          startSegFlush(curSeg)
+        }
       }
 
-      override def hasNext: Boolean = { if (out == null) advance(); out != null }
+      override def hasNext: Boolean = {
+        if (!ready.isEmpty || segFlush.hasNext) return true
+        advance()
+        !ready.isEmpty || segFlush.hasNext
+      }
       override def next(): PostingBlockRow = {
         if (!hasNext) throw new NoSuchElementException
-        val r = out; out = null; r
+        if (!ready.isEmpty) ready.pollFirst()
+        else segFlush.next()
       }
     }
 

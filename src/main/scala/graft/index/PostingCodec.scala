@@ -38,15 +38,17 @@ object PostingCodec extends Serializable {
       val btfs = java.util.Arrays.copyOfRange(tfs, start, end)
       val bdls = java.util.Arrays.copyOfRange(dls, start, end)
       var maxTfn = 0.0
+      var cf = 0L
       var i = 0
       while (i < ids.length) {
         val tfn = BM25.tfNorm(btfs(i), bdls(i), avgdl)
         if (tfn > maxTfn) maxTfn = tfn
+        cf += btfs(i)
         i += 1
       }
       out += PostingBlockRow(term, segment, blockId, ids.length, ids.last,
         maxTfn, VByte.encode(VByte.deltas(ids)), VByte.encodeInts(btfs),
-        VByte.encodeInts(bdls))
+        VByte.encodeInts(bdls), cf)
       start = end
       blockId += 1
     }

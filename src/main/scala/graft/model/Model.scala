@@ -35,7 +35,7 @@ case class PostingBlockRow(term: String, segment: Int, block_id: Int,
                            n_docs: Int, max_doc_id: Long,
                            block_max_tfn: Double,
                            doc_deltas: Array[Byte], tfs: Array[Byte],
-                           dls: Array[Byte])
+                           dls: Array[Byte], block_cf: Long)
 
 /** A scored query hit. */
 case class QueryHit(doc_id: Long, score: Double)

@@ -79,6 +79,9 @@ object Manifest {
 
   def phaseAPath(manifestDir: String): Path = Paths.get(manifestDir, "phaseA.json")
 
+  /** Commit point for the post-wave dictionary/corpus_stats derivation. */
+  def finalizePath(manifestDir: String): Path = Paths.get(manifestDir, "finalize.json")
+
   def isComplete(path: Path): Boolean =
     read(path).exists(_.get("status").contains(Complete))
 
