@@ -281,6 +281,35 @@ object SparkEntry {
       .groupBy("source", "lang_pred").agg(count(lit(1)).as("n_docs"))
   }
 
+  // ---------- multimodal / scan extensions ----------
+
+  private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.demoMediaTable(s, tbl(s, dir, "documents"), "doc_id", "text")
+    Multimodal.extractFeatures(media, nFeatures = 4)
+      .select(col("media_id"),
+        round(element_at(col("features"), 1).cast("double"), 3).as("f0"),
+        round(element_at(col("features"), 4).cast("double"), 3).as("f3"))
+  }
+
+  private def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.demoMediaTable(s, tbl(s, dir, "documents"), "doc_id", "text")
+      .join(tbl(s, dir, "documents").select(col("doc_id").as("media_id"), col("n_chars")), "media_id")
+      .withColumn("media_meta", struct(
+        lit("video").as("media_type"), lit("fake").as("format"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        (col("n_chars") * 10L).as("duration_ms")))
+    Multimodal.sampleFrames(media, everyMs = 1000L)
+      .groupBy("media_id").agg(count(lit(1)).as("n_frames"),
+        max("frame_ts_ms").as("last_ts_ms"))
+  }
+
+  private def sPreAnalyze(s: SparkSession, dir: String): DataFrame =
+    ScanOps.preAnalyze(tbl(s, dir, "documents").filter(col("doc_id") < 50), "text")
+      .select(col("doc_id"), explode(col("pre_analyzed")).as("tok"))
+      .select(col("doc_id"), col("tok.t").as("t"),
+        col("tok.s").cast("long").as("s"), col("tok.e").cast("long").as("e"))
+
   // ---------- fulltext engine ----------
 
   private def ftDocStats(s: SparkSession, dir: String): DataFrame =
@@ -354,6 +383,9 @@ object SparkEntry {
     "ta_fingerprint" -> (taFingerprint _),
     "ta_rolling_hash" -> (taRollingHash _),
     "p_pipeline" -> (pPipeline _),
+    "mm_features" -> (mmFeatures _),
+    "mm_frame_sample" -> (mmFrameSample _),
+    "s_pre_analyze" -> (sPreAnalyze _),
     "ft_doc_stats" -> (ftDocStats _),
     "ft_dictionary" -> (ftDictionary _),
     "ft_corpus_stats" -> (ftCorpusStats _),
@@ -577,6 +609,33 @@ object SparkEntry {
            |b AS (SELECT doc_id, source, h_de, h_en, h_es, h_fr, $bestExpr AS best FROM h)
            |SELECT source, $langCase AS lang_pred, count(*) AS n_docs
            |FROM b GROUP BY 1, 2""".stripMargin,
+
+      "mm_features" -> {
+        val slotSum = (j: Int) =>
+          s"list_sum(list_transform(range(len(cs)), i -> CASE WHEN i % 4 = $j THEN cs[i+1] ELSE 0 END))"
+        s"""WITH b AS (SELECT doc_id AS media_id,
+           |  list_transform(string_split(text, ''), c -> ascii(c)) AS cs FROM documents),
+           |s AS (SELECT media_id, ${slotSum(0)} AS s0, ${slotSum(3)} AS s3,
+           |  greatest(len(cs) // 4, 1) AS per FROM b)
+           |SELECT media_id,
+           | round((s0::DOUBLE / 255.0 / per)::FLOAT::DOUBLE, 3) AS f0,
+           | round((s3::DOUBLE / 255.0 / per)::FLOAT::DOUBLE, 3) AS f3
+           |FROM s""".stripMargin
+      },
+
+      "mm_frame_sample" ->
+        """SELECT doc_id AS media_id,
+          | (n_chars * 10 // 1000 + 1)::BIGINT AS n_frames,
+          | ((n_chars * 10 // 1000) * 1000)::BIGINT AS last_ts_ms
+          |FROM documents""".stripMargin,
+
+      "s_pre_analyze" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 50),
+          |x AS (SELECT doc_id, toks, unnest(toks) AS t, generate_subscripts(toks, 1) AS k FROM t)
+          |SELECT doc_id, t,
+          | (CASE WHEN k = 1 THEN 0 ELSE list_sum(list_transform(toks[1:k-1], w -> len(w) + 1)) END)::BIGINT AS s,
+          | (CASE WHEN k = 1 THEN 0 ELSE list_sum(list_transform(toks[1:k-1], w -> len(w) + 1)) END)::BIGINT + len(t)::BIGINT AS e
+          |FROM x""".stripMargin,
 
       "ft_doc_stats" ->
         s"""SELECT doc_id, len($ToksSql)::BIGINT AS dl FROM documents""".stripMargin,

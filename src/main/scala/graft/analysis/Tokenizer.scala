@@ -101,4 +101,37 @@ object Tokenizer extends Serializable {
 
   /** Document length = token count under the V1 chain. */
   def docLength(text: String): Int = tokenize(text).length
+
+  /** One analyzed token with character offsets and position increment
+    * — the attributes the reference extracts from the Lucene token
+    * stream for Solr PreAnalyzed JSON (`{t, s, e, i}`;
+    * `processors/PreAnalyzeFields.java:74-103`). */
+  case class OffsetToken(t: String, s: Int, e: Int, i: Int)
+
+  /** V1 chain with offsets: `s`/`e` are the char span of the source
+    * run in the ORIGINAL text; `i` is the position increment (always
+    * 1 in V1 — no stopword holes). */
+  def tokenizeWithOffsets(text: String): IndexedSeq[OffsetToken] = {
+    if (text == null || text.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[OffsetToken]
+    val n = text.length
+    var i = 0
+    var start = -1
+    val sb = new java.lang.StringBuilder(16)
+    while (i <= n) {
+      val c = if (i < n) text.charAt(i) else 0.toChar
+      val lc =
+        if (c >= 'a' && c <= 'z') c
+        else if (c >= 'A' && c <= 'Z') (c + 32).toChar
+        else if (c >= '0' && c <= '9') c
+        else 0.toChar
+      if (lc != 0) { if (start < 0) start = i; sb.append(lc) }
+      else if (sb.length > 0) {
+        out += OffsetToken(sb.toString, start, i, 1)
+        sb.setLength(0); start = -1
+      }
+      i += 1
+    }
+    out.result()
+  }
 }

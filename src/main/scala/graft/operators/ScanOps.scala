@@ -12,6 +12,54 @@ import org.apache.spark.sql.functions._
  */
 object ScanOps {
 
+  /** `SimpleFileScanner` (`scanners/SimpleFileScanner.java:51,72-91`):
+    * one row per file with raw bytes + the reference's file-attribute
+    * metadata fields (`scanners/FileScanner.java:23-40`: `created`,
+    * `modified` as epoch-millis strings, `file_size`, and the file URI
+    * as the doc id). The periodic re-walk becomes re-running the read;
+    * the memory throttle (`SimpleFileScanner.java:258-285`) is
+    * subsumed by Spark's block manager. */
+  def scanFiles(spark: org.apache.spark.sql.SparkSession, rootDir: String,
+                glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(rootDir)
+      .select(
+        col("path").as("id"),
+        col("content").as("raw_data"),
+        (unix_millis(col("modificationTime").cast("timestamp_ltz"))).cast("string").as("modified"),
+        col("length").cast("string").as("file_size"))
+
+  /** `JdbcScanner` (`scanners/JdbcScanner.java:63,123-170`): one row
+    * per result-set row; Spark's JDBC source gives pushdown and
+    * partitioned reads for free. The designated PK column becomes the
+    * doc id as `jdbcUrl + "/" + table + "/" + pk`
+    * (`JdbcScanner.java:177-180`). */
+  def scanJdbc(spark: org.apache.spark.sql.SparkSession, url: String,
+               table: String, pkColumn: String,
+               options: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    options.foldLeft(base) { case (b, (k, v)) => b.option(k, v) }
+      .load()
+      .withColumn("id", concat(lit(url), lit("/"), lit(table), lit("/"),
+        col(pkColumn).cast("string")))
+  }
+
+  /** `PreAnalyzeFields` (`processors/PreAnalyzeFields.java:64-114`):
+    * attach the analyzed token stream as a column of
+    * `{t, s, e, i}` structs (term, start/end offset, position
+    * increment) — the engine-side equivalent of Solr PreAnalyzed
+    * JSON, computed with the same versioned chain the index uses. */
+  def preAnalyze(df: DataFrame, textCol: String,
+                 into: String = "pre_analyzed"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tokUdf = udf((text: String) =>
+      graft.analysis.Tokenizer.tokenizeWithOffsets(text))
+    df.withColumn(into, tokUdf(col(textCol)))
+  }
+
   /** `rememberScannedIds` (`ScannerImpl.java:365-378`): skip docs whose
     * id was seen before — left_anti against the seen-ids ledger. */
   def excludeSeen(src: DataFrame, seen: DataFrame, idCol: String): DataFrame =

@@ -1,0 +1,271 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Unit specs for the operator library (SURVEY.md §2.1-§2.3 + the
+ * training-data family) — one spec per operator, mirroring the
+ * reference's per-processor test classes under
+ * `/root/reference/code/ingest/src/test/java/org/jesterj/ingest/processors/`
+ * (CopyFieldTest, RegexValueReplaceTest, SetStaticValueTest, ...).
+ */
+class OperatorsSpec extends SparkFunSuite {
+  import graft.SparkTestBase.spark.implicits._
+
+  private lazy val docs: DataFrame = Seq(
+    (0L, "the quick brown fox", "en", "src0"),
+    (1L, "the quick brown fox", "en", "src1"), // exact dup of 0
+    (2L, "the quick brown foxes jumped", "en", "src0"),
+    (3L, "el perro y el gato en la casa", "es", "src2"),
+    (4L, "  padded   value  ", "fr", "src2"),
+    (5L, "", "de", "src3")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  // ---- Transforms (§2.3) ----
+
+  test("copyField / dropField / trim / static / template") {
+    var df = Transforms.copyField(docs, "lang", "lang2")
+    df = Transforms.trimValues(df, "text")
+    df = Transforms.setStaticValue(df, "ver", "v1")
+    df = Transforms.template(df, "tag", col("source"), lit(":"), col("lang2"))
+    val r = df.filter($"doc_id" === 4).select("text", "lang2", "ver", "tag").head()
+    assert(r.getString(0) == "padded   value")
+    assert(r.getString(1) == "fr" && r.getString(2) == "v1" && r.getString(3) == "src2:fr")
+    assert(!Transforms.dropField(df, "lang2").columns.contains("lang2"))
+  }
+
+  test("setStaticValue skipIfPresent keeps existing non-empty values") {
+    val df = Seq((1, "x"), (2, ""), (3, null)).toDF("id", "v")
+    val out = Transforms.setStaticValue(df, "v", "filled", skipIfPresent = true)
+      .orderBy("id").select("v").as[String].collect()
+    assert(out.toSeq == Seq("x", "filled", "filled"))
+  }
+
+  test("splitField explode emits one row per part, trimmed semantics") {
+    val df = Seq((1, "a, b, c")).toDF("id", "v")
+    val rows = Transforms.splitField(df, "v", ",", "part", explodeRows = true)
+      .select(trim($"part")).as[String].collect().toSeq
+    assert(rows == Seq("a", "b", "c"))
+  }
+
+  test("regexReplace discardUnmatched drops non-matching rows (reference discardingUnmatched)") {
+    val out = Transforms.regexReplace(docs, "text", "fox", "wolf",
+      discardUnmatched = true)
+    assert(out.count() == 3)
+    assert(out.filter($"doc_id" === 0).select("text").head().getString(0)
+      == "the quick brown wolf")
+  }
+
+  test("readableFileSize binary units, floored") {
+    val df = Seq((1, 512L), (2, 2048L), (3, 5L * 1048576L + 1), (4, 3L * 1073741824L))
+      .toDF("id", "bytes")
+    val out = Transforms.readableFileSize(df, "bytes").orderBy("id")
+      .select("readable_size").as[String].collect().toSeq
+    assert(out == Seq("512 bytes", "2 KB", "5 MB", "3 GB"))
+  }
+
+  test("logAndDrop returns kept rows + dropped count metric") {
+    val (kept, metric) = Transforms.logAndDrop(docs, length($"text") === 0)
+    assert(kept.count() == 5)
+    assert(metric.head().getLong(0) == 1L)
+  }
+
+  // ---- ScanOps (§2.1) ----
+
+  test("excludeSeen = scanner dedup memory (left_anti)") {
+    val seen = Seq(0L, 2L).toDF("doc_id")
+    val out = ScanOps.excludeSeen(docs, seen, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("changedDocs reindexes new + hash-changed docs only") {
+    val prior = docs.filter($"doc_id" < 4)
+      .select($"doc_id", when($"doc_id" === 2, md5(lit("stale")))
+        .otherwise(md5($"text")).as("prior_hash"))
+    val out = ScanOps.changedDocs(docs, prior, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(2L, 4L, 5L)) // 2 = hash diff; 4,5 = no prior
+  }
+
+  test("docPerLine emits line_no + reference-style #L<n> ids") {
+    val df = Seq(("f1", "l1\nl2\nl3")).toDF("id", "text")
+    val out = ScanOps.docPerLine(df, "id", "text")
+      .select("line_id", "line").as[(String, String)].collect().toSeq
+    assert(out == Seq(("f1#L0", "l1"), ("f1#L1", "l2"), ("f1#L2", "l3")))
+  }
+
+  test("scanFiles: binaryFile source with reference file-attr fields") {
+    val dir = tmpDir("scanfiles")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.txt"), "hello".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.bin"), Array[Byte](1, 2, 3))
+    val out = ScanOps.scanFiles(spark, dir)
+    assert(out.count() == 2)
+    val a = out.filter($"id".endsWith("a.txt")).head()
+    assert(new String(a.getAs[Array[Byte]]("raw_data")) == "hello")
+    assert(a.getAs[String]("file_size") == "5")
+    assert(a.getAs[String]("modified").toLong > 0L)
+  }
+
+  test("preAnalyze emits {t,s,e,i} token structs (PreAnalyzed JSON analog)") {
+    val out = ScanOps.preAnalyze(Seq((1, "Hello, World")).toDF("id", "text"), "text")
+      .select(explode($"pre_analyzed").as("tok"))
+      .select("tok.t", "tok.s", "tok.e", "tok.i")
+      .as[(String, Int, Int, Int)].collect().toSeq
+    assert(out == Seq(("hello", 0, 5, 1), ("world", 7, 12, 1)))
+  }
+
+  // ---- Routing (§2.2) ----
+
+  test("routeByField branches + merge reunion preserves all routed rows") {
+    val branches = Routing.routeByField(docs, "lang", branchValues = Seq("en", "es"))
+    assert(branches("en").count() == 3 && branches("es").count() == 1)
+    val merged = Routing.merge(branches.values.toSeq)
+    assert(merged.count() == 4) // fr/de dropped like the reference's no-match
+  }
+
+  test("branchCounts = router accounting") {
+    val counts = Routing.branchCounts(docs, "lang")
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> 3L, "es" -> 1L, "fr" -> 1L, "de" -> 1L))
+  }
+
+  // ---- Dedup family ----
+
+  test("exactDedup keeps lowest id per content hash") {
+    val groups = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(groups.count() == 5) // 6 docs, one exact dup pair
+    val dupRow = groups.filter($"n_copies" === 2).head()
+    assert(dupRow.getAs[Long]("keep_id") == 0L)
+    val survivors = Dedup.exactDedupRows(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(0L, 2L, 3L, 4L, 5L))
+  }
+
+  test("minHash: exact dups get identical signatures and est_jaccard 1.0") {
+    val sigs = Dedup.minHashSignaturesPoly(docs, "doc_id", "text")
+    val s0 = sigs.filter($"doc_id" === 0).head().toSeq.tail
+    val s1 = sigs.filter($"doc_id" === 1).head().toSeq.tail
+    assert(s0 == s1)
+    val pairs = Dedup.minHashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    val p01 = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(p01.exists(_._3 == 1.0))
+  }
+
+  test("simHash: identical docs identical fingerprints; hamming 0 pair found") {
+    val fps = Dedup.simHash(docs.filter($"doc_id" < 3), "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fps(0L) == fps(1L))
+    val nd = Dedup.simHashNearDups(docs.filter($"doc_id" < 3), "doc_id", "text")
+      .as[(Long, Long, Int)].collect()
+    assert(nd.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+  }
+
+  test("ngramJaccard: dup pair = 1.0, overlapping pair in (0,1)") {
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", pairs)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val dup = j.getOrElse((0L, 1L), j.getOrElse((1L, 0L), -1.0))
+    assert(dup == 1.0)
+    val overlap = j.getOrElse((2L, 0L), j.getOrElse((0L, 2L), -1.0))
+    assert(overlap > 0.0 && overlap < 1.0)
+  }
+
+  // ---- TextAnalysis ----
+
+  test("languageId picks max-stopword-hit language, und for no hits") {
+    val out = TextAnalysis.languageId(docs, "text")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out(0L) == "en" && out(3L) == "es" && out(5L) == "und")
+  }
+
+  test("qualityScore fields + quality_ok rule") {
+    val out = TextAnalysis.qualityScore(docs, "text")
+    val r0 = out.filter($"doc_id" === 0).head()
+    assert(r0.getAs[Int]("n_tokens") == 4)
+    assert(r0.getAs[Double]("mean_token_len") == 16.0 / 4)
+    assert(r0.getAs[Double]("stopword_ratio") == 0.25)
+    val r5 = out.filter($"doc_id" === 5).head()
+    assert(!r5.getAs[Boolean]("quality_ok"))
+  }
+
+  test("tokenCounts: ws vs bpe-ish") {
+    val df = Seq((1, "ab cd-ef, 12 x")).toDF("id", "text")
+    val r = TextAnalysis.tokenCounts(df, "text").head()
+    // ws: [ab, cd-ef,, 12, x]; bpeish: [ab, cd, -, ef, ,, 1, 2, x]
+    assert(r.getAs[Long]("ws_tokens") == 4L)
+    assert(r.getAs[Long]("bpeish_tokens") == 8L)
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val df = Seq((1, "A  B\tC"), (2, "a b c")).toDF("id", "text")
+    val fps = TextAnalysis.fingerprint(df, "text")
+      .select("fingerprint").as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("rollingHash matches the reference polynomial formula") {
+    val r = Seq((1, "ab")).toDF("id", "text")
+      .select(TextAnalysis.rollingHash($"text")).as[Long].head()
+    val expected = ((0L * 257 + 'a') % 1000000007L * 257 + 'b') % 1000000007L
+    assert(r == expected)
+  }
+
+  // ---- Similarity ----
+
+  test("bruteForceTopK: exact cosine, rank by (cosine desc, id asc)") {
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(1.0f, 1.0f)), (3L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      Array(1.0f, 0.0f), 3).as[(Long, Long, Double)].collect().toSeq
+    assert(top.map(_._2) == Seq(0L, 3L, 2L)) // ties 0/3 broken by id
+    assert(top(0)._3 == 1.0 && math.abs(top(2)._3 - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("annTopK finds the exact-match vector via its own bucket") {
+    val e = (0L until 50L).map(i => (i, Seq.tabulate(8)(d =>
+      math.sin(i * 31 + d).toFloat))).toDF("vec_id", "embedding")
+    val q = Seq.tabulate(8)(d => math.sin(7 * 31 + d).toFloat).toArray
+    val got = Similarity.annTopK(e, "vec_id", "embedding", q, 5, planes = 6)
+      .as[(Long, Double)].collect()
+    assert(got.nonEmpty && got.head._1 == 7L && math.abs(got.head._2 - 1.0) < 1e-9)
+  }
+
+  // ---- Multimodal ----
+
+  test("multimodal: schema contract, deterministic decode, null payload error channel") {
+    val media = Multimodal.demoMediaTable(spark, docs.filter($"doc_id" < 2),
+      "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(media, nFeatures = 4)
+    val rows = feats.select("media_id", "features", "decode_error")
+      .collect().sortBy(_.getLong(0))
+    assert(rows.forall(_.isNullAt(2) == false || rows.head.getSeq[Float](1).nonEmpty))
+    // identical payloads (doc 0 and 1 share text) → identical features
+    assert(rows(0).getSeq[Float](1) == rows(1).getSeq[Float](1))
+
+    val withNull = media.withColumn("payload",
+      when($"media_id" === 0, lit(null).cast("binary")).otherwise($"payload"))
+    val errs = Multimodal.extractFeatures(withNull, 4)
+      .select("media_id", "decode_error").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(errs(0L) == "null payload" && errs(1L) == null)
+  }
+
+  test("multimodal: frame sampling explodes duration/everyMs rows") {
+    val media = Multimodal.demoMediaTable(spark, docs.limit(1), "doc_id", "text")
+      .withColumn("media_meta", struct(
+        lit("video").as("media_type"), lit("fake").as("format"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate"), lit(2500L).as("duration_ms")))
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
+      .select("frame_ts_ms").as[Long].collect().toSeq
+    assert(frames == Seq(0L, 1000L, 2000L))
+  }
+}
