@@ -347,6 +347,11 @@ object IndexBuilder {
           blocksAcc.add(b.segment -> 1L); b
         }
       }
+      // local BLOCK-row sort (postings/128 rows — cheap) so each
+      // parquet file is term-clustered: query-time term filters prune
+      // whole row groups via min/max stats instead of scanning the
+      // segment
+      .sortWithinPartitions("segment", "term", "block_id")
 
     val waveTmp = Paths.get(cfg.outDir, "_tmp_wave")
     Manifest.deleteRecursively(waveTmp)

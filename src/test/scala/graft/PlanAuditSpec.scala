@@ -1,0 +1,82 @@
+package graft
+
+import graft.index.{BuildConfig, IndexBuilder}
+import graft.sources.SyntheticTranscripts
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-plan audits: the properties that decide whether the same
+ * code survives a 100x scale-up — filter pushdown into parquet scans,
+ * column pruning, broadcast joins for small dimensions, and
+ * shuffle-free encode reads. Asserted on `.explain("formatted")`
+ * output so a regression that silently de-optimizes a plan fails CI.
+ */
+class PlanAuditSpec extends SparkFunSuite {
+  import graft.SparkTestBase.spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  private lazy val idxDir: String = {
+    val dir = tmpDir("idx-plan")
+    val turns = SyntheticTranscripts.generate(spark, 42L, nConvs = 300)
+    IndexBuilder.build(spark, turns, BuildConfig(dir, nSegments = 4))
+    dir
+  }
+
+  test("postings term filter pushes down to the parquet scan") {
+    val plan = planOf(spark.read.parquet(IndexBuilder.postingsDir(idxDir))
+      .filter(col("term").isInCollection(Seq("user", "tool"))))
+    assert(plan.contains("PushedFilters: [In(term"), plan.take(1500))
+  }
+
+  test("doc_stats lookup prunes columns (never reads text) and pushes the id filter") {
+    val df = spark.read.parquet(IndexBuilder.docStatsDir(idxDir))
+      .filter(col("doc_id") === 42L)
+      .select("doc_id", "conv_id", "turn_idx")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,42)]"), plan.take(1500))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), readSchema)
+  }
+
+  test("staging segment filter prunes partitions (resume reads only pending segments)") {
+    val df = spark.read.parquet(IndexBuilder.stagingDir(idxDir))
+      .filter(col("segment").isInCollection(Seq(1, 2)))
+    val plan = planOf(df)
+    // partition column filter → PartitionFilters, zero data-filter scan
+    assert(plan.contains("PartitionFilters: [segment"), plan.take(1500))
+  }
+
+  test("small-dimension join broadcasts (no shuffle of the fact side)") {
+    val fact = spark.range(0, 10000).withColumn("k", col("id") % 10)
+    val dim = Seq((0L, "a"), (1L, "b")).toDF("k", "name")
+    val plan = planOf(fact.join(broadcast(dim), "k"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("dictionary files are term-range-sorted (min/max stats prune lookups)") {
+    import org.apache.spark.sql.Row
+    val files = new java.io.File(IndexBuilder.dictionaryDir(idxDir))
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    // within every file terms are sorted → row-group stats are tight
+    files.foreach { f =>
+      val terms = spark.read.parquet(f.getPath).select("term").collect().map(_.getString(0))
+      assert(terms.sameElements(terms.sorted), s"${f.getName} not term-sorted")
+    }
+  }
+
+  test("postings files are term-clustered within segment (block sort before write)") {
+    val segDir = new java.io.File(IndexBuilder.postingsDir(idxDir), "segment=0")
+    val fs = segDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(fs.nonEmpty)
+    val terms = spark.read.parquet(fs.head.getPath).select("term", "block_id")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(terms.sameElements(terms.sortBy(identity)), "postings not (term, block_id)-sorted")
+  }
+}
