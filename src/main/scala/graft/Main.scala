@@ -48,7 +48,9 @@ object Main {
           val seed = rest.drop(1).headOption.map(_.toLong).getOrElse(42L)
           SyntheticTranscripts.generate(spark, seed, nConvs)
       }
-      val rep = IndexBuilder.build(spark, turns, BuildConfig(out))
+      val nSeg = sys.env.get("GRAFT_NSEGMENTS").map(_.toInt)
+      val rep = IndexBuilder.build(spark, turns,
+        nSeg.fold(BuildConfig(out))(n => BuildConfig(out, nSegments = n, waveSize = n)))
       println(s"built: nDocs=${rep.nDocs} avgdl=${rep.avgdl} nTerms=${rep.nTerms} " +
         s"segments built=${rep.segmentsBuilt} skipped=${rep.segmentsSkipped} wallMs=${rep.wallMs}")
       spark.stop()

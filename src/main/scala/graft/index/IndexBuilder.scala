@@ -12,11 +12,21 @@ import java.nio.file.{Files, Paths}
 
 
 case class BuildConfig(outDir: String,
-                       nSegments: Int = 64,
-                       waveSize: Int = 64,
+                       nSegments: Int = 0, // 0 → auto: max(64, nDocs/25k)
+                       waveSize: Int = 0,  // 0 → auto: min(256, nSegments)
                        sortPartitions: Int = 0, // 0 → defaultParallelism
                        resume: Boolean = true,
-                       failAfterWaves: Int = -1) // test hook: simulated kill
+                       failAfterWaves: Int = -1) { // test hook: simulated kill
+  /** Segment count targets CACHE-RESIDENT encoder term maps (~25k
+    * docs/segment → sub-MB per-task vocab): profiling showed the
+    * encode stage goes DRAM-latency-bound once the per-segment term
+    * map outgrows L2, costing ~3x at 32 threads. */
+  def segmentsFor(nDocs: Long): Int =
+    if (nSegments > 0) nSegments
+    else math.max(64L, (nDocs + 24999) / 25000).min(1 << 20).toInt
+  def waveFor(segments: Int): Int =
+    if (waveSize > 0) waveSize else math.min(256, math.max(1, segments))
+}
 
 case class BuildReport(nDocs: Long, avgdl: Double, nTerms: Long,
                        segmentsBuilt: Int, segmentsSkipped: Int, wallMs: Long)
@@ -38,18 +48,21 @@ class SimulatedKill(wave: Int) extends RuntimeException(s"simulated kill after w
  * stability invariant tested at 2 vs 32 partitions. Docs land in
  * SEGMENTS = contiguous docId ranges (segment = docId / segSize), the
  * unit of checkpointing. Phase A commits: a staging copy of the corpus
- * partitioned by segment (partition-prunable for Phase B and resume),
- * doc_stats, and a phaseA manifest carrying an order-insensitive
- * corpus content hash (xor of xxhash64(conv_id, turn_idx, text)) for
- * change detection — the reference's `jj_scanner_doc_hash` analog
+ * (one doc_id-sorted, segment-monotone file per sort partition, so
+ * parquet min/max stats prune segment filters for Phase B and resume;
+ * doc_stats is this same table column-pruned), and a phaseA manifest
+ * carrying an order-insensitive corpus content hash (xor of
+ * xxhash64(conv_id, turn_idx, text)) for change detection — the
+ * reference's `jj_scanner_doc_hash` analog
  * (`ScannerImpl.java:380-417`). The dictionary and corpus_stats are
  * derived AFTER the waves from the posting-block footers
  * (sum(n_docs), sum(block_cf) per term) — a shuffle over block rows
  * (≈ postings/128), not a third tokenize pass over the corpus.
  *
  * == Phase B (postings, per-segment, in waves) ==
- * For each wave of segments not yet COMPLETE: read staging (partition
- * pruning selects only the wave's segments) → range-repartition DOC
+ * For each wave of segments not yet COMPLETE: read staging (pushed
+ * segment filter + file stats select only the wave's segments) →
+ * range-repartition DOC
  * rows by segment (exactly one segment per partition; equal keys never
  * split) → local doc_id sort → streaming [[encodeDocs]]: tokenize each
  * doc and APPEND to per-term posting buffers — docIds arrive ascending
@@ -154,7 +167,7 @@ object IndexBuilder {
     val allSegments = (0 until nSegEff).toVector
     val pending = allSegments.filterNot(complete)
     var wavesDone = 0
-    pending.grouped(math.max(1, cfg.waveSize)).foreach { wave =>
+    pending.grouped(cfg.waveFor(nSegEff)).foreach { wave =>
       if (cfg.failAfterWaves >= 0 && wavesDone >= cfg.failAfterWaves)
         throw new SimulatedKill(wavesDone)
       buildWave(spark, cfg, wave, avgdl)
@@ -203,7 +216,8 @@ object IndexBuilder {
     val offsets = new Array[Long](counts.length.max(1))
     var acc = 0L
     counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
-    val segSize = math.max(1L, (nDocs + cfg.nSegments - 1) / cfg.nSegments)
+    val nSegTarget = cfg.segmentsFor(nDocs)
+    val segSize = math.max(1L, (nDocs + nSegTarget - 1) / nSegTarget)
     val nSegEff = if (nDocs == 0) 0 else (((nDocs - 1) / segSize) + 1).toInt
     val offB = spark.sparkContext.broadcast(offsets)
 
@@ -223,15 +237,19 @@ object IndexBuilder {
       }
     }
 
-    // staging: corpus + ids, partitioned by segment (atomic publish).
-    // doc_stats is this same table read with column pruning (doc_id,
-    // conv_id, turn_idx, dl) — files are doc_id-sorted and segment-
-    // clustered, so row-group stats prune point lookups; no separate
-    // doc_stats write is needed.
+    // staging: corpus + ids (atomic publish). One file per sort
+    // partition — NOT partitionBy(segment): segment is monotone
+    // within every sorted file, so parquet file/row-group min/max
+    // stats prune segment filters exactly as well as directory
+    // partitioning would, without the dynamic-partition write (which
+    // costs a per-task sort + one file handle per segment and a
+    // driver-side commit that grows with nSegments — ruinous once
+    // nSegments is sized for cache-resident encoder maps). doc_stats
+    // is this same table read with column pruning.
     val stagingTmp = Paths.get(cfg.outDir, "_tmp_staging_docs")
     Manifest.deleteRecursively(stagingTmp)
     val (_, tStag) = timedMs {
-      docTurns.write.partitionBy("segment").mode("overwrite").parquet(stagingTmp.toString)
+      docTurns.write.mode("overwrite").parquet(stagingTmp.toString)
     }
     dbg(s"phaseA staging-write ${tStag}ms")
     Manifest.publishDir(stagingTmp, Paths.get(stagingDir(cfg.outDir)))

@@ -61,6 +61,57 @@ class IndexReader(spark: SparkSession, dir: String) extends Serializable {
     }).take(k).toVector
   }
 
+  /**
+   * Batched top-k: MANY queries against the index in ONE Spark job —
+   * the serving-scale path (per-query jobs pay scheduler latency;
+   * a batch amortizes the postings scan across queries). One postings
+   * scan pruned to the UNION of all query terms; each segment task
+   * runs WAND per query over its term subset; the driver merges
+   * per-segment winners per query. Results are identical to calling
+   * [[search]] per query (same summation order, same tie-break).
+   *
+   * @param queries (query_id, query text)
+   * @return (query_id, rank, doc_id, score) rows, rank 1..k
+   */
+  def searchMany(queries: Seq[(String, String)], k: Int = 10): Seq[(String, Int, Long, Double)] = {
+    val parsed = queries.map { case (id, q) =>
+      id -> Tokenizer.tokenize(q).distinct.sorted
+    }
+    val allTerms = parsed.flatMap(_._2).distinct.sorted
+    if (allTerms.isEmpty || stats.n_docs == 0) return Seq.empty
+    val dfs = docFreqs(allTerms)
+    val idfs = dfs.map { case (t, df) => t -> BM25.idf(df, stats.n_docs) }
+    val avgdl = stats.avgdl
+    val kk = k
+    val queriesB = spark.sparkContext.broadcast(parsed)
+
+    val perSegment = postings
+      .filter(col("term").isInCollection(allTerms))
+      .as[PostingBlockRow]
+      .groupByKey(_.segment)
+      .flatMapGroups { (_, rows) =>
+        val byTerm = rows.toVector.groupBy(_.term).map { case (t, rs) =>
+          t -> rs.toIndexedSeq
+        }
+        queriesB.value.iterator.flatMap { case (qid, terms) =>
+          val qBlocks = terms.iterator.flatMap(t => byTerm.get(t).map(t -> _)).toMap
+          if (qBlocks.isEmpty) Iterator.empty
+          else Wand.topK(qBlocks, idfs, avgdl, kk).iterator.map(h => (qid, h.doc_id, h.score))
+        }
+      }
+      .collect()
+
+    perSegment.groupBy(_._1).toSeq.flatMap { case (qid, hits) =>
+      hits.map(h => (h._2, h._3))
+        .sorted(new Ordering[(Long, Double)] {
+          override def compare(a: (Long, Double), b: (Long, Double)): Int =
+            BM25.hitOrdering.compare(a, b)
+        })
+        .take(k).zipWithIndex
+        .map { case ((doc, score), i) => (qid, i + 1, doc, score) }
+    }
+  }
+
   /** Top-k joined back to (conv_id, turn_idx) via doc_stats. */
   def searchRanked(query: String, k: Int = 10): Seq[RankedTurn] = {
     val hits = search(query, k)

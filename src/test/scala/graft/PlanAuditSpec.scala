@@ -43,12 +43,21 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!readSchema.contains("text"), readSchema)
   }
 
-  test("staging segment filter prunes partitions (resume reads only pending segments)") {
+  test("staging segment filter pushes down; files are segment-monotone (stats prune)") {
     val df = spark.read.parquet(IndexBuilder.stagingDir(idxDir))
       .filter(col("segment").isInCollection(Seq(1, 2)))
     val plan = planOf(df)
-    // partition column filter → PartitionFilters, zero data-filter scan
-    assert(plan.contains("PartitionFilters: [segment"), plan.take(1500))
+    assert(plan.contains("PushedFilters: [In(segment"), plan.take(1500))
+    // each staging file covers a contiguous segment range → min/max
+    // row-group stats make the pushed filter skip whole files
+    val files = new java.io.File(IndexBuilder.stagingDir(idxDir))
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val segs = spark.read.parquet(f.getPath).select("segment")
+        .collect().map(_.getInt(0))
+      assert(segs.sameElements(segs.sorted), s"${f.getName} segment not monotone")
+    }
   }
 
   test("small-dimension join broadcasts (no shuffle of the fact side)") {
