@@ -1,6 +1,6 @@
 package graft.index
 
-import graft.analysis.Tokenizer
+import graft.analysis.{Analyzer, Tokenizer}
 import graft.model._
 import graft.store.Manifest
 import org.apache.spark.TaskContext
@@ -16,7 +16,8 @@ case class BuildConfig(outDir: String,
                        waveSize: Int = 0,  // 0 → auto: min(256, nSegments)
                        sortPartitions: Int = 0, // 0 → defaultParallelism
                        resume: Boolean = true,
-                       failAfterWaves: Int = -1) { // test hook: simulated kill
+                       failAfterWaves: Int = -1, // test hook: simulated kill
+                       analyzer: Analyzer = Analyzer.V1) {
   /** Segment count targets CACHE-RESIDENT encoder term maps (~25k
     * docs/segment → sub-MB per-task vocab): profiling showed the
     * encode stage goes DRAM-latency-bound once the per-segment term
@@ -149,6 +150,7 @@ object IndexBuilder {
     val phaseAValid = cfg.resume && prior.exists(m =>
       m.get("status").contains(Manifest.Complete) &&
         m.get("content_hash").contains(srcHash) &&
+        m.get("analyzer").forall(_ == cfg.analyzer.id) &&
         Files.exists(Paths.get(stagingDir(cfg.outDir))))
 
     val (nDocs, avgdl, segSize, nSegEff) =
@@ -224,13 +226,14 @@ object IndexBuilder {
     // pass 2: assign ids + doc length; dl total folds into the same
     // job via an accumulator (updates are applied once per successful
     // result-stage task), so avgdl costs no extra pass
+    val az = cfg.analyzer
     val dlAcc = spark.sparkContext.longAccumulator("graft.dlSum")
     val docTurns: Dataset[DocTurn] = sorted.mapPartitions { it =>
       val off = offB.value(TaskContext.getPartitionId())
       var i = 0L
       it.map { t =>
         val id = off + i; i += 1
-        val dl = Tokenizer.docLength(t.text)
+        val dl = az.docLength(t.text)
         dlAcc.add(dl)
         DocTurn(id, (id / segSize).toInt, t.conv_id, t.turn_idx, t.role,
           t.text, t.tool, dl)
@@ -267,6 +270,7 @@ object IndexBuilder {
       "seg_size" -> segSize.toString,
       "n_segments_effective" -> nSegEff.toString,
       "content_hash" -> srcHash,
+      "analyzer" -> cfg.analyzer.id,
       "tokenizer_version" -> Tokenizer.Version.toString,
       "wall_ms" -> (System.currentTimeMillis() - t0).toString))
     (nDocs, avgdl, segSize, nSegEff)
@@ -301,7 +305,8 @@ object IndexBuilder {
     val nTerms = spark.read.parquet(dictionaryDir(cfg.outDir)).count()
 
     writeAtomic(spark, cfg.outDir, "corpus_stats") { tmp =>
-      Seq(CorpusStats(nDocs, avgdl, nTerms, 1, Tokenizer.Version)).toDS()
+      Seq(CorpusStats(nDocs, avgdl, nTerms, 1, Tokenizer.Version,
+        cfg.analyzer.id)).toDS()
         .coalesce(1).write.mode("overwrite").parquet(tmp)
     }
     Manifest.writeAtomic(Manifest.finalizePath(manifestDir(cfg.outDir)), Map(
@@ -330,6 +335,7 @@ object IndexBuilder {
     // per-segment lineage counters ride the encode job as accumulators
     // (one update per successful result-stage task) — no separate
     // metrics aggregation jobs
+    val az = cfg.analyzer
     val turnsAcc = new SegCounter; val tokensAcc = new SegCounter
     val blocksAcc = new SegCounter
     spark.sparkContext.register(turnsAcc, "graft.turns")
@@ -361,7 +367,7 @@ object IndexBuilder {
         val counted = docs.map { d =>
           turnsAcc.add(d._2 -> 1L); tokensAcc.add(d._2 -> d._4.toLong); d
         }
-        encodeDocs(counted, avgdl).map { b =>
+        encodeDocs(counted, avgdl, az).map { b =>
           blocksAcc.add(b.segment -> 1L); b
         }
       }
@@ -423,7 +429,8 @@ object IndexBuilder {
    * that bounds it (Heaps' law: vocab grows ~√tokens per segment).
    */
   private[index] def encodeDocs(docs: Iterator[(Long, Int, String, Int)],
-                                avgdl: Double): Iterator[PostingBlockRow] =
+                                avgdl: Double,
+                                az: Analyzer = Analyzer.V1): Iterator[PostingBlockRow] =
     new Iterator[PostingBlockRow] {
       private var bufs = new java.util.HashMap[String, TermBuf]()
       private var curSeg = Int.MinValue
@@ -467,7 +474,7 @@ object IndexBuilder {
 
       private def process(row: (Long, Int, String, Int)): Unit = {
         val (docId, seg, text, dl) = row
-        Tokenizer.termFreqs(text).foreach { case (term, tf) =>
+        az.termFreqs(text).foreach { case (term, tf) =>
           var b = bufs.get(term)
           if (b == null) { b = new TermBuf; bufs.put(term, b) }
           b.ids(b.n) = docId; b.tfs(b.n) = tf; b.dls(b.n) = dl; b.n += 1

@@ -25,7 +25,8 @@ case class DictEntry(term: String, df: Long, cf: Long)
 
 /** corpus_stats table row. */
 case class CorpusStats(n_docs: Long, avgdl: Double, n_terms: Long,
-                       index_version: Int, tokenizer_version: Int)
+                       index_version: Int, tokenizer_version: Int,
+                       analyzer: String)
 
 /** One encoded posting block: ≤ blockSize postings of one (segment,
   * term), docIds delta+VByte compressed, with skip (max_doc_id) and

@@ -1,6 +1,6 @@
 package graft.query
 
-import graft.analysis.Tokenizer
+import graft.analysis.Analyzer
 import graft.index.IndexBuilder
 import graft.model.{CorpusStats, PostingBlockRow, QueryHit, RankedTurn}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -24,6 +24,9 @@ class IndexReader(spark: SparkSession, dir: String) extends Serializable {
   lazy val stats: CorpusStats =
     spark.read.parquet(IndexBuilder.corpusStatsDir(dir)).as[CorpusStats].head()
 
+  /** Query-side chain = the chain the index was built with. */
+  lazy val analyzer: Analyzer = Analyzer.parse(stats.analyzer)
+
   private lazy val postings = spark.read.parquet(IndexBuilder.postingsDir(dir))
   private lazy val dictionary = spark.read.parquet(IndexBuilder.dictionaryDir(dir))
 
@@ -35,7 +38,7 @@ class IndexReader(spark: SparkSession, dir: String) extends Serializable {
   /** Top-k hits for a free-text query. Deterministic: tie-break
     * (score desc, docId asc); summation in ascending term order. */
   def search(query: String, k: Int = 10): Vector[QueryHit] = {
-    val terms = Tokenizer.tokenize(query).distinct.sorted
+    val terms = analyzer.tokenize(query).distinct.sorted
     if (terms.isEmpty || stats.n_docs == 0) return Vector.empty
     val dfs = docFreqs(terms)
     if (dfs.isEmpty) return Vector.empty
@@ -75,7 +78,7 @@ class IndexReader(spark: SparkSession, dir: String) extends Serializable {
    */
   def searchMany(queries: Seq[(String, String)], k: Int = 10): Seq[(String, Int, Long, Double)] = {
     val parsed = queries.map { case (id, q) =>
-      id -> Tokenizer.tokenize(q).distinct.sorted
+      id -> analyzer.tokenize(q).distinct.sorted
     }
     val allTerms = parsed.flatMap(_._2).distinct.sorted
     if (allTerms.isEmpty || stats.n_docs == 0) return Seq.empty

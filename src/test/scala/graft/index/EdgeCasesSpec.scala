@@ -1,0 +1,70 @@
+package graft.index
+
+import graft.SparkFunSuite
+import graft.model.Turn
+import graft.query.IndexReader
+import graft.sources.SyntheticTranscripts
+import org.apache.spark.sql.functions._
+
+/** Edge cases + the skew-handling contract (SURVEY.md §7.5). */
+class EdgeCasesSpec extends SparkFunSuite {
+  import graft.SparkTestBase.spark.implicits._
+
+  test("empty corpus: build commits empty tables, search returns nothing") {
+    val dir = tmpDir("idx-empty")
+    val rep = IndexBuilder.build(spark, spark.emptyDataset[Turn],
+      BuildConfig(dir, nSegments = 4))
+    assert(rep.nDocs == 0 && rep.nTerms == 0)
+    val rdr = new IndexReader(spark, dir)
+    assert(rdr.search("anything", 10).isEmpty)
+  }
+
+  test("single-doc corpus") {
+    val dir = tmpDir("idx-one")
+    val one = Seq(Turn("c", 0, "user", "hello hello world", "",
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))).toDS()
+    val rep = IndexBuilder.build(spark, one, BuildConfig(dir, nSegments = 4))
+    assert(rep.nDocs == 1 && rep.nTerms == 2)
+    val hits = new IndexReader(spark, dir).search("hello", 5)
+    assert(hits.map(_.doc_id) == Vector(0L))
+  }
+
+  test("head-term skew: df≈N term is split across every segment, blocks bounded") {
+    val dir = tmpDir("idx-skew")
+    val turns = SyntheticTranscripts.generate(spark, 42L, nConvs = 300)
+    IndexBuilder.build(spark, turns, BuildConfig(dir, nSegments = 6))
+    val post = spark.read.parquet(IndexBuilder.postingsDir(dir))
+    // role tokens are folded into every turn's text → df ≈ N; the
+    // segment IS the salt: the head term must appear in EVERY segment
+    val headSegs = post.filter(col("term") === "user")
+      .select("segment").distinct().count()
+    assert(headSegs == 6, s"head term in $headSegs/6 segments")
+    // and no posting block anywhere exceeds the block size
+    assert(post.agg(max("n_docs")).head().getInt(0) <= PostingCodec.BlockSize)
+    // per-segment postings of the head term are disjoint docId ranges
+    val ranges = post.filter(col("term") === "user")
+      .groupBy("segment").agg(max("max_doc_id").as("hi"))
+      .orderBy("segment").collect().map(_.getLong(1))
+    assert(ranges.sameElements(ranges.sorted))
+  }
+
+  test("query-only-head-terms stays correct (block-max bounds ≈ 0 contributions)") {
+    val dir = tmpDir("idx-headq")
+    val turns = SyntheticTranscripts.generate(spark, 42L, nConvs = 200)
+    IndexBuilder.build(spark, turns, BuildConfig(dir, nSegments = 4))
+    // oracle on the driver
+    val corpus = turns.collect().sortBy(t => (t.conv_id, t.turn_idx))
+    val docTfs = corpus.zipWithIndex.map { case (t, i) =>
+      (i.toLong, graft.analysis.Tokenizer.docLength(t.text),
+        graft.analysis.Tokenizer.termFreqs(t.text))
+    }
+    val dfs = collection.mutable.HashMap.empty[String, Long]
+    docTfs.foreach(_._3.keys.foreach(t => dfs.update(t, dfs.getOrElse(t, 0L) + 1)))
+    val avgdl = docTfs.map(_._2).sum.toDouble / corpus.length
+    val want = graft.query.BM25.bruteForceTopK(Seq("user", "assistant"),
+      docTfs, dfs, corpus.length, avgdl, 10)
+    val got = new IndexReader(spark, dir).search("user assistant", 10)
+      .map(h => (h.doc_id, h.score))
+    assert(got == want)
+  }
+}
