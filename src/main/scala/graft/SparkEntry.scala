@@ -346,6 +346,24 @@ object SparkEntry {
     ranked.toDF("rank", "doc_id", "score")
   }
 
+  private def ftBm25Filtered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rdr = FtIndex.reader(s, dir)
+    // engine docIDs equal original doc_ids on this corpus (dense,
+    // conv_id zero-padded), so the predicate is oracle-mirrorable
+    val hits = rdr.searchWhere(FtQuery, pmod(col("doc_id"), lit(3)) === 0, 1000000)
+    val ranked = hits
+      .map { h =>
+        val scoreR = BigDecimal(h.score)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (h.doc_id, scoreR)
+      }
+      .sortBy { case (id, sc) => (-sc, id) }
+      .take(20).zipWithIndex
+      .map { case ((id, sc), i) => ((i + 1).toLong, id, sc) }
+    ranked.toDF("rank", "doc_id", "score")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -389,7 +407,8 @@ object SparkEntry {
     "ft_doc_stats" -> (ftDocStats _),
     "ft_dictionary" -> (ftDictionary _),
     "ft_corpus_stats" -> (ftCorpusStats _),
-    "ft_bm25_topk" -> (ftBm25Topk _)
+    "ft_bm25_topk" -> (ftBm25Topk _),
+    "ft_bm25_filtered" -> (ftBm25Filtered _)
   )
 
   // =====================================================================
@@ -663,6 +682,23 @@ object SparkEntry {
            | SELECT tf.doc_id,
            |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
            | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           | GROUP BY tf.doc_id)
+           |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+           | doc_id, round(s, 4) AS score
+           |FROM scores ORDER BY rank LIMIT 20""".stripMargin,
+
+      "ft_bm25_filtered" ->
+        s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+           |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+           |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+           |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftTermsIn GROUP BY 1),
+           |scores AS (
+           | SELECT tf.doc_id,
+           |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+           | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           | WHERE tf.doc_id % 3 = 0
            | GROUP BY tf.doc_id)
            |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
            | doc_id, round(s, 4) AS score

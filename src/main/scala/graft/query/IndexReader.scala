@@ -115,6 +115,54 @@ class IndexReader(spark: SparkSession, dir: String) extends Serializable {
     }
   }
 
+  /**
+   * Metadata-filtered top-k: BM25 over only the documents matching a
+   * predicate on the doc table (staging columns: conv_id, turn_idx,
+   * role, tool, text, dl, segment). Distributed and broadcast-free:
+   * the allowed docIds are COGROUPED with the posting blocks by
+   * segment, so each task holds one segment's allowed set (bounded by
+   * segSize) and WAND drops disallowed candidates after cursor
+   * alignment — exact filtered top-k, not post-filtering.
+   */
+  def searchWhere(query: String, predicate: org.apache.spark.sql.Column,
+                  k: Int = 10): Vector[QueryHit] = {
+    val terms = analyzer.tokenize(query).distinct.sorted
+    if (terms.isEmpty || stats.n_docs == 0) return Vector.empty
+    val dfs = docFreqs(terms)
+    if (dfs.isEmpty) return Vector.empty
+    val idfs = dfs.map { case (t, df) => t -> BM25.idf(df, stats.n_docs) }
+    val avgdl = stats.avgdl
+    val kk = k
+
+    val allowed = spark.read.parquet(IndexBuilder.stagingDir(dir))
+      .filter(predicate)
+      .select(col("segment").as("a_segment"), col("doc_id").as("a_doc_id"))
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+    val blocks = postings
+      .filter(col("term").isInCollection(terms))
+      .as[PostingBlockRow]
+      .groupByKey(_.segment)
+
+    val perSegment = blocks.cogroup(allowed) { (_, rows, allowRows) =>
+      val byTerm = rows.toVector.groupBy(_.term).map { case (t, rs) =>
+        t -> rs.toIndexedSeq
+      }
+      if (byTerm.isEmpty) Iterator.empty
+      else {
+        val ok = new java.util.HashSet[java.lang.Long]()
+        allowRows.foreach(r => ok.add(r._2))
+        if (ok.isEmpty) Iterator.empty
+        else Wand.topK(byTerm, idfs, avgdl, kk, allow = ok.contains(_)).iterator
+      }
+    }.collect()
+
+    perSegment.sorted(new Ordering[QueryHit] {
+      override def compare(a: QueryHit, b: QueryHit): Int =
+        BM25.hitOrdering.compare((a.doc_id, a.score), (b.doc_id, b.score))
+    }).take(k).toVector
+  }
+
   /** Top-k joined back to (conv_id, turn_idx) via doc_stats. */
   def searchRanked(query: String, k: Int = 10): Seq[RankedTurn] = {
     val hits = search(query, k)

@@ -116,7 +116,8 @@ object Wand extends Serializable {
    */
   def topK(termBlocks: Map[String, IndexedSeq[PostingBlockRow]],
            idfs: Map[String, Double], avgdl: Double, k: Int,
-           initialThreshold: Double = Double.NegativeInfinity): Vector[QueryHit] = {
+           initialThreshold: Double = Double.NegativeInfinity,
+           allow: Long => Boolean = null): Vector[QueryHit] = {
     // cursors in ascending term order — fixes summation order
     val cursors = termBlocks.toArray.sortBy(_._1).map { case (t, blocks) =>
       val c = new Cursor(t, idfs.getOrElse(t, 0.0), blocks.sortBy(_.block_id))
@@ -167,15 +168,20 @@ object Wand extends Serializable {
         val pivotDoc = byDoc(pivot).docId
         if (byDoc(0).docId == pivotDoc) {
           // lead cursors aligned on pivotDoc → full score, accumulated
-          // in term order over cursors[] (term-sorted at construction)
-          var s = 0.0
+          // in term order over cursors[] (term-sorted at construction).
+          // A metadata filter (`allow`) drops the candidate here —
+          // after alignment, before the heap — so filtered search
+          // keeps exact top-k semantics (bounds stay upper bounds).
           var j = 0
-          while (j < cursors.length) {
-            val c = cursors(j)
-            if (!c.exhausted && c.docId == pivotDoc) s += c.currentScore
-            j += 1
+          if (allow == null || allow(pivotDoc)) {
+            var s = 0.0
+            while (j < cursors.length) {
+              val c = cursors(j)
+              if (!c.exhausted && c.docId == pivotDoc) s += c.currentScore
+              j += 1
+            }
+            offer(pivotDoc, s)
           }
-          offer(pivotDoc, s)
           j = 0
           while (j < byDoc.length) {
             if (byDoc(j).docId == pivotDoc) byDoc(j).next(); j += 1

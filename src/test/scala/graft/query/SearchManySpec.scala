@@ -27,3 +27,44 @@ class SearchManySpec extends SparkFunSuite {
     }
   }
 }
+
+/** Filtered retrieval: exact top-k under a metadata predicate. */
+class SearchWhereSpec extends graft.SparkFunSuite {
+  import graft.SparkTestBase.spark.implicits._
+
+  test("searchWhere == brute-force oracle restricted to allowed docs") {
+    val dir = tmpDir("idx-where")
+    val turns = graft.sources.SyntheticTranscripts.generate(spark, 42L, nConvs = 300)
+    graft.index.IndexBuilder.build(spark, turns,
+      graft.index.BuildConfig(dir, nSegments = 5))
+    val rdr = new IndexReader(spark, dir)
+
+    val corpus = turns.collect().sortBy(t => (t.conv_id, t.turn_idx))
+    val docTfs = corpus.zipWithIndex.map { case (t, i) =>
+      (i.toLong, graft.analysis.Tokenizer.docLength(t.text),
+        graft.analysis.Tokenizer.termFreqs(t.text))
+    }
+    val dfs = collection.mutable.HashMap.empty[String, Long]
+    docTfs.foreach(_._3.keys.foreach(t => dfs.update(t, dfs.getOrElse(t, 0L) + 1)))
+    val avgdl = docTfs.map(_._2).sum.toDouble / corpus.length
+
+    // filter on a staging column (role) AND on doc parity
+    Seq(
+      (org.apache.spark.sql.functions.col("role") === "assistant",
+        (i: Long) => corpus(i.toInt).role == "assistant"),
+      (org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(2)) === 0,
+        (i: Long) => i % 2 == 0)
+    ).foreach { case (pred, oraclePred) =>
+      Seq("assistant tool error", "ba ce di", "user").foreach { q =>
+        val got = rdr.searchWhere(q, pred, 10).map(h => (h.doc_id, h.score))
+        // oracle: score all docs, keep allowed, same global df/avgdl
+        val terms = graft.analysis.Tokenizer.tokenize(q).distinct.sorted
+        val want = graft.query.BM25.bruteForceTopK(terms,
+          docTfs.filter(d => oraclePred(d._1)), dfs, corpus.length, avgdl, 10)
+        assert(got == want, s"query '$q'")
+      }
+    }
+  }
+}
