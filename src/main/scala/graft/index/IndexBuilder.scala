@@ -17,7 +17,8 @@ case class BuildConfig(outDir: String,
                        sortPartitions: Int = 0, // 0 → defaultParallelism
                        resume: Boolean = true,
                        failAfterWaves: Int = -1, // test hook: simulated kill
-                       analyzer: Analyzer = Analyzer.V1) {
+                       analyzer: Analyzer = Analyzer.V1,
+                       maxOpenTerms: Int = 1 << 19) { // encoder memory cap
   /** Segment count targets CACHE-RESIDENT encoder term maps (~25k
     * docs/segment → sub-MB per-task vocab): profiling showed the
     * encode stage goes DRAM-latency-bound once the per-segment term
@@ -367,7 +368,7 @@ object IndexBuilder {
         val counted = docs.map { d =>
           turnsAcc.add(d._2 -> 1L); tokensAcc.add(d._2 -> d._4.toLong); d
         }
-        encodeDocs(counted, avgdl, az).map { b =>
+        encodeDocs(counted, avgdl, az, cfg.maxOpenTerms).map { b =>
           blocksAcc.add(b.segment -> 1L); b
         }
       }
@@ -424,13 +425,20 @@ object IndexBuilder {
    * [[PostingCodec.BlockSize]] postings; partial tail blocks flush at
    * each segment boundary in sorted term order (determinism).
    *
-   * Memory: O(per-segment vocabulary) open buffers — BlockSize
-   * postings each — NOT O(segment postings); `nSegments` is the knob
-   * that bounds it (Heaps' law: vocab grows ~√tokens per segment).
+   * Memory: HARD-BOUNDED. Open buffers are O(per-segment vocabulary)
+   * in the common case (`nSegments` sizes them cache-resident;
+   * Heaps' law: vocab grows ~√tokens per segment), and when a
+   * pathological segment's vocabulary exceeds `maxOpenTerms`, ALL
+   * open buffers flush mid-segment (a Lucene-style memory flush):
+   * posting lists stay docId-sorted because block doc ranges remain
+   * disjoint and increasing — readers order blocks by max_doc_id —
+   * at the cost of under-full tail blocks per flush. Worst-case task
+   * memory is maxOpenTerms × ~2.2 KB regardless of corpus.
    */
   private[index] def encodeDocs(docs: Iterator[(Long, Int, String, Int)],
                                 avgdl: Double,
-                                az: Analyzer = Analyzer.V1): Iterator[PostingBlockRow] =
+                                az: Analyzer = Analyzer.V1,
+                                maxOpenTerms: Int = 1 << 19): Iterator[PostingBlockRow] =
     new Iterator[PostingBlockRow] {
       private var bufs = new java.util.HashMap[String, TermBuf]()
       private var curSeg = Int.MinValue
@@ -480,6 +488,9 @@ object IndexBuilder {
           b.ids(b.n) = docId; b.tfs(b.n) = tf; b.dls(b.n) = dl; b.n += 1
           if (b.n == PostingCodec.BlockSize) ready.addLast(encodeBlock(term, seg, b))
         }
+        // memory cap: pathological vocabulary → flush every open
+        // buffer now (doc boundary keeps ranges disjoint)
+        if (bufs.size >= maxOpenTerms) startSegFlush(seg)
       }
 
       private def advance(): Unit = {

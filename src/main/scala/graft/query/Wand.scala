@@ -110,7 +110,10 @@ object Wand extends Serializable {
 
   /**
    * Top-k over one segment. `termBlocks` maps term → its blocks in this
-   * segment (sorted by block_id); `idfs` the global idf per term.
+   * segment (ordered by docId range — block doc ranges are disjoint,
+   * so max_doc_id is the total order even when a memory-capped
+   * mid-segment flush restarted block_id numbering); `idfs` the
+   * global idf per term.
    * `initialThreshold` lets callers seed θ (e.g. from another segment's
    * results) — scores strictly worse can never surface.
    */
@@ -120,7 +123,7 @@ object Wand extends Serializable {
            allow: Long => Boolean = null): Vector[QueryHit] = {
     // cursors in ascending term order — fixes summation order
     val cursors = termBlocks.toArray.sortBy(_._1).map { case (t, blocks) =>
-      val c = new Cursor(t, idfs.getOrElse(t, 0.0), blocks.sortBy(_.block_id))
+      val c = new Cursor(t, idfs.getOrElse(t, 0.0), blocks.sortBy(_.max_doc_id))
       c.setAvgdl(avgdl)
       c
     }.filterNot(_.exhausted)

@@ -68,3 +68,31 @@ class EdgeCasesSpec extends SparkFunSuite {
     assert(got == want)
   }
 }
+
+/** Encoder memory cap: absurdly tiny budget must only change block
+  * packing, never results. */
+class MemoryCapSpec extends graft.SparkFunSuite {
+  test("maxOpenTerms=4 forces constant flushing; ranks identical to default build") {
+    import graft.query.IndexReader
+    val turns = graft.sources.SyntheticTranscripts.generate(spark, 42L, nConvs = 150)
+    val a = tmpDir("idx-capA"); val b = tmpDir("idx-capB")
+    graft.index.IndexBuilder.build(spark, turns, graft.index.BuildConfig(a, nSegments = 4))
+    graft.index.IndexBuilder.build(spark, turns,
+      graft.index.BuildConfig(b, nSegments = 4, maxOpenTerms = 4))
+    val blocksA = spark.read.parquet(graft.index.IndexBuilder.postingsDir(a)).count()
+    val blocksB = spark.read.parquet(graft.index.IndexBuilder.postingsDir(b)).count()
+    assert(blocksB > blocksA) // under-full blocks from constant flushes
+    val ra = new IndexReader(spark, a); val rb = new IndexReader(spark, b)
+    Seq("assistant tool error", "ba ce di", "user assistant system tool",
+      "fo gu", "browser").foreach { q =>
+      assert(ra.search(q, 10).map(h => (h.doc_id, h.score)) ==
+        rb.search(q, 10).map(h => (h.doc_id, h.score)), s"query '$q'")
+    }
+    // dictionary df/cf unaffected by packing
+    val da = spark.read.parquet(graft.index.IndexBuilder.dictionaryDir(a))
+      .collect().map(_.toSeq).toSet
+    val db = spark.read.parquet(graft.index.IndexBuilder.dictionaryDir(b))
+      .collect().map(_.toSeq).toSet
+    assert(da == db)
+  }
+}
