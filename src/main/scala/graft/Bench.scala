@@ -144,7 +144,7 @@ object Bench {
 
     // ---- query latency + per-operator sweep at the driver's width ----
     val s = session(cpus)
-    val p95 = locally[(Double, Double)] {
+    val p95 = locally[(Double, Double, Double)] {
       val idxDir = s"$idxRoot/c32"
       val rdr = new IndexReader(s, idxDir)
       import org.apache.spark.sql.functions.col
@@ -161,10 +161,16 @@ object Bench {
       // batched serving path: 100 queries in ONE job → queries/sec
       val batch = (0 until 100).map(i => s"q$i" -> queries(i % queries.length))
       val (_, tb) = timed(rdr.searchMany(batch, 10))
-      (p95v, batch.length / tb)
+      // single-node serving path (the reference's Lucene analog):
+      // index loaded once, WAND in-process — p95 in ms territory
+      val local = graft.query.LocalIndex.load(s, idxDir)
+      queries.foreach(q => local.search(q, 10)) // warm
+      val llat = queries.map(q => timed(local.search(q, 10))._2).sorted
+      (p95v, batch.length / tb, llat((0.95 * (llat.length - 1)).round.toInt))
     }
     results += "ft_query_p95" -> p95._1
     results += "ft_batch_qps" -> math.rint(p95._2)
+    results += "ft_local_p95" -> p95._3
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t = try timed(fn(s, sfDir).count())._2 catch { case _: Throwable => -1.0 }

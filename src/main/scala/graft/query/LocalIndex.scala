@@ -1,0 +1,104 @@
+package graft.query
+
+import graft.analysis.Analyzer
+import graft.index.IndexBuilder
+import graft.model.{CorpusStats, PostingBlockRow, QueryHit}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/**
+ * Serving mode: the whole index (compressed posting blocks +
+ * dictionary + stats) loaded once into one process, queries answered
+ * in-process with block-max WAND — no Spark job per query.
+ *
+ * This matches how the reference's sink actually serves: JesterJ
+ * ships documents to Solr/OpenSearch and QUERIES are answered by a
+ * Lucene node from its local index at millisecond latency — the
+ * Spark cluster builds the index, a serving node answers queries.
+ * [[IndexReader]] is the cluster path (index >> one machine's RAM,
+ * scan pruned to the query terms); LocalIndex is the single-node
+ * path (index fits a serving node: blocks stay VByte-COMPRESSED in
+ * memory, ~2-3 bytes/posting, so ~10^10 postings/node).
+ *
+ * Correctness: segments are contiguous docId ranges, so each term's
+ * blocks ordered by max_doc_id across ALL segments form one globally
+ * docId-sorted posting list — the same [[Wand]] cursors run over the
+ * whole corpus directly, and scores are bit-identical to the
+ * distributed reader (same summation order, same tie-break).
+ */
+class LocalIndex private (stats: CorpusStats,
+                          dfs: java.util.HashMap[String, Long],
+                          byTerm: java.util.HashMap[String, IndexedSeq[PostingBlockRow]]) {
+
+  val analyzer: Analyzer = Analyzer.parse(stats.analyzer)
+  def nDocs: Long = stats.n_docs
+  def nTerms: Long = stats.n_terms
+
+  /** In-process BM25 top-k; bit-identical to IndexReader.search. */
+  def search(query: String, k: Int = 10): Vector[QueryHit] = {
+    val terms = analyzer.tokenize(query).distinct.sorted
+    if (terms.isEmpty || stats.n_docs == 0) return Vector.empty
+    val blocks = terms.iterator.flatMap { t =>
+      Option(byTerm.get(t)).map(t -> _)
+    }.toMap
+    if (blocks.isEmpty) return Vector.empty
+    val idfs = terms.flatMap { t =>
+      Option(dfs.get(t)).filter(_ != 0L).map(df => t -> BM25.idf(df, stats.n_docs))
+    }.toMap
+    Wand.topK(blocks, idfs, stats.avgdl, k)
+  }
+}
+
+object LocalIndex {
+
+  /** Load a built index for serving. One pass over dictionary +
+    * postings; blocks stay compressed. */
+  def load(spark: SparkSession, dir: String): LocalIndex = {
+    import spark.implicits._
+    val stats = spark.read.parquet(IndexBuilder.corpusStatsDir(dir))
+      .as[CorpusStats].head()
+    val dfs = new java.util.HashMap[String, Long]()
+    spark.read.parquet(IndexBuilder.dictionaryDir(dir))
+      .select("term", "df").as[(String, Long)].collect()
+      .foreach { case (t, df) => dfs.put(t, df) }
+    // stream partitions to the driver (toLocalIterator fetches one
+    // task result at a time — a multi-GB index loads without tripping
+    // spark.driver.maxResultSize)
+    val acc = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[PostingBlockRow]]()
+    val it = spark.read.parquet(IndexBuilder.postingsDir(dir))
+      .as[PostingBlockRow].toLocalIterator()
+    while (it.hasNext) {
+      val b = it.next()
+      var buf = acc.get(b.term)
+      if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty; acc.put(b.term, buf) }
+      buf += b
+    }
+    val byTerm = new java.util.HashMap[String, IndexedSeq[PostingBlockRow]]()
+    acc.forEach { (t, rows) =>
+      // global docId order: segments are docId ranges, so
+      // (max_doc_id) ascends across segment boundaries too
+      byTerm.put(t, rows.sortBy(_.max_doc_id).toIndexedSeq)
+    }
+    new LocalIndex(stats, dfs, byTerm)
+  }
+
+  /** Load only the blocks for a term subset (partial serving cache —
+    * e.g. the head of the query-log distribution). */
+  def loadTerms(spark: SparkSession, dir: String, terms: Seq[String]): LocalIndex = {
+    import spark.implicits._
+    val stats = spark.read.parquet(IndexBuilder.corpusStatsDir(dir))
+      .as[CorpusStats].head()
+    val dfs = new java.util.HashMap[String, Long]()
+    spark.read.parquet(IndexBuilder.dictionaryDir(dir))
+      .filter(col("term").isInCollection(terms))
+      .select("term", "df").as[(String, Long)].collect()
+      .foreach { case (t, df) => dfs.put(t, df) }
+    val byTerm = new java.util.HashMap[String, IndexedSeq[PostingBlockRow]]()
+    spark.read.parquet(IndexBuilder.postingsDir(dir))
+      .filter(col("term").isInCollection(terms))
+      .as[PostingBlockRow].collect()
+      .groupBy(_.term)
+      .foreach { case (t, rows) => byTerm.put(t, rows.sortBy(_.max_doc_id).toIndexedSeq) }
+    new LocalIndex(stats, dfs, byTerm)
+  }
+}

@@ -68,3 +68,43 @@ class SearchWhereSpec extends graft.SparkFunSuite {
     }
   }
 }
+
+/** Serving mode: in-process WAND must be bit-identical to the
+  * distributed reader. */
+class LocalIndexSpec extends graft.SparkFunSuite {
+  test("LocalIndex.search == IndexReader.search, bit-identical") {
+    val dir = tmpDir("idx-local")
+    val turns = graft.sources.SyntheticTranscripts.generate(spark, 42L, nConvs = 400)
+    graft.index.IndexBuilder.build(spark, turns,
+      graft.index.BuildConfig(dir, nSegments = 6))
+    val dist = new IndexReader(spark, dir)
+    val local = LocalIndex.load(spark, dir)
+    assert(local.nDocs == dist.stats.n_docs)
+    Seq("assistant tool error", "user", "ba ce di", "nosuchterm",
+      "user assistant system tool", "fo fo fo ba", "gu hi ja ka").foreach { q =>
+      assert(local.search(q, 10).map(h => (h.doc_id, h.score)) ==
+        dist.search(q, 10).map(h => (h.doc_id, h.score)), s"query '$q'")
+    }
+    // partial cache: terms of one query suffice for that query
+    val partial = LocalIndex.loadTerms(spark, dir, Seq("ba", "ce", "di"))
+    assert(partial.search("ba ce di", 10).map(h => (h.doc_id, h.score)) ==
+      dist.search("ba ce di", 10).map(h => (h.doc_id, h.score)))
+  }
+
+  test("serving latency: in-process queries are sub-5ms after load") {
+    val dir = tmpDir("idx-local-lat")
+    val turns = graft.sources.SyntheticTranscripts.generate(spark, 42L, nConvs = 400)
+    graft.index.IndexBuilder.build(spark, turns,
+      graft.index.BuildConfig(dir, nSegments = 6))
+    val local = LocalIndex.load(spark, dir)
+    val qs = Seq("assistant tool", "ba ce", "user system", "di fo gu")
+    qs.foreach(q => local.search(q, 10)) // warm
+    val t0 = System.nanoTime()
+    val n = 200
+    var i = 0
+    while (i < n) { local.search(qs(i % qs.length), 10); i += 1 }
+    val perQueryMs = (System.nanoTime() - t0) / 1e6 / n
+    info(f"in-process latency: $perQueryMs%.3f ms/query")
+    assert(perQueryMs < 50.0) // generous bound for CI noise; typical ~1ms
+  }
+}
