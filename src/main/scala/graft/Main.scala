@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
  *
  *   graft.Main build <outDir> [nConvs] [seed]   build index over a synthetic transcript corpus
  *   graft.Main query <indexDir> <query...>      BM25 top-10 against a built index
+ *   graft.Main serve <indexDir>                 serving-node REPL (LocalIndex, in-process WAND)
  *   graft.Main entry [sfDir]                    flagship documents-corpus query (driver smoke)
  */
 object Main {
@@ -60,6 +61,26 @@ object Main {
       hits.foreach(h => println(f"${h.score}%12.6f  doc=${h.doc_id}%-8d ${h.conv_id}#${h.turn_idx}"))
       if (hits.isEmpty) println("(no hits)")
       spark.stop()
+    case "serve" :: dir :: Nil =>
+      // serving-node mode: load once, answer queries from stdin
+      // in-process (graft.query.LocalIndex) — one line per query,
+      // top-10 as "score docId" pairs; EOF exits
+      val spark = session()
+      val t0 = System.nanoTime()
+      val local = graft.query.LocalIndex.load(spark, dir)
+      System.err.println(f"loaded ${local.nDocs} docs / ${local.nTerms} terms " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s; ready")
+      scala.io.Source.stdin.getLines().foreach { line =>
+        val q = line.trim
+        if (q.nonEmpty) {
+          val t1 = System.nanoTime()
+          val hits = local.search(q, 10)
+          val ms = (System.nanoTime() - t1) / 1e6
+          println(f"# '$q' ${hits.size} hits in $ms%.2f ms")
+          hits.foreach(h => println(f"${h.score}%12.6f  ${h.doc_id}"))
+        }
+      }
+      spark.stop()
     case "entry" :: rest =>
       val spark = session()
       val df = rest.headOption match {
@@ -69,7 +90,7 @@ object Main {
       df.show(20, truncate = false)
       spark.stop()
     case other =>
-      System.err.println(s"usage: build <outDir> [nConvs] [seed] | query <indexDir> <terms...> | entry [sfDir]; got: $other")
+      System.err.println(s"usage: build <outDir> [nConvs] [seed] | query <indexDir> <terms...> | serve <indexDir> | entry [sfDir]; got: $other")
       sys.exit(2)
   }
 }
