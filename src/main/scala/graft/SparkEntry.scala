@@ -135,6 +135,16 @@ object SparkEntry {
       .agg(max("sess_no").as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  private def evAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val signups = ev.filter(col("event_type") === "signup")
+    AsOf.asOfJoin(purchases, signups, "user_id", "ts", "event_id", "value")
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("purchase_value"),
+        round(col("asof_value"), 2).as("asof_value"))
+  }
+
   private def sExcludeSeen(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     val seen = docs.filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id")
@@ -376,6 +386,7 @@ object SparkEntry {
     "q_distinct_users" -> (qDistinctUsers _),
     "ev_hourly" -> (evHourly _),
     "ev_sessions" -> (evSessions _),
+    "ev_asof" -> (evAsof _),
     "s_exclude_seen" -> (sExcludeSeen _),
     "s_changed_docs" -> (sChangedDocs _),
     "s_doc_per_line" -> (sDocPerLine _),
@@ -490,6 +501,23 @@ object SparkEntry {
           | FROM g)
           |SELECT user_id, max(sess_no)::BIGINT AS n_sessions, count(*) AS n_events
           |FROM se GROUP BY 1""".stripMargin,
+
+      "ev_asof" ->
+        """WITH u AS (
+          | SELECT event_id, user_id, ts, value, 1 AS is_left, NULL::DOUBLE AS v
+          | FROM events WHERE event_type = 'purchase'
+          | UNION ALL
+          | SELECT event_id, user_id, ts, NULL::DOUBLE AS value, 0 AS is_left, value AS v
+          | FROM events WHERE event_type = 'signup'
+          |), j AS (
+          | SELECT event_id, user_id, value, is_left,
+          |  last_value(v IGNORE NULLS) OVER (
+          |   PARTITION BY user_id ORDER BY ts ASC, is_left ASC, event_id ASC
+          |   ROWS UNBOUNDED PRECEDING) AS asof_v
+          | FROM u)
+          |SELECT event_id, user_id, round(value, 2) AS purchase_value,
+          | round(asof_v, 2) AS asof_value
+          |FROM j WHERE is_left = 1""".stripMargin,
 
       "s_exclude_seen" ->
         "SELECT doc_id, lang FROM documents WHERE doc_id % 7 <> 0",

@@ -269,3 +269,21 @@ class OperatorsSpec extends SparkFunSuite {
     assert(frames == Seq(0L, 1000L, 2000L))
   }
 }
+
+/** As-of join semantics: latest right row with ts <= left ts per key. */
+class AsOfSpec extends graft.SparkFunSuite {
+  import graft.SparkTestBase.spark.implicits._
+  private def t(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("asOfJoin picks latest prior value, <= ties included, none before → null") {
+    val left = Seq((1L, 1L, t(100), 5.0), (2L, 1L, t(50), 6.0), (3L, 2L, t(10), 7.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq((10L, 1L, t(40), 1.1), (11L, 1L, t(100), 2.2), (12L, 2L, t(20), 3.3))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = AsOf.asOfJoin(left, right, "user_id", "ts", "event_id", "value")
+      .select("event_id", "asof_value").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(2.2)) // tie at ts=100 → right included (<=)
+    assert(out(2L).contains(1.1)) // latest prior at ts=40
+    assert(out(3L).isEmpty)       // no right row at or before ts=10
+  }
+}
