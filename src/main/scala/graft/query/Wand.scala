@@ -40,8 +40,12 @@ object Wand extends Serializable {
     private var blockIdx = 0
     private var decoded: PostingCodec.DecodedBlock = _
     private var pos = 0
+    private var decodedMax: Long = -1L
     private var cur = if (blocks.isEmpty) Long.MaxValue else -1L
-    if (blocks.nonEmpty) { decodeCurrent(); cur = decoded.docIds(0) }
+    if (blocks.nonEmpty) {
+      decodeCurrent(); cur = decoded.docIds(0)
+      decodedMax = blocks(0).max_doc_id // else first advance re-decodes block 0
+    }
 
     private def decodeCurrent(): Unit = { decoded = PostingCodec.decodeBlock(blocks(blockIdx)); pos = 0 }
 
@@ -83,7 +87,6 @@ object Wand extends Serializable {
       if (cur < target) next() // target beyond this block's last (can't happen given max_doc_id check, but be safe)
     }
 
-    private var decodedMax: Long = -1L
     private def decodeForIdx(): Unit = { decodeCurrent(); decodedMax = blocks(blockIdx).max_doc_id }
 
     /** Advance past the current doc. */
