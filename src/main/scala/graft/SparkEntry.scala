@@ -195,6 +195,36 @@ object SparkEntry {
         "snippet", "encoded")
       .select("doc_id", "encoded")
 
+  private def tTemplate(s: SparkSession, dir: String): DataFrame =
+    Transforms.fieldTemplate(tbl(s, dir, "documents"), "summary",
+        "[${lang}] ${source} has ${n_chars} chars")
+      .select("doc_id", "summary")
+
+  private def sChildDocs(s: SparkSession, dir: String): DataFrame =
+    ScanOps.childDocs(tbl(s, dir, "documents").filter(col("doc_id") < 40),
+        "doc_id", split(col("text"), " "))
+      .select(col("child_id"), col("doc_id"),
+        col("child_no").cast("long").as("child_no"), col("child"))
+
+  private def sXmlExtract(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // XML assembled from table columns, then REALLY parsed back out by
+    // from_xml — the oracle knows the expected round-trip values
+    val xml = tbl(s, dir, "documents").withColumn("xml",
+      concat(lit("<doc id=\""), col("doc_id"), lit("\"><meta><lang>"), col("lang"),
+        lit("</lang><source>"), col("source"), lit("</source></meta><len>"),
+        col("n_chars"), lit("</len></doc>")))
+    val schema = StructType(Seq(
+      StructField("_id", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("lang", StringType), StructField("source", StringType)))),
+      StructField("len", LongType)))
+    ScanOps.xmlExtract(xml, "xml", schema, Map(
+      "_id" -> "xml_id", "meta.lang" -> "xml_lang",
+      "meta.source" -> "xml_source", "len" -> "xml_len"))
+      .select("doc_id", "xml_id", "xml_lang", "xml_source", "xml_len")
+  }
+
   private def rRouteByField(s: SparkSession, dir: String): DataFrame = {
     val branches = Routing.routeByField(tbl(s, dir, "documents"), "lang",
       branchValues = Seq("en", "fr", "de"))
@@ -395,6 +425,9 @@ object SparkEntry {
     "t_datetime_reformat" -> (tDatetimeReformat _),
     "t_readable_size" -> (tReadableSize _),
     "t_url_encode" -> (tUrlEncode _),
+    "t_template" -> (tTemplate _),
+    "s_child_docs" -> (sChildDocs _),
+    "s_xml_extract" -> (sXmlExtract _),
     "r_route_by_field" -> (rRouteByField _),
     "r_branch_counts" -> (rBranchCounts _),
     "d_exact" -> (dExact _),
@@ -559,6 +592,23 @@ object SparkEntry {
 
       "t_url_encode" ->
         "SELECT doc_id, replace(substr(text, 1, 40), ' ', '+') AS encoded FROM documents",
+
+      "t_template" ->
+        """SELECT doc_id, '[' || lang || '] ' || source || ' has ' ||
+          | n_chars::VARCHAR || ' chars' AS summary FROM documents""".stripMargin,
+
+      "s_child_docs" ->
+        """SELECT doc_id::VARCHAR || '⇛' || child_no::VARCHAR AS child_id,
+          | doc_id, child_no, child
+          |FROM (
+          | SELECT doc_id, generate_subscripts(parts, 1)::BIGINT - 1 AS child_no,
+          |  unnest(parts) AS child
+          | FROM (SELECT doc_id, string_split(text, ' ') AS parts
+          |       FROM documents WHERE doc_id < 40))""".stripMargin,
+
+      "s_xml_extract" ->
+        """SELECT doc_id, doc_id AS xml_id, lang AS xml_lang,
+          | source AS xml_source, n_chars AS xml_len FROM documents""".stripMargin,
 
       "r_route_by_field" ->
         """SELECT lang AS branch, count(*) AS n_docs FROM documents

@@ -18,7 +18,8 @@ case class BuildConfig(outDir: String,
                        resume: Boolean = true,
                        failAfterWaves: Int = -1, // test hook: simulated kill
                        analyzer: Analyzer = Analyzer.V1,
-                       maxOpenTerms: Int = 1 << 19) { // encoder memory cap
+                       maxOpenTerms: Int = 1 << 19,        // encoder vocab cap
+                       maxBufferedPostings: Long = 1L << 22) { // encoder memory cap (~64 MB arrays)
   /** Segment count targets CACHE-RESIDENT encoder term maps (~25k
     * docs/segment → sub-MB per-task vocab): profiling showed the
     * encode stage goes DRAM-latency-bound once the per-segment term
@@ -98,6 +99,11 @@ object IndexBuilder {
   def dictionaryDir(outDir: String) = s"$outDir/dictionary"
   def corpusStatsDir(outDir: String) = s"$outDir/corpus_stats"
 
+  /** Posting-table schema, for inference-free reads (an empty segment
+    * dir must read as 0 rows, not an AnalysisException). */
+  val PostingSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[PostingBlockRow].schema
+
   /** Per-segment Long-counter accumulator (merge = pointwise sum). */
   private class SegCounter extends org.apache.spark.util.AccumulatorV2[(Int, Long), Map[Int, Long]] {
     private val m = scala.collection.mutable.HashMap.empty[Int, Long]
@@ -120,17 +126,25 @@ object IndexBuilder {
     // Splits are sized so the read parallelism tracks the cluster; at
     // TB scale the defaults already give plentiful splits and these
     // bounds are no-ops in practice.
-    val prevSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
-    val prevOpen = spark.conf.getOption("spark.sql.files.openCostInBytes")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", (16L << 20).toString)
-    spark.conf.set("spark.sql.files.openCostInBytes", (1L << 20).toString)
-    try buildInner(spark, turns, cfg)
-    finally {
-      prevSplit.fold(spark.conf.unset("spark.sql.files.maxPartitionBytes"))(
-        spark.conf.set("spark.sql.files.maxPartitionBytes", _))
-      prevOpen.fold(spark.conf.unset("spark.sql.files.openCostInBytes"))(
-        spark.conf.set("spark.sql.files.openCostInBytes", _))
+    //
+    // The overrides live on a DEDICATED session (newSession shares the
+    // SparkContext but has isolated SQLConf), so concurrent queries on
+    // the caller's session never observe them and two concurrent builds
+    // cannot race on a save/restore of shared conf. The caller's input
+    // Dataset is re-bound to the build session through a global temp
+    // view — logical plans are session-independent.
+    val bs = spark.newSession()
+    Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone").foreach { k =>
+      spark.conf.getOption(k).foreach(bs.conf.set(k, _))
     }
+    bs.conf.set("spark.sql.files.maxPartitionBytes", (16L << 20).toString)
+    bs.conf.set("spark.sql.files.openCostInBytes", (1L << 20).toString)
+    val vn = s"graft_build_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    turns.createOrReplaceGlobalTempView(vn)
+    try {
+      import bs.implicits._
+      buildInner(bs, bs.table(s"global_temp.$vn").as[Turn], cfg)
+    } finally spark.catalog.dropGlobalTempView(vn)
   }
 
   private def buildInner(spark: SparkSession, turns: Dataset[Turn], cfg: BuildConfig): BuildReport = {
@@ -288,14 +302,16 @@ object IndexBuilder {
     val t0 = System.currentTimeMillis()
     val p = if (cfg.sortPartitions > 0) cfg.sortPartitions
             else spark.sparkContext.defaultParallelism
-    val hasPostings = nSegEff > 0 &&
-      Files.exists(Paths.get(postingsDir(cfg.outDir))) &&
-      spark.read.parquet(postingsDir(cfg.outDir)).columns.nonEmpty
+    // explicit schema: an all-empty-text corpus leaves only empty
+    // segment=N dirs under postingsDir, and schema INFERENCE over them
+    // throws AnalysisException — with the schema given, the read just
+    // yields 0 rows and the dictionary comes out empty (EdgeCasesSpec)
+    val hasPostings = nSegEff > 0 && Files.exists(Paths.get(postingsDir(cfg.outDir)))
 
     writeAtomic(spark, cfg.outDir, "dictionary") { tmp =>
       val dict =
         if (hasPostings)
-          spark.read.parquet(postingsDir(cfg.outDir))
+          spark.read.schema(PostingSchema).parquet(postingsDir(cfg.outDir))
             .groupBy("term")
             .agg(sum(col("n_docs").cast("long")).as("df"), sum("block_cf").as("cf"))
         else Seq.empty[DictEntry].toDS().toDF()
@@ -368,7 +384,7 @@ object IndexBuilder {
         val counted = docs.map { d =>
           turnsAcc.add(d._2 -> 1L); tokensAcc.add(d._2 -> d._4.toLong); d
         }
-        encodeDocs(counted, avgdl, az, cfg.maxOpenTerms).map { b =>
+        encodeDocs(counted, avgdl, az, cfg.maxOpenTerms, cfg.maxBufferedPostings).map { b =>
           blocksAcc.add(b.segment -> 1L); b
         }
       }
@@ -407,13 +423,24 @@ object IndexBuilder {
     Manifest.deleteRecursively(waveTmp)
   }
 
-  /** Open posting buffer for one term within the current segment. */
+  /** Open posting buffer for one term within the current segment.
+    * Arrays grow geometrically from 4 slots: Zipfian vocabularies are
+    * tail-heavy (most terms have df ≈ 1-2 per segment), so per-term
+    * cost stays ~100 B instead of the full-block ~2.2 KB — worst-case
+    * task memory is bounded by `maxBufferedPostings`, not
+    * vocab × BlockSize. */
   private final class TermBuf {
     var blockId = 0
-    val ids = new Array[Long](PostingCodec.BlockSize)
-    val tfs = new Array[Int](PostingCodec.BlockSize)
-    val dls = new Array[Int](PostingCodec.BlockSize)
+    var ids = new Array[Long](4)
+    var tfs = new Array[Int](4)
+    var dls = new Array[Int](4)
     var n = 0
+    def grow(): Unit = {
+      val cap = math.min(PostingCodec.BlockSize, ids.length << 1)
+      ids = java.util.Arrays.copyOf(ids, cap)
+      tfs = java.util.Arrays.copyOf(tfs, cap)
+      dls = java.util.Arrays.copyOf(dls, cap)
+    }
   }
 
   /**
@@ -426,21 +453,26 @@ object IndexBuilder {
    * each segment boundary in sorted term order (determinism).
    *
    * Memory: HARD-BOUNDED. Open buffers are O(per-segment vocabulary)
-   * in the common case (`nSegments` sizes them cache-resident;
-   * Heaps' law: vocab grows ~√tokens per segment), and when a
-   * pathological segment's vocabulary exceeds `maxOpenTerms`, ALL
-   * open buffers flush mid-segment (a Lucene-style memory flush):
-   * posting lists stay docId-sorted because block doc ranges remain
-   * disjoint and increasing — readers order blocks by max_doc_id —
-   * at the cost of under-full tail blocks per flush. Worst-case task
-   * memory is maxOpenTerms × ~2.2 KB regardless of corpus.
+   * in the common case (`nSegments` sizes them cache-resident; Heaps'
+   * law: vocab grows ~√tokens per segment) and buffers grow
+   * geometrically from 4 slots, so a tail term (df ≈ 1-2) costs
+   * ~100 B, not a full 2.2 KB block. When a pathological segment
+   * exceeds `maxOpenTerms` open terms OR `maxBufferedPostings` raw
+   * buffered postings (~16 B each), ALL open buffers flush mid-segment
+   * (a Lucene-style memory flush): posting lists stay docId-sorted
+   * because block doc ranges remain disjoint and increasing — readers
+   * order blocks by max_doc_id — at the cost of under-full tail blocks
+   * per flush. Worst-case task memory ≈ maxBufferedPostings × 16 B
+   * (default ~64 MB) regardless of corpus or vocabulary shape.
    */
   private[index] def encodeDocs(docs: Iterator[(Long, Int, String, Int)],
                                 avgdl: Double,
                                 az: Analyzer = Analyzer.V1,
-                                maxOpenTerms: Int = 1 << 19): Iterator[PostingBlockRow] =
+                                maxOpenTerms: Int = 1 << 19,
+                                maxBufferedPostings: Long = 1L << 22): Iterator[PostingBlockRow] =
     new Iterator[PostingBlockRow] {
       private var bufs = new java.util.HashMap[String, TermBuf]()
+      private var nBuffered = 0L
       private var curSeg = Int.MinValue
       private var pending: (Long, Int, String, Int) = _
       private var segFlush: Iterator[PostingBlockRow] = Iterator.empty
@@ -473,6 +505,7 @@ object IndexBuilder {
       private def startSegFlush(seg: Int): Unit = {
         val old = bufs
         bufs = new java.util.HashMap[String, TermBuf]()
+        nBuffered = 0L
         if (old.isEmpty) { segFlush = Iterator.empty; return }
         val keys = old.keySet.toArray(new Array[String](old.size))
         java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
@@ -485,12 +518,20 @@ object IndexBuilder {
         az.termFreqs(text).foreach { case (term, tf) =>
           var b = bufs.get(term)
           if (b == null) { b = new TermBuf; bufs.put(term, b) }
+          if (b.n == b.ids.length) b.grow()
           b.ids(b.n) = docId; b.tfs(b.n) = tf; b.dls(b.n) = dl; b.n += 1
-          if (b.n == PostingCodec.BlockSize) ready.addLast(encodeBlock(term, seg, b))
+          nBuffered += 1
+          if (b.n == PostingCodec.BlockSize) {
+            nBuffered -= b.n; ready.addLast(encodeBlock(term, seg, b))
+          }
         }
-        // memory cap: pathological vocabulary → flush every open
-        // buffer now (doc boundary keeps ranges disjoint)
-        if (bufs.size >= maxOpenTerms) startSegFlush(seg)
+        // memory cap: pathological vocabulary (open-term count) OR raw
+        // buffered-posting volume → flush every open buffer now (doc
+        // boundary keeps block doc ranges disjoint). The posting-volume
+        // trigger hard-bounds task memory (~16 B/posting) even when a
+        // few hot terms hold near-full blocks across a huge vocab.
+        if (bufs.size >= maxOpenTerms || nBuffered >= maxBufferedPostings)
+          startSegFlush(seg)
       }
 
       private def advance(): Unit = {

@@ -157,8 +157,11 @@ object Dedup {
    * at least one exact chunk.
    */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = array_distinct(split(lower(col(textCol)), "\\W+"))
-    val th = filter(transform(toks, t => xxhash64(t)), h => h.isNotNull)
+    // same token definition as the engine analyzer and the oracle twin
+    // ([[simHashPoly]]): Dedup.tokens — prod and oracle variants differ
+    // ONLY in the hash function, so the oracle validates tokenization.
+    val toks = array_distinct(tokens(col(textCol)))
+    val th = transform(toks, t => xxhash64(t))
     // per bit j: sum of (bit set ? 1 : -1) over token hashes; bit j of
     // fingerprint = (sum > 0)
     val bitCols = (0 until 64).map { j =>

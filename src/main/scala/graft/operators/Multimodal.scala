@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -68,27 +68,26 @@ object Multimodal {
     out
   }
 
-  /** Decode + feature-extract: payload → fixed-width Float vector,
-    * streamed per partition. Corrupt/null payloads yield a null
-    * vector plus an error tag instead of failing the task (the
-    * reference marks ERROR status per doc, `TikaProcessor.java:50-100`). */
+  /** Decode + feature-extract: payload → fixed-width Float vector.
+    * Corrupt/null payloads yield a null vector plus an error tag
+    * instead of failing the task (the reference marks ERROR status per
+    * doc, `TikaProcessor.java:50-100`). The decode kernel runs as a
+    * typed scalar UDF (`binary → struct<features, error>`) — the plan
+    * stays a single Project over the scan (no RDD round-trip, no
+    * InternalRow↔Row re-encode; Tungsten layout preserved end-to-end;
+    * the kernel itself is opaque to codegen, as any native decoder
+    * would be). */
   def extractFeatures(df: DataFrame, nFeatures: Int = 16): DataFrame = {
-    val spark = df.sparkSession
-    val schema = df.schema
-      .add("features", ArrayType(FloatType))
-      .add("decode_error", StringType)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val (feats, err) =
-          try {
-            if (payload == null) (null, "null payload")
-            else (fakeDecode(payload, nFeatures).toSeq, null)
-          } catch { case e: Exception => (null, e.getMessage) }
-        Row.fromSeq(r.toSeq :+ feats :+ err)
-      }
+    val decode = udf { payload: Array[Byte] =>
+      try {
+        if (payload == null) (null: Seq[Float], "null payload")
+        else (fakeDecode(payload, nFeatures).toSeq, null: String)
+      } catch { case e: Exception => (null: Seq[Float], e.getMessage) }
     }
-    spark.createDataFrame(rdd, schema)
+    df.withColumn("_decoded", decode(col("payload")))
+      .withColumn("features", col("_decoded._1"))
+      .withColumn("decode_error", col("_decoded._2"))
+      .drop("_decoded")
   }
 
   /** Image resize plan: records the target geometry next to the

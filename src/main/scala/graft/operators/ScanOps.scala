@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /**
  * The reference's scanner-side incremental-ingest operators
@@ -20,15 +21,30 @@ object ScanOps {
     * the memory throttle (`SimpleFileScanner.java:258-285`) is
     * subsumed by Spark's block manager. */
   def scanFiles(spark: org.apache.spark.sql.SparkSession, rootDir: String,
-                glob: String = "*"): DataFrame =
+                glob: String = "*"): DataFrame = {
+    // created/accessed epoch-millis via filesystem attributes — the
+    // reference emits all four (FileScanner.java:23-40); stores that
+    // don't track creation/access yield null for those two fields.
+    val attrs = udf { path: String =>
+      try {
+        val p = java.nio.file.Paths.get(new java.net.URI(path))
+        val a = java.nio.file.Files.readAttributes(
+          p, classOf[java.nio.file.attribute.BasicFileAttributes])
+        (a.creationTime.toMillis.toString, a.lastAccessTime.toMillis.toString)
+      } catch { case _: Exception => (null: String, null: String) }
+    }
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(rootDir)
+      .withColumn("_attrs", attrs(col("path")))
       .select(
         col("path").as("id"),
         col("content").as("raw_data"),
         (unix_millis(col("modificationTime").cast("timestamp_ltz"))).cast("string").as("modified"),
+        col("_attrs._1").as("created"),
+        col("_attrs._2").as("accessed"),
         col("length").cast("string").as("file_size"))
+  }
 
   /** `JdbcScanner` (`scanners/JdbcScanner.java:63,123-170`): one row
     * per result-set row; Spark's JDBC source gives pushdown and
@@ -87,4 +103,39 @@ object ScanOps {
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
           .as(Seq("line_no", "line")))
       .withColumn("line_id", concat(col(idCol), lit("#L"), col("line_no")))
+
+  /** The reference's parent⇛child id separator
+    * (`model/impl/DocumentImpl.java:66`, `CHILD_SEP` U+21DB). */
+  val ChildSep = "⇛"
+
+  /** Parent/child documents (`DocumentImpl.java:60-76` makeChild): a
+    * source doc that expands into multiple child docs — XML records,
+    * archive members, chunks — emits one row per child with composite
+    * id `parentId⇛ordinal` and every parent field carried along.
+    * `childrenCol` is any array expression over the parent row. */
+  def childDocs(src: DataFrame, idCol: String, childrenCol: Column,
+                childField: String = "child"): DataFrame =
+    src.select(col("*"), posexplode(childrenCol).as(Seq("child_no", childField)))
+      .withColumn("child_id",
+        concat(col(idCol).cast("string"), lit(ChildSep), col("child_no").cast("string")))
+
+  /** `StaxExtractingProcessor` (`processors/StaxExtractingProcessor.java:84-147`
+    * `ElementSpec` path patterns → destination fields): extract element
+    * and attribute paths from an XML string column. The reference walks
+    * StAX events against a path stack; declaratively the same contract
+    * is `from_xml` with an explicit schema plus one nested-field
+    * projection per (path → destination) — Catalyst prunes branches the
+    * paths never touch, rows parse inside the scan stage, and
+    * malformed XML yields nulls per-field instead of failing the task
+    * (PERMISSIVE mode, like the reference's per-doc error status).
+    * Paths are dotted element names; attributes use the standard `_`
+    * prefix (`"meta.lang" → col, "_id" → attribute id`). */
+  def xmlExtract(df: DataFrame, xmlCol: String, xmlSchema: StructType,
+                 paths: Map[String, String]): DataFrame = {
+    val parsed = from_xml(col(xmlCol), xmlSchema)
+    paths.toSeq.sortBy(_._2).foldLeft(df.withColumn("_xml", parsed)) {
+      case (d, (path, dest)) =>
+        d.withColumn(dest, path.split('.').foldLeft(col("_xml"))(_.getField(_)))
+    }.drop("_xml")
+  }
 }

@@ -104,6 +104,26 @@ object Transforms {
   def template(df: DataFrame, into: String, parts: Column*): DataFrame =
     df.withColumn(into, concat(parts: _*))
 
+  /** `processors/FieldTemplateProcessor.java:110` — the general form:
+    * a template string referencing arbitrary other fields
+    * (`"${field}"` substitution, the useful subset of the reference's
+    * Velocity language) COMPILED ONCE into a concat expression tree,
+    * so evaluation is whole-stage-codegen per row — no template engine
+    * in the hot path. Non-string fields are cast to string. */
+  def fieldTemplate(df: DataFrame, into: String, template: String): DataFrame = {
+    val ref = """\$\{([^}]+)\}""".r
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var last = 0
+    ref.findAllMatchIn(template).foreach { m =>
+      if (m.start > last) parts += lit(template.substring(last, m.start))
+      parts += col(m.group(1)).cast("string")
+      last = m.end
+    }
+    if (last < template.length) parts += lit(template.substring(last))
+    if (parts.isEmpty) parts += lit("")
+    df.withColumn(into, concat(parts.toSeq: _*))
+  }
+
   /** `processors/LogAndDrop.java` — drop rows matching a predicate;
     * returns (kept, droppedCount-as-metric-df). The reference writes a
     * DROPPED status event per doc; we record the count in the lineage

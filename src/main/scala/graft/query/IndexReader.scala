@@ -88,21 +88,24 @@ class IndexReader(spark: SparkSession, dir: String) extends Serializable {
     val kk = k
     val queriesB = spark.sparkContext.broadcast(parsed)
 
-    val perSegment = postings
-      .filter(col("term").isInCollection(allTerms))
-      .as[PostingBlockRow]
-      .groupByKey(_.segment)
-      .flatMapGroups { (_, rows) =>
-        val byTerm = rows.toVector.groupBy(_.term).map { case (t, rs) =>
-          t -> rs.toIndexedSeq
-        }
-        queriesB.value.iterator.flatMap { case (qid, terms) =>
-          val qBlocks = terms.iterator.flatMap(t => byTerm.get(t).map(t -> _)).toMap
-          if (qBlocks.isEmpty) Iterator.empty
-          else Wand.topK(qBlocks, idfs, avgdl, kk).iterator.map(h => (qid, h.doc_id, h.score))
-        }
-      }
-      .collect()
+    val perSegment =
+      try {
+        postings
+          .filter(col("term").isInCollection(allTerms))
+          .as[PostingBlockRow]
+          .groupByKey(_.segment)
+          .flatMapGroups { (_, rows) =>
+            val byTerm = rows.toVector.groupBy(_.term).map { case (t, rs) =>
+              t -> rs.toIndexedSeq
+            }
+            queriesB.value.iterator.flatMap { case (qid, terms) =>
+              val qBlocks = terms.iterator.flatMap(t => byTerm.get(t).map(t -> _)).toMap
+              if (qBlocks.isEmpty) Iterator.empty
+              else Wand.topK(qBlocks, idfs, avgdl, kk).iterator.map(h => (qid, h.doc_id, h.score))
+            }
+          }
+          .collect()
+      } finally queriesB.destroy() // else each batch leaks executor blocks for the session lifetime
 
     perSegment.groupBy(_._1).toSeq.flatMap { case (qid, hits) =>
       hits.map(h => (h._2, h._3))

@@ -19,6 +19,15 @@ class EdgeCasesSpec extends SparkFunSuite {
     assert(rdr.search("anything", 10).isEmpty)
   }
 
+  test("all-empty-text corpus: docs exist but nothing tokenizes; build still commits") {
+    val dir = tmpDir("idx-notok")
+    val blank = (0 until 20).map(i => Turn(f"c$i%03d", 0, "user", "!!! ... ???", "",
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))).toDS()
+    val rep = IndexBuilder.build(spark, blank, BuildConfig(dir, nSegments = 4))
+    assert(rep.nDocs == 20 && rep.nTerms == 0)
+    assert(new IndexReader(spark, dir).search("anything", 10).isEmpty)
+  }
+
   test("single-doc corpus") {
     val dir = tmpDir("idx-one")
     val one = Seq(Turn("c", 0, "user", "hello hello world", "",

@@ -36,6 +36,49 @@ class OperatorsSpec extends SparkFunSuite {
     assert(!Transforms.dropField(df, "lang2").columns.contains("lang2"))
   }
 
+  test("fieldTemplate: ${field} substitution with literals, casts, edge shapes") {
+    val out = Transforms.fieldTemplate(docs, "tpl", "id=${doc_id} [${lang}] src:${source}!")
+      .select("doc_id", "tpl").as[(Long, String)].collect().toMap
+    assert(out(0L) == "id=0 [en] src:src0!")
+    assert(out(3L) == "id=3 [es] src:src2!")
+    // template with no refs, ref-only template, adjacent refs
+    assert(Transforms.fieldTemplate(docs.limit(1), "t", "plain")
+      .select("t").as[String].head() == "plain")
+    assert(Transforms.fieldTemplate(docs.limit(1), "t", "${lang}${source}")
+      .select("t").as[String].head() == "ensrc0")
+  }
+
+  test("childDocs: composite parent⇛ordinal ids, parent fields carried") {
+    val kids = ScanOps.childDocs(docs.filter(col("doc_id") === 2L), "doc_id",
+        split(col("text"), " "))
+      .select("child_id", "child", "lang").as[(String, String, String)].collect()
+    assert(kids.length == 5)
+    assert(kids.head == ("2⇛0", "the", "en"))
+    assert(kids.last == ("2⇛4", "jumped", "en"))
+    assert(kids.forall(_._3 == "en")) // parent fields on every child
+  }
+
+  test("xmlExtract: element paths, attributes, malformed → null not task failure") {
+    import org.apache.spark.sql.types._
+    val xml = Seq(
+      (1L, """<rec id="7"><a><b>hello</b></a><n>42</n></rec>"""),
+      (2L, """<rec id="8"><a><b>world</b></a></rec>"""), // missing <n>
+      (3L, """<rec id="9"><a><b>broken""")               // malformed
+    ).toDF("row_id", "xml")
+    val schema = StructType(Seq(
+      StructField("_id", LongType),
+      StructField("a", StructType(Seq(StructField("b", StringType)))),
+      StructField("n", LongType)))
+    val out = ScanOps.xmlExtract(xml, "xml", schema,
+        Map("_id" -> "rid", "a.b" -> "ab", "n" -> "n"))
+      .select("row_id", "rid", "ab", "n")
+      .as[(Long, Option[Long], Option[String], Option[Long])].collect().toSeq
+    assert(out.contains((1L, Some(7L), Some("hello"), Some(42L))))
+    assert(out.contains((2L, Some(8L), Some("world"), None)))
+    val bad = out.find(_._1 == 3L).get
+    assert(bad._3.isEmpty && bad._4.isEmpty) // malformed parses to nulls
+  }
+
   test("setStaticValue skipIfPresent keeps existing non-empty values") {
     val df = Seq((1, "x"), (2, ""), (3, null)).toDF("id", "v")
     val out = Transforms.setStaticValue(df, "v", "filled", skipIfPresent = true)
