@@ -81,6 +81,19 @@ object Main {
         }
       }
       spark.stop()
+    case "time" :: name :: rest =>
+      // profile one SparkEntry query at a scale dir: warm once on a
+      // fresh plan, then time N runs (count() as the action)
+      val spark = session()
+      val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
+      val n = rest.drop(1).headOption.map(_.toInt).getOrElse(2)
+      val fn = SparkEntry.queries(name)
+      (1 to n).foreach { i =>
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        println(f"$name run$i: $rows rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop()
     case "entry" :: rest =>
       val spark = session()
       val df = rest.headOption match {

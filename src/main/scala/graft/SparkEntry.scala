@@ -252,7 +252,8 @@ object SparkEntry {
     Dedup.minHashSignaturesPoly(tbl(s, dir, "documents"), "doc_id", "text")
 
   private def dMinhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashNearDups(tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+    Dedup.minHashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.5, crossEngine = true)
 
   private def dSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPoly(tbl(s, dir, "documents"), "doc_id", "text")
@@ -288,7 +289,10 @@ object SparkEntry {
   private def simAnnTopk(s: SparkSession, dir: String): DataFrame = {
     val q = queryVec(s, dir)
     Similarity.annTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding", q, 20,
-      planes = 6)
+        planes = 6)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("id").asc)).cast("long"))
+      .select("rank", "id", "cosine")
   }
 
   private def taLangId(s: SparkSession, dir: String): DataFrame =
@@ -472,6 +476,27 @@ object SparkEntry {
       s"list_min(list_transform(hs, h -> (h * $a + $b) % 1000000007)) AS s$i"
     }.mkString(", ")
 
+    // minhash-LSH pair oracle: 64 poly signatures → 16 bands of 4 →
+    // poly band hash → row_number cap 64 → in-bucket pairs (mirrors
+    // Dedup.minHashCandidates(crossEngine = true) step for step)
+    val mhSigList = (1 to 64).map { i =>
+      val a = Hashing.minHashA(i); val b = Hashing.minHashB(i)
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % 1000000007))"
+    }.mkString("[", ", ", "]")
+
+    // SRP-LSH bucket oracle: mirrors Similarity.hyperplaneBucket /
+    // planeComponent arithmetic and the left-fold dot product
+    def bucketSql(v: String, planes: Int): String =
+      (0 until planes).map { j =>
+        val comp = s"(((($j*100003 + 17) + (i-1)*257) * 2654435761) % 1000000007 % 100000)" +
+          s"::DOUBLE / 100000.0 - 0.5"
+        val dot = s"list_reduce(list_concat([0.0::DOUBLE], " +
+          s"list_transform(range(1, len($v) + 1), i -> $v[i]::DOUBLE * ($comp))), (x, y) -> x + y)"
+        s"(CASE WHEN $dot > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val annProbes = (Seq("qb") ++ (0 until 6).map(j => s"xor(qb, ${1L << j})"))
+      .map(e => s"SELECT $e AS pb FROM q").mkString(" UNION ALL ")
+
     val simhashBits = (0 until 16).map { j =>
       s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $j) & 1 = 1 " +
         s"THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
@@ -632,6 +657,35 @@ object SparkEntry {
            |h AS (SELECT doc_id, list_transform(shs, s -> ${polySql("s")}) AS hs
            |      FROM sh WHERE len(shs) > 0)
            |SELECT doc_id, $minhashSelects FROM h""".stripMargin,
+
+      "d_minhash_pairs" ->
+        s"""WITH base AS (SELECT doc_id AS id, $ToksSql AS toks FROM documents),
+           |shl AS (SELECT id, $ShinglesSql AS shs FROM base),
+           |h AS (SELECT id, list_transform(shs, s -> ${polySql("s")}) AS hs
+           |      FROM shl WHERE len(shs) > 0),
+           |sg AS (SELECT id, $mhSigList AS sig FROM h),
+           |bd AS (SELECT id, sig, r.range AS band,
+           |  ${polySql("array_to_string(sig[r.range*4+1 : r.range*4+4], ',')")} AS band_hash
+           | FROM sg CROSS JOIN range(0, 16) r),
+           |cp AS (SELECT * FROM (
+           |  SELECT id, sig, band, band_hash,
+           |   row_number() OVER (PARTITION BY band, band_hash ORDER BY id) AS rn FROM bd)
+           | WHERE rn <= 64),
+           |pairs AS (
+           | SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |  len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i]))::DOUBLE / 64.0 AS est_jaccard
+           | FROM cp a JOIN cp b ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id)
+           |SELECT id_a, id_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5""".stripMargin,
+
+      "sim_ann_topk" ->
+        s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+           |b AS (SELECT id, v, ${bucketSql("v", 6)} AS bucket FROM e),
+           |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE id = 7),
+           |pr AS ($annProbes),
+           |c AS (SELECT b.id, ${cosSql("b.v", "q.qv")} AS cosine
+           |      FROM b CROSS JOIN q WHERE b.bucket IN (SELECT pb FROM pr))
+           |SELECT row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank, id, cosine
+           |FROM c ORDER BY rank LIMIT 20""".stripMargin,
 
       "d_simhash" ->
         s"""WITH base AS (SELECT doc_id, $ToksSql AS toks FROM documents),

@@ -60,16 +60,14 @@ object Dedup {
    */
   def minHashSignaturesPoly(df: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 8, shingleK: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"),
-        shingles(col(textCol), shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val hs = sh.select(col("doc_id"),
-      transform(col("sh"), s => Hashing.polyHash(s)).as("hs"))
-    val sigCols = (1 to numHashes).map { i =>
-      array_min(transform(col("hs"),
-        h => Hashing.affine(h, Hashing.minHashA(i), Hashing.minHashB(i)))).as(s"s$i")
-    }
-    hs.select(col("doc_id") +: sigCols: _*)
+    // shingling + hashing + n-way min in one native loop
+    // (graft.functions.MinHashSigExpr; null = doc yields no shingles)
+    val sig = df.select(col(idCol).as("doc_id"),
+        graft.functions.MinHashSigExpr(tokens(col(textCol)), shingleK,
+          numHashes, crossEngine = true).as("sig"))
+      .filter(col("sig").isNotNull)
+    sig.select(col("doc_id") +:
+      (1 to numHashes).map(i => element_at(col("sig"), i).as(s"s$i")): _*)
   }
 
   /** Oracle-checkable SimHash over `bits` low bits of the polynomial
@@ -103,51 +101,64 @@ object Dedup {
    */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, numHashes: Int = 64,
-                        bands: Int = 16, maxBucketSize: Int = 64): DataFrame = {
+                        bands: Int = 16, maxBucketSize: Int = 64,
+                        crossEngine: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val p = Hashing.P
 
-    val sh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // shingle → stable hash, folded into [0, P) so the affine rehash
-    // below never overflows signed-64 (ANSI-safe: a, b < 1e6 ⇒
-    // a*h + b < ~1e15)
-    val hashed = sh.select(col("id"),
-      transform(col("sh"), s => pmod(xxhash64(s), lit(p))).as("hs"))
-    // minhash signature: for each hash fn i, min over shingles of (a*h+b) mod p
-    val sigCols = (1 to numHashes).map { i =>
-      array_min(transform(col("hs"),
-        h => Hashing.affine(h, Hashing.minHashA(i), Hashing.minHashB(i))))
-    }
-    val sig = hashed.select(col("id"), array(sigCols: _*).as("sig"))
+    // shingle hash folded into [0, P) so the affine rehash never
+    // overflows signed-64 (ANSI-safe: a, b < 1e6 ⇒ a*h + b < ~1e15).
+    // crossEngine swaps xxhash64 (Spark-only, fast) for the polynomial
+    // hash an external SQL oracle reproduces — every other step is
+    // shared, so the oracle validates the banding/capping/pairing
+    // construction itself. Shingling + hashing + signature mins run in
+    // one native loop (graft.functions.MinHashSigExpr).
+    val bandHash: Column => Column =
+      if (crossEngine) Hashing.polyHash else xxhash64(_)
+    val sig = df.select(col(idCol).as("id"),
+        graft.functions.MinHashSigExpr(tokens(col(textCol)), shingleK,
+          numHashes, crossEngine).as("sig"))
+      .filter(col("sig").isNotNull)
     // band key = hash of the band's slice of the signature
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(array_join(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), ",")))))
+        b => bandHash(array_join(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), ",")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    // cap pathological buckets (boilerplate-heavy corpora)
+    // cap pathological buckets (boilerplate-heavy corpora), then emit
+    // each bucket's pairs from ONE collected member list. The groupBy
+    // shares the window's (band, band_hash) partitioning, so the whole
+    // candidate generation is a SINGLE shuffle of (id, sig) rows — the
+    // old self-join re-derived the signature pipeline for each side
+    // and shuffled it twice more. Aggregator memory is bounded by the
+    // cap: ≤ maxBucketSize members are ever collected per bucket.
     val w = Window.partitionBy("band", "band_hash").orderBy("id")
     val capped = banded.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxBucketSize).drop("rn")
-    // candidate pairs within a bucket
-    val a = capped.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
-          v => v === 1)) / lit(numHashes.toDouble)).as("est_jaccard"))
+    val buckets = capped.groupBy("band", "band_hash")
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("m"))
+      .filter(size(col("m")) >= 2)
+    // pairs (i < j over the id-sorted member list ⇒ id_a < id_b);
+    // est_jaccard = fraction of matching signature positions
+    val pairs = flatten(transform(sequence(lit(0), size(col("m")) - 2), i =>
+      transform(sequence(i + 1, size(col("m")) - 1), j =>
+        struct(
+          col("m")(i).getField("id").as("id_a"),
+          col("m")(j).getField("id").as("id_b"),
+          (size(filter(zip_with(
+            col("m")(i).getField("sig"), col("m")(j).getField("sig"),
+            (x, y) => (x === y).cast("int")), v => v === 1))
+            / lit(numHashes.toDouble)).as("est_jaccard")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.est_jaccard"))
       .distinct()
   }
 
   /** MinHash-LSH near-dup pairs above a similarity threshold. */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      threshold: Double = 0.8): DataFrame =
-    minHashCandidates(df, idCol, textCol).filter(col("est_jaccard") >= threshold)
+                      threshold: Double = 0.8,
+                      crossEngine: Boolean = false): DataFrame =
+    minHashCandidates(df, idCol, textCol, crossEngine = crossEngine)
+      .filter(col("est_jaccard") >= threshold)
 
   /**
    * SimHash (Charikar '02): 64-bit fingerprint where bit j is the sign

@@ -29,8 +29,14 @@ object Hashing {
   val P: Long = 1000000007L
 
   /** Rolling polynomial hash over the string's characters:
-    * fold h ← (h*257 + ascii(c)) mod P, h₀ = 0. */
-  def polyHash(s: Column): Column =
+    * fold h ← (h*257 + ascii(c)) mod P, h₀ = 0. Evaluates via the
+    * native codegen'd expression ([[graft.functions.PolyHashExpr]]);
+    * [[polyHashDecl]] is the declarative reference form it must match
+    * (PolyHashSpec pins the equivalence). */
+  def polyHash(s: Column): Column = graft.functions.PolyHashExpr(s)
+
+  /** Declarative (pure functions._) reference implementation. */
+  def polyHashDecl(s: Column): Column =
     aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
       lit(0L), (h, c) => pmod(h * lit(257L) + c, lit(P)))
 
@@ -44,4 +50,15 @@ object Hashing {
   /** MinHash coefficient schedule (deterministic, public constants). */
   def minHashA(i: Int): Long = 7919L * i + 13L
   def minHashB(i: Int): Long = 4729L * i + 31L
+
+  /** All `n` MinHash signature positions in ONE traversal of the hash
+    * array: a fold carrying an n-wide running-min vector, instead of n
+    * separate array_min passes over `hs`. Coefficients inline the
+    * [[minHashA]]/[[minHashB]] schedule (i is a Column here); values
+    * are bit-identical to array_min(transform(hs, affine(_, a_i, b_i))). */
+  def minHashSig(hs: Column, n: Int): Column =
+    aggregate(hs,
+      transform(sequence(lit(1), lit(n)), _ => lit(P)),
+      (acc, h) => zip_with(acc, sequence(lit(1), lit(n)),
+        (m, i) => least(m, pmod(h * (lit(7919L) * i + lit(13L)) + lit(4729L) * i + lit(31L), lit(P)))))
 }

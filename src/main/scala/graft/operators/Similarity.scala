@@ -40,16 +40,26 @@ object Similarity {
       .select(col("rank"), col("id"), col("cosine"))
   }
 
+  /** Deterministic pseudo-random plane component r_{j,i} ∈ [-0.5, 0.5):
+    * pure integer arithmetic (multiplicative hash mod P, then a
+    * 5-digit mantissa), so an external SQL engine reproduces it
+    * bit-for-bit — the DuckDB oracle mirrors this exactly. Overflow-
+    * safe under ANSI: (j·100003 + 17 + i·257) < ~1e7, × 2654435761
+    * < ~3e16 ≪ 2^63. */
+  private[operators] def planeComponent(j: Int, i: Column): Column = {
+    val h = pmod((lit(j.toLong * 100003L + 17L) + i.cast("long") * 257L)
+      * lit(2654435761L), lit(Hashing.P))
+    (pmod(h, lit(100000L)).cast("double") / 100000.0) - 0.5
+  }
+
   /** Random-hyperplane bucket id (Charikar '02 SRP-LSH): bit j = sign
     * of <v, r_j> with deterministic pseudo-random plane r_j derived
-    * from (j, dim) by a hash — no stored plane matrix, identical on
-    * every executor. */
+    * from (j, dim) by arithmetic — no stored plane matrix, identical
+    * on every executor (and in the cross-engine oracle). */
   def hyperplaneBucket(v: Column, planes: Int): Column = {
     val bits = (0 until planes).map { j =>
-      // plane component r_{j,i} in [-0.5, 0.5): derived from xxhash64(j, i)
       val prods = zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, i) => x.cast("double") *
-          ((pmod(xxhash64(lit(j), i), lit(100000L)).cast("double") / 100000.0) - 0.5))
+        (x, i) => x.cast("double") * planeComponent(j, i))
       val s = aggregate(prods, lit(0.0), (acc, p) => acc + p)
       when(s > 0, lit(1L << j)).otherwise(lit(0L))
     }
