@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object FtIndex {
 
   /** Bump to invalidate /tmp caches when the index layout changes. */
-  private val CacheVersion = 4
+  private val CacheVersion = 5
 
   private val built = scala.collection.mutable.Set[String]()
 

@@ -162,10 +162,14 @@ object IndexBuilder {
 
     val phaseAPath = Manifest.phaseAPath(mdir)
     val prior = Manifest.read(phaseAPath)
+    // analyzer/index_version checks REQUIRE the keys (not forall): a
+    // pre-v2 on-disk index must trigger a clean full rebuild, never a
+    // resume into mixed-format tables
     val phaseAValid = cfg.resume && prior.exists(m =>
       m.get("status").contains(Manifest.Complete) &&
         m.get("content_hash").contains(srcHash) &&
-        m.get("analyzer").forall(_ == cfg.analyzer.id) &&
+        m.get("analyzer").contains(cfg.analyzer.id) &&
+        m.get("index_version").contains(IndexFormat.Version.toString) &&
         Files.exists(Paths.get(stagingDir(cfg.outDir))))
 
     val (nDocs, avgdl, segSize, nSegEff) =
@@ -187,7 +191,7 @@ object IndexBuilder {
     pending.grouped(cfg.waveFor(nSegEff)).foreach { wave =>
       if (cfg.failAfterWaves >= 0 && wavesDone >= cfg.failAfterWaves)
         throw new SimulatedKill(wavesDone)
-      buildWave(spark, cfg, wave, avgdl)
+      buildWave(spark, cfg, wave)
       wavesDone += 1
     }
 
@@ -286,6 +290,7 @@ object IndexBuilder {
       "n_segments_effective" -> nSegEff.toString,
       "content_hash" -> srcHash,
       "analyzer" -> cfg.analyzer.id,
+      "index_version" -> IndexFormat.Version.toString,
       "tokenizer_version" -> Tokenizer.Version.toString,
       "wall_ms" -> (System.currentTimeMillis() - t0).toString))
     (nDocs, avgdl, segSize, nSegEff)
@@ -322,7 +327,7 @@ object IndexBuilder {
     val nTerms = spark.read.parquet(dictionaryDir(cfg.outDir)).count()
 
     writeAtomic(spark, cfg.outDir, "corpus_stats") { tmp =>
-      Seq(CorpusStats(nDocs, avgdl, nTerms, 1, Tokenizer.Version,
+      Seq(CorpusStats(nDocs, avgdl, nTerms, IndexFormat.Version, Tokenizer.Version,
         cfg.analyzer.id)).toDS()
         .coalesce(1).write.mode("overwrite").parquet(tmp)
     }
@@ -343,7 +348,7 @@ object IndexBuilder {
 
   /** Build + atomically publish one wave of segments. */
   private def buildWave(spark: SparkSession, cfg: BuildConfig,
-                        wave: Seq[Int], avgdl: Double): Unit = {
+                        wave: Seq[Int]): Unit = {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
     val staging = spark.read.parquet(stagingDir(cfg.outDir))
@@ -384,7 +389,7 @@ object IndexBuilder {
         val counted = docs.map { d =>
           turnsAcc.add(d._2 -> 1L); tokensAcc.add(d._2 -> d._4.toLong); d
         }
-        encodeDocs(counted, avgdl, az, cfg.maxOpenTerms, cfg.maxBufferedPostings).map { b =>
+        encodeDocs(counted, az, cfg.maxOpenTerms, cfg.maxBufferedPostings).map { b =>
           blocksAcc.add(b.segment -> 1L); b
         }
       }
@@ -466,7 +471,6 @@ object IndexBuilder {
    * (default ~64 MB) regardless of corpus or vocabulary shape.
    */
   private[index] def encodeDocs(docs: Iterator[(Long, Int, String, Int)],
-                                avgdl: Double,
                                 az: Analyzer = Analyzer.V1,
                                 maxOpenTerms: Int = 1 << 19,
                                 maxBufferedPostings: Long = 1L << 22): Iterator[PostingBlockRow] =
@@ -482,16 +486,18 @@ object IndexBuilder {
         val ids = java.util.Arrays.copyOf(b.ids, b.n)
         val tfs = java.util.Arrays.copyOf(b.tfs, b.n)
         val dls = java.util.Arrays.copyOf(b.dls, b.n)
-        var maxTfn = 0.0
+        var maxTf = 0
+        var minDl = Int.MaxValue
         var cf = 0L
         var i = 0
         while (i < b.n) {
-          val t = graft.query.BM25.tfNorm(tfs(i), dls(i), avgdl)
-          if (t > maxTfn) maxTfn = t
+          if (tfs(i) > maxTf) maxTf = tfs(i)
+          if (dls(i) < minDl) minDl = dls(i)
           cf += tfs(i)
           i += 1
         }
-        val row = PostingBlockRow(term, seg, b.blockId, b.n, ids(b.n - 1), maxTfn,
+        val row = PostingBlockRow(term, seg, b.blockId, b.n, ids(b.n - 1),
+          maxTf, minDl,
           VByte.encode(VByte.deltas(ids)), VByte.encodeInts(tfs),
           VByte.encodeInts(dls), cf)
         b.blockId += 1

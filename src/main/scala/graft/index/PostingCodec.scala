@@ -1,15 +1,15 @@
 package graft.index
 
 import graft.model.PostingBlockRow
-import graft.query.BM25
 
 /**
  * Posting-list block codec. For one (segment, term), postings sorted by
  * docId are cut into blocks of [[PostingCodec.BlockSize]] docs; each
  * block stores VByte(delta(docIds)), VByte(tfs), VByte(dls) plus skip
- * metadata: max_doc_id (skip pointer) and block_max_tfn (the block's
- * maximum BM25 tf-normalization — multiplied by idf at query time this
- * is the block-max WAND bound).
+ * metadata: max_doc_id (skip pointer) and (block_max_tf, block_min_dl)
+ * — tfNorm(max_tf, min_dl, avgdl) · idf computed at query time is the
+ * block-max WAND bound, valid at any avgdl (format v2: incremental
+ * updates may shift avgdl after a block is written).
  *
  * Blocks are self-contained (first delta absolute), so a cursor can
  * skip whole blocks via max_doc_id without decoding them.
@@ -23,11 +23,9 @@ object PostingCodec extends Serializable {
 
   val BlockSize: Int = 128
 
-  /** Encode one term's postings (already sorted by docId ascending).
-    * avgdl is the corpus average doc length fixed in Phase A. */
+  /** Encode one term's postings (already sorted by docId ascending). */
   def encodeTerm(term: String, segment: Int,
-                 docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
-                 avgdl: Double): Seq[PostingBlockRow] = {
+                 docIds: Array[Long], tfs: Array[Int], dls: Array[Int]): Seq[PostingBlockRow] = {
     require(docIds.length == tfs.length && tfs.length == dls.length)
     val out = Vector.newBuilder[PostingBlockRow]
     var start = 0
@@ -37,17 +35,18 @@ object PostingCodec extends Serializable {
       val ids = java.util.Arrays.copyOfRange(docIds, start, end)
       val btfs = java.util.Arrays.copyOfRange(tfs, start, end)
       val bdls = java.util.Arrays.copyOfRange(dls, start, end)
-      var maxTfn = 0.0
+      var maxTf = 0
+      var minDl = Int.MaxValue
       var cf = 0L
       var i = 0
       while (i < ids.length) {
-        val tfn = BM25.tfNorm(btfs(i), bdls(i), avgdl)
-        if (tfn > maxTfn) maxTfn = tfn
+        if (btfs(i) > maxTf) maxTf = btfs(i)
+        if (bdls(i) < minDl) minDl = bdls(i)
         cf += btfs(i)
         i += 1
       }
       out += PostingBlockRow(term, segment, blockId, ids.length, ids.last,
-        maxTfn, VByte.encode(VByte.deltas(ids)), VByte.encodeInts(btfs),
+        maxTf, minDl, VByte.encode(VByte.deltas(ids)), VByte.encodeInts(btfs),
         VByte.encodeInts(bdls), cf)
       start = end
       blockId += 1

@@ -28,13 +28,25 @@ case class CorpusStats(n_docs: Long, avgdl: Double, n_terms: Long,
                        index_version: Int, tokenizer_version: Int,
                        analyzer: String)
 
+/** On-disk index format version. v2: block-max metadata is
+  * (block_max_tf, block_min_dl) instead of a baked tf-normalization —
+  * avgdl-independent, so incremental updates that shift the corpus
+  * average never stale the stored bounds of untouched segments.
+  * Readers and the resume path refuse other versions cleanly. */
+object IndexFormat {
+  val Version = 2
+}
+
 /** One encoded posting block: ≤ blockSize postings of one (segment,
   * term), docIds delta+VByte compressed, with skip (max_doc_id) and
-  * block-max (block_max_tfn) metadata for WAND (FIXTURES.md §2). All
-  * binary columns are self-contained (first delta is absolute). */
+  * block-max (block_max_tf + block_min_dl → an avgdl-independent WAND
+  * bound: tfNorm is ↑ in tf and ↓ in dl, so tfNorm(max_tf, min_dl,
+  * avgdl) ≥ every in-block contribution at ANY avgdl) metadata
+  * (FIXTURES.md §2). All binary columns are self-contained (first
+  * delta is absolute). */
 case class PostingBlockRow(term: String, segment: Int, block_id: Int,
                            n_docs: Int, max_doc_id: Long,
-                           block_max_tfn: Double,
+                           block_max_tf: Int, block_min_dl: Int,
                            doc_deltas: Array[Byte], tfs: Array[Byte],
                            dls: Array[Byte], block_cf: Long)
 

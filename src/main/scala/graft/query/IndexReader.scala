@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
 class IndexReader(spark: SparkSession, dir: String) extends Serializable {
   import spark.implicits._
 
-  lazy val stats: CorpusStats =
-    spark.read.parquet(IndexBuilder.corpusStatsDir(dir)).as[CorpusStats].head()
+  lazy val stats: CorpusStats = {
+    val s = spark.read.parquet(IndexBuilder.corpusStatsDir(dir)).as[CorpusStats].head()
+    require(s.index_version == graft.model.IndexFormat.Version,
+      s"index at $dir is format v${s.index_version}; this reader requires " +
+        s"v${graft.model.IndexFormat.Version} — rebuild the index")
+    s
+  }
 
   /** Query-side chain = the chain the index was built with. */
   lazy val analyzer: Analyzer = Analyzer.parse(stats.analyzer)

@@ -53,10 +53,19 @@ object LocalIndex {
 
   /** Load a built index for serving. One pass over dictionary +
     * postings; blocks stay compressed. */
+  private def readStats(spark: SparkSession, dir: String): CorpusStats = {
+    import spark.implicits._
+    val s = spark.read.parquet(IndexBuilder.corpusStatsDir(dir))
+      .as[CorpusStats].head()
+    require(s.index_version == graft.model.IndexFormat.Version,
+      s"index at $dir is format v${s.index_version}; this reader requires " +
+        s"v${graft.model.IndexFormat.Version} — rebuild the index")
+    s
+  }
+
   def load(spark: SparkSession, dir: String): LocalIndex = {
     import spark.implicits._
-    val stats = spark.read.parquet(IndexBuilder.corpusStatsDir(dir))
-      .as[CorpusStats].head()
+    val stats = readStats(spark, dir)
     val dfs = new java.util.HashMap[String, Long]()
     spark.read.parquet(IndexBuilder.dictionaryDir(dir))
       .select("term", "df").as[(String, Long)].collect()
@@ -86,8 +95,7 @@ object LocalIndex {
     * e.g. the head of the query-log distribution). */
   def loadTerms(spark: SparkSession, dir: String, terms: Seq[String]): LocalIndex = {
     import spark.implicits._
-    val stats = spark.read.parquet(IndexBuilder.corpusStatsDir(dir))
-      .as[CorpusStats].head()
+    val stats = readStats(spark, dir)
     val dfs = new java.util.HashMap[String, Long]()
     spark.read.parquet(IndexBuilder.dictionaryDir(dir))
       .filter(col("term").isInCollection(terms))

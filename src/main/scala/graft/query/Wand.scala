@@ -14,8 +14,12 @@ import scala.collection.mutable
  * Key properties:
  *  - blocks are decoded lazily: `advance(target)` skips whole blocks
  *    via `max_doc_id` without touching the compressed payload;
- *  - per-cursor upper bounds are suffix maxima of `block_max_tfn * idf`
- *    (they tighten as the cursor advances past blocks);
+ *  - per-cursor upper bounds are suffix maxima of
+ *    `tfNorm(block_max_tf, block_min_dl, avgdl) * idf` — tfNorm is
+ *    monotone ↑ in tf and ↓ in dl, so this bounds every in-block
+ *    contribution at the CURRENT avgdl (the stored metadata is
+ *    avgdl-independent; format v2) and tightens as the cursor
+ *    advances past blocks;
  *  - scoring of a candidate accumulates per-term contributions in
  *    ASCENDING TERM ORDER (cursors are ordered by term at construction)
  *    so scores are bit-identical to the brute-force oracle;
@@ -28,13 +32,19 @@ import scala.collection.mutable
 object Wand extends Serializable {
 
   final class Cursor(val term: String, val idf: Double,
-                     blocks: IndexedSeq[PostingBlockRow]) {
-    // suffix max of block_max_tfn: bound over this and all later blocks
+                     blocks: IndexedSeq[PostingBlockRow], avgdl: Double) {
+    // suffix max of tfNorm(block_max_tf, block_min_dl, avgdl): bound
+    // over this and all later blocks, computed once per search at the
+    // current corpus avgdl
     private val suffixMaxTfn: Array[Double] = {
       val a = new Array[Double](blocks.length)
       var m = 0.0
       var i = blocks.length - 1
-      while (i >= 0) { m = math.max(m, blocks(i).block_max_tfn); a(i) = m; i -= 1 }
+      while (i >= 0) {
+        val b = blocks(i)
+        m = math.max(m, BM25.tfNorm(b.block_max_tf, b.block_min_dl, avgdl))
+        a(i) = m; i -= 1
+      }
       a
     }
     private var blockIdx = 0
@@ -58,13 +68,8 @@ object Wand extends Serializable {
 
     def currentScore: Double = {
       val tf = decoded.tfs(pos); val dl = decoded.dls(pos)
-      idf * BM25.tfNorm(tf, dl, avgdlLocal)
+      idf * BM25.tfNorm(tf, dl, avgdl)
     }
-
-    // avgdl is fixed per search; threaded via a var to keep currentScore
-    // allocation-free inside the hot loop.
-    private var avgdlLocal: Double = 1.0
-    private[Wand] def setAvgdl(a: Double): Unit = avgdlLocal = a
 
     /** Advance to the first docId >= target. Skips blocks via
       * max_doc_id without decoding them. */
@@ -126,9 +131,7 @@ object Wand extends Serializable {
            allow: Long => Boolean = null): Vector[QueryHit] = {
     // cursors in ascending term order — fixes summation order
     val cursors = termBlocks.toArray.sortBy(_._1).map { case (t, blocks) =>
-      val c = new Cursor(t, idfs.getOrElse(t, 0.0), blocks.sortBy(_.max_doc_id))
-      c.setAvgdl(avgdl)
-      c
+      new Cursor(t, idfs.getOrElse(t, 0.0), blocks.sortBy(_.max_doc_id), avgdl)
     }.filterNot(_.exhausted)
     if (cursors.isEmpty || k <= 0) return Vector.empty
 

@@ -87,7 +87,7 @@ class IndexBuilderSpec extends SparkFunSuite {
   private def postingsFingerprint(dir: String): Set[String] = {
     spark.read.parquet(IndexBuilder.postingsDir(dir))
       .select(col("term"), col("segment"), col("block_id"), col("n_docs"),
-        col("max_doc_id"), col("block_max_tfn"),
+        col("max_doc_id"), col("block_max_tf"), col("block_min_dl"),
         md5(col("doc_deltas")), md5(col("tfs")), md5(col("dls")))
       .collect().map(_.toSeq.mkString("|")).toSet
   }

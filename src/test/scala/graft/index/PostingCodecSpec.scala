@@ -19,7 +19,7 @@ class PostingCodecSpec extends AnyFunSuite {
 
   test("block round-trip preserves postings exactly") {
     samples(postingsGen).foreach { case (ids, tfs, dls) =>
-      val blocks = PostingCodec.encodeTerm("t", 0, ids, tfs, dls, avgdl = 100.0)
+      val blocks = PostingCodec.encodeTerm("t", 0, ids, tfs, dls)
       val decoded = blocks.flatMap { b =>
         val d = PostingCodec.decodeBlock(b)
         d.docIds.indices.map(i => (d.docIds(i), d.tfs(i), d.dls(i)))
@@ -33,7 +33,7 @@ class PostingCodecSpec extends AnyFunSuite {
     val ids = Array.tabulate(n)(i => (i * 3 + 1).toLong)
     val tfs = Array.fill(n)(2)
     val dls = Array.fill(n)(100)
-    val blocks = PostingCodec.encodeTerm("t", 3, ids, tfs, dls, 100.0)
+    val blocks = PostingCodec.encodeTerm("t", 3, ids, tfs, dls)
     assert(blocks.length == math.ceil(n.toDouble / PostingCodec.BlockSize).toInt)
     assert(blocks.map(_.block_id) == blocks.indices)
     assert(blocks.forall(_.n_docs <= PostingCodec.BlockSize))
@@ -44,14 +44,19 @@ class PostingCodecSpec extends AnyFunSuite {
     assert(blocks.map(_.max_doc_id).sliding(2).forall(s => s.length < 2 || s(0) < s(1)))
   }
 
-  test("block_max_tfn is an exact upper bound of in-block contributions") {
+  test("(block_max_tf, block_min_dl) bound in-block contributions at any avgdl") {
     samples(postingsGen, 50).foreach { case (ids, tfs, dls) =>
-      val avgdl = 77.7
-      PostingCodec.encodeTerm("t", 0, ids, tfs, dls, avgdl).foreach { b =>
+      PostingCodec.encodeTerm("t", 0, ids, tfs, dls).foreach { b =>
         val d = PostingCodec.decodeBlock(b)
-        val maxActual = d.docIds.indices
-          .map(i => BM25.tfNorm(d.tfs(i), d.dls(i), avgdl)).max
-        assert(b.block_max_tfn == maxActual) // exact, not approximate
+        assert(b.block_max_tf == d.tfs.max)  // exact extrema, not approximate
+        assert(b.block_min_dl == d.dls.min)
+        // the derived bound dominates every contribution at any avgdl
+        Seq(1.0, 77.7, 5000.0).foreach { avgdl =>
+          val bound = BM25.tfNorm(b.block_max_tf, b.block_min_dl, avgdl)
+          val maxActual = d.docIds.indices
+            .map(i => BM25.tfNorm(d.tfs(i), d.dls(i), avgdl)).max
+          assert(bound >= maxActual)
+        }
       }
     }
   }

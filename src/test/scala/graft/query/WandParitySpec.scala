@@ -51,7 +51,7 @@ class WandParitySpec extends AnyFunSuite {
       }
       seg -> byTerm.map { case (t, ps) =>
         t -> PostingCodec.encodeTerm(t, seg, ps.map(_._1).toArray,
-          ps.map(_._2).toArray, ps.map(_._3).toArray, avgdl).toIndexedSeq
+          ps.map(_._2).toArray, ps.map(_._3).toArray).toIndexedSeq
       }.toMap
     }
   }
@@ -104,7 +104,7 @@ class WandParitySpec extends AnyFunSuite {
     val ddfs = Map("alpha" -> 20L, "beta" -> 20L, "gamma" -> 20L)
     val davg = 3.0
     val blocks = Map("alpha" -> PostingCodec.encodeTerm("alpha", 0,
-      dup.map(_._1).toArray, Array.fill(20)(1), Array.fill(20)(3), davg).toIndexedSeq)
+      dup.map(_._1).toArray, Array.fill(20)(1), Array.fill(20)(3)).toIndexedSeq)
     val idfs = Map("alpha" -> BM25.idf(20, 20))
     val got = Wand.topK(blocks, idfs, davg, 5)
     val expect = BM25.bruteForceTopK(Seq("alpha"), dupTfs, ddfs, 20, davg, 5)
