@@ -121,8 +121,8 @@ object Bench {
       val (rep, t) = timed(IndexBuilder.build(s, turns, BuildConfig(dir)))
       nTurns = rep.nDocs
       val mdir = IndexBuilder.manifestDir(dir)
-      val waveMs = graft.store.Manifest.completeSegments(mdir)
-        .flatMap(seg => graft.store.Manifest.read(graft.store.Manifest.segPath(mdir, seg)))
+      val waveMs = graft.store.Manifest.segmentStates(mdir).values
+        .filter(_.get("status").contains(graft.store.Manifest.Complete))
         .map(m => (m("snapshot_id"), m("wall_ms").toLong)).toMap.values.sum
       s.stop()
       (t, waveMs / 1000.0)

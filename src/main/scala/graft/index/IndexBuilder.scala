@@ -17,6 +17,7 @@ case class BuildConfig(outDir: String,
                        sortPartitions: Int = 0, // 0 → defaultParallelism
                        resume: Boolean = true,
                        failAfterWaves: Int = -1, // test hook: simulated kill
+                       poisonSegments: Set[Int] = Set.empty, // test hook: deterministic task failure
                        analyzer: Analyzer = Analyzer.V1,
                        maxOpenTerms: Int = 1 << 19,        // encoder vocab cap
                        maxBufferedPostings: Long = 1L << 22) { // encoder memory cap (~64 MB arrays)
@@ -32,7 +33,8 @@ case class BuildConfig(outDir: String,
 }
 
 case class BuildReport(nDocs: Long, avgdl: Double, nTerms: Long,
-                       segmentsBuilt: Int, segmentsSkipped: Int, wallMs: Long)
+                       segmentsBuilt: Int, segmentsSkipped: Int, wallMs: Long,
+                       segmentsQuarantined: Int = 0)
 
 /** Thrown by the fault-injection hook (FIXTURES.md §4 kill-after-N). */
 class SimulatedKill(wave: Int) extends RuntimeException(s"simulated kill after wave $wave")
@@ -183,15 +185,53 @@ object IndexBuilder {
         phaseA(spark, turns, cfg, srcHash, srcCount)
       }
 
-    // ---- Phase B: postings in waves, resume-aware ----
-    val complete = Manifest.completeSegments(mdir)
+    // ---- Phase B: postings in waves, resume-aware. A failing wave is
+    // isolated segment by segment; a deterministically-failing segment
+    // accumulates attempts (across reruns too, via the ledger) and is
+    // QUARANTINED at MaxAttempts — the build completes without it, the
+    // reference's retry→DEAD state machine
+    // (`ScannerImpl.java:614-713`, HeuristicFatalFTITest). ----
+    val states = Manifest.segmentStates(mdir)
+    val complete = states.collect {
+      case (s, m) if m.get("status").contains(Manifest.Complete) => s
+    }.toSet
     val allSegments = (0 until nSegEff).toVector
-    val pending = allSegments.filterNot(complete)
+    val pending = allSegments.filterNot(s => states.get(s).exists(m =>
+      m.get("status").contains(Manifest.Complete) ||
+        m.get("status").contains(Manifest.Quarantined)))
+    val failCounts = scala.collection.mutable.HashMap.empty[Int, Int]
+    states.foreach { case (s, m) =>
+      if (m.get("status").contains(Manifest.Failed))
+        failCounts(s) = m.get("attempts").map(_.toInt).getOrElse(0)
+    }
+    val attemptOf: Int => Int = s => failCounts.getOrElse(s, 0) + 1
     var wavesDone = 0
     pending.grouped(cfg.waveFor(nSegEff)).foreach { wave =>
       if (cfg.failAfterWaves >= 0 && wavesDone >= cfg.failAfterWaves)
         throw new SimulatedKill(wavesDone)
-      buildWave(spark, cfg, wave)
+      try buildWave(spark, cfg, wave, attemptOf)
+      catch {
+        case k: SimulatedKill => throw k
+        case _: Exception =>
+          wave.foreach { seg =>
+            var done = false
+            while (!done && failCounts.getOrElse(seg, 0) < MaxAttempts) {
+              try { buildWave(spark, cfg, Seq(seg), attemptOf); done = true }
+              catch {
+                case k: SimulatedKill => throw k
+                case e: Exception =>
+                  val n = failCounts.getOrElse(seg, 0) + 1
+                  failCounts(seg) = n
+                  val status =
+                    if (n >= MaxAttempts) Manifest.Quarantined else Manifest.Failed
+                  Manifest.appendLedger(mdir, Seq(Map(
+                    "segment" -> seg.toString, "status" -> status,
+                    "attempts" -> n.toString,
+                    "error" -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))))
+              }
+            }
+          }
+      }
       wavesDone += 1
     }
 
@@ -205,9 +245,17 @@ object IndexBuilder {
         Manifest.read(finPath).get("n_terms").toLong
       else finalizeStats(spark, cfg, nDocs, avgdl, nSegEff)
 
-    BuildReport(nDocs, avgdl, nTerms, pending.size, complete.size,
-      System.currentTimeMillis() - t0)
+    val finalStates = Manifest.segmentStates(mdir)
+    val built = pending.count(s => finalStates.get(s)
+      .exists(_.get("status").contains(Manifest.Complete)))
+    val quarantined = finalStates.count(_._2.get("status").contains(Manifest.Quarantined))
+    BuildReport(nDocs, avgdl, nTerms, built, complete.size,
+      System.currentTimeMillis() - t0, quarantined)
   }
+
+  /** Failed-segment retry budget before quarantine (the reference's
+    * `errorCounter` threshold, `ScannerImpl.java:614-713`). */
+  val MaxAttempts = 3
 
   /** Phase A. Returns (nDocs, avgdl, segSize, effective segment count). */
   private def phaseA(spark: SparkSession, turns: Dataset[Turn], cfg: BuildConfig,
@@ -346,9 +394,11 @@ object IndexBuilder {
     (r, System.currentTimeMillis() - t)
   }
 
-  /** Build + atomically publish one wave of segments. */
+  /** Build + atomically publish one wave of segments. `attemptOf` maps
+    * a segment to its attempt ordinal (prior recorded failures + 1),
+    * recorded in the ledger row. */
   private def buildWave(spark: SparkSession, cfg: BuildConfig,
-                        wave: Seq[Int]): Unit = {
+                        wave: Seq[Int], attemptOf: Int => Int): Unit = {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
     val staging = spark.read.parquet(stagingDir(cfg.outDir))
@@ -358,6 +408,7 @@ object IndexBuilder {
     // (one update per successful result-stage task) — no separate
     // metrics aggregation jobs
     val az = cfg.analyzer
+    val poison = cfg.poisonSegments
     val turnsAcc = new SegCounter; val tokensAcc = new SegCounter
     val blocksAcc = new SegCounter
     spark.sparkContext.register(turnsAcc, "graft.turns")
@@ -387,6 +438,8 @@ object IndexBuilder {
       .as[(Long, Int, String, Int)]
       .mapPartitions { docs =>
         val counted = docs.map { d =>
+          if (poison.contains(d._2))
+            throw new RuntimeException(s"poisoned segment ${d._2} (test hook)")
           turnsAcc.add(d._2 -> 1L); tokensAcc.add(d._2 -> d._4.toLong); d
         }
         encodeDocs(counted, az, cfg.maxOpenTerms, cfg.maxBufferedPostings).map { b =>
@@ -408,23 +461,29 @@ object IndexBuilder {
     val ingest = turnsAcc.value; val tokens = tokensAcc.value
     val written = blocksAcc.value
 
-    // atomic per-segment publish + manifest commit point
+    // atomic per-segment data publish, then ONE ledger append as the
+    // wave's commit point: a kill mid-publish leaves no ledger rows, so
+    // the whole wave re-plans and the idempotent overwrites make the
+    // replay safe. The ledger is a table (one JSONL file per wave) —
+    // resume planning reads waves-count files, never a directory of
+    // 2^20 per-segment manifests.
     val wallMs = System.currentTimeMillis() - t0
     wave.foreach { seg =>
       val src = waveTmp.resolve(s"segment=$seg")
       val dest = Paths.get(postingsDir(cfg.outDir), s"segment=$seg")
       if (Files.exists(src)) Manifest.publishDir(src, dest)
       else Files.createDirectories(dest) // segment with no postings
-      Manifest.writeAtomic(Manifest.segPath(manifestDir(cfg.outDir), seg), Map(
-        "segment" -> seg.toString,
-        "status" -> Manifest.Complete,
-        "turns_read" -> ingest.getOrElse(seg, 0L).toString,
-        "tokens_emitted" -> tokens.getOrElse(seg, 0L).toString,
-        "postings_written" -> written.getOrElse(seg, 0L).toString,
-        "attempts" -> "1",
-        "snapshot_id" -> t0.toString,
-        "wall_ms" -> wallMs.toString))
     }
+    Manifest.appendLedger(manifestDir(cfg.outDir), wave.map { seg => Map(
+      "segment" -> seg.toString,
+      "status" -> Manifest.Complete,
+      "turns_read" -> ingest.getOrElse(seg, 0L).toString,
+      "tokens_emitted" -> tokens.getOrElse(seg, 0L).toString,
+      "postings_written" -> written.getOrElse(seg, 0L).toString,
+      "attempts" -> attemptOf(seg).toString,
+      "snapshot_id" -> t0.toString,
+      "wall_ms" -> wallMs.toString)
+    })
     Manifest.deleteRecursively(waveTmp)
   }
 

@@ -17,17 +17,29 @@ import scala.jdk.CollectionConverters._
  * stronger guarantee with none of the per-row ledger cost
  * (SURVEY.md §2.6).
  *
- * Commit protocol: JSON is written to `<file>.tmp` then atomically
- * renamed — a segment is COMPLETE iff its data directory rename AND its
- * manifest rename both landed; a rerun recomputes any segment whose
- * manifest is missing or non-COMPLETE. On HDFS, rename has the same
- * atomicity; on S3 this trait would be backed by a conditional PUT —
- * isolated here so a real Iceberg catalog is a drop-in.
+ * Segment state lives in an append-only LEDGER TABLE: one JSONL file
+ * per committed wave, later rows superseding earlier ones — so resume
+ * planning reads O(waves) files, never a directory listing of one
+ * manifest per segment (2^20 files at the segment cap), and retry /
+ * quarantine state (FAILED attempts → QUARANTINED) folds naturally as
+ * last-writer-wins.
+ *
+ * Commit protocol: files are written to `<file>.tmp` then atomically
+ * renamed — a wave is COMPLETE iff its data directory renames AND its
+ * ledger append all landed; a rerun recomputes any segment whose
+ * latest ledger state is missing or non-COMPLETE. On HDFS, rename has
+ * the same atomicity; on S3 this trait would be backed by a
+ * conditional PUT — isolated here so a real Iceberg catalog is a
+ * drop-in.
  */
 object Manifest {
 
   val Complete = "COMPLETE"
   val Failed = "FAILED"
+  /** Poison segment: failed `maxAttempts` times → excluded from future
+    * builds until the ledger is cleared (the reference's DEAD state,
+    * `ScannerImpl.java:614-713`). */
+  val Quarantined = "QUARANTINED"
 
   /** Flat string→string JSON; numbers stored as strings to keep the
     * parser trivial and dependency-free. */
@@ -74,9 +86,6 @@ object Manifest {
     sb.toString
   }
 
-  def segPath(manifestDir: String, segment: Int): Path =
-    Paths.get(manifestDir, f"seg-$segment%05d.json")
-
   def phaseAPath(manifestDir: String): Path = Paths.get(manifestDir, "phaseA.json")
 
   /** Commit point for the post-wave dictionary/corpus_stats derivation. */
@@ -85,16 +94,66 @@ object Manifest {
   def isComplete(path: Path): Boolean =
     read(path).exists(_.get("status").contains(Complete))
 
-  /** Segments already COMPLETE (for resume anti-planning). */
-  def completeSegments(manifestDir: String): Set[Int] = {
+  // ---- segment ledger: a TABLE, not a file per segment ----
+  // One JSONL file per wave (atomic rename), each line one segment's
+  // state row. Resume planning reads segments/waves-count files instead
+  // of listing one JSON per segment (2^20 files at the segment cap).
+  // Later entries supersede earlier ones: file names carry
+  // (epoch-millis, per-JVM sequence) so replays and retries fold to a
+  // last-writer-wins state per segment.
+
+  private val ledgerSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Append one wave's segment rows to the ledger (atomic). Every row
+    * must carry "segment" and "status". */
+  def appendLedger(manifestDir: String, rows: Seq[Map[String, String]]): Unit = {
+    if (rows.isEmpty) return
     val dir = Paths.get(manifestDir)
-    if (!Files.exists(dir)) return Set.empty
-    Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.matches("seg-\\d+\\.json"))
-      .filter(isComplete)
-      .map(p => p.getFileName.toString.stripPrefix("seg-").stripSuffix(".json").toInt)
-      .toSet
+    Files.createDirectories(dir)
+    val name = f"wave-${System.currentTimeMillis()}%013d-${ledgerSeq.incrementAndGet()}%06d.jsonl"
+    val txt = rows.map { fields =>
+      fields.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + esc(k) + "\": \"" + esc(v) + "\""
+      }.mkString("{", ", ", "}")
+    }.mkString("", "\n", "\n")
+    val tmp = dir.resolve(name + ".tmp")
+    Files.write(tmp, txt.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Latest state row per segment (last writer wins across ledger
+    * files ordered by name = commit order). */
+  def segmentStates(manifestDir: String): Map[Int, Map[String, String]] = {
+    val dir = Paths.get(manifestDir)
+    if (!Files.exists(dir)) return Map.empty
+    val files = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("wave-.*\\.jsonl"))
+      .toSeq.sortBy(_.getFileName.toString)
+    val acc = scala.collection.mutable.HashMap.empty[Int, Map[String, String]]
+    files.foreach { f =>
+      Files.readAllLines(f, StandardCharsets.UTF_8).asScala.foreach { line =>
+        if (line.nonEmpty) {
+          val m = FieldRe.findAllMatchIn(line)
+            .map(x => unesc(x.group(1)) -> unesc(x.group(2))).toMap
+          m.get("segment").foreach(s => acc.update(s.toInt, m))
+        }
+      }
+    }
+    acc.toMap
+  }
+
+  /** Segments already COMPLETE (for resume anti-planning). */
+  def completeSegments(manifestDir: String): Set[Int] =
+    segmentStates(manifestDir).collect {
+      case (s, m) if m.get("status").contains(Complete) => s
+    }.toSet
+
+  /** Segments quarantined after repeated failures (never re-planned). */
+  def quarantinedSegments(manifestDir: String): Set[Int] =
+    segmentStates(manifestDir).collect {
+      case (s, m) if m.get("status").contains(Quarantined) => s
+    }.toSet
 
   /** Recursive delete (for overwrite rebuilds and tests). */
   def deleteRecursively(p: Path): Unit = {

@@ -9,6 +9,7 @@ import graft.store.Manifest
 import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /**
  * End-to-end build + query tests (SURVEY.md §5, §7.3): the minimum
@@ -107,20 +108,24 @@ class IndexBuilderSpec extends SparkFunSuite {
       IndexBuilder.build(spark, turns,
         BuildConfig(dirKill, nSegments = 8, waveSize = 3, failAfterWaves = 1))
     }
-    val afterKill = Manifest.completeSegments(IndexBuilder.manifestDir(dirKill))
+    val mdirKill = IndexBuilder.manifestDir(dirKill)
+    val afterKill = Manifest.completeSegments(mdirKill)
     assert(afterKill.size == 3) // exactly one wave committed
-    // record manifest mtimes of completed segments
-    val mtimes = afterKill.map { s =>
-      s -> Files.getLastModifiedTime(Manifest.segPath(IndexBuilder.manifestDir(dirKill), s))
-    }.toMap
+    // record the committed ledger files (append-only: resume must only
+    // add new wave files, never rewrite the pre-kill ones)
+    def ledgerFiles() = Files.list(java.nio.file.Paths.get(mdirKill))
+      .iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".jsonl"))
+      .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p)).toMap
+    val preResume = ledgerFiles()
 
     val report = IndexBuilder.build(spark, turns, BuildConfig(dirKill, nSegments = 8, waveSize = 3))
     assert(report.segmentsSkipped == 3 && report.segmentsBuilt == 5)
-    // untouched manifests for the pre-kill segments
-    mtimes.foreach { case (s, t) =>
-      assert(Files.getLastModifiedTime(
-        Manifest.segPath(IndexBuilder.manifestDir(dirKill), s)) == t, s"segment $s manifest touched")
+    val postResume = ledgerFiles()
+    preResume.foreach { case (name, t) =>
+      assert(postResume.get(name).contains(t), s"ledger file $name touched")
     }
+    assert(postResume.size > preResume.size)
     assert(postingsFingerprint(dirFull) == postingsFingerprint(dirKill))
 
     // and the resumed index answers queries identically
@@ -162,11 +167,35 @@ class IndexBuilderSpec extends SparkFunSuite {
     val dir = tmpDir("idx-metrics")
     IndexBuilder.build(spark, turns, BuildConfig(dir, nSegments = 5))
     val mdir = IndexBuilder.manifestDir(dir)
-    val rows = Manifest.completeSegments(mdir).toSeq.sorted
-      .map(s => Manifest.read(Manifest.segPath(mdir, s)).get)
+    val rows = Manifest.segmentStates(mdir).toSeq.sortBy(_._1).map(_._2)
     assert(rows.map(_("turns_read").toLong).sum == nDocs)
     assert(rows.map(_("tokens_emitted").toLong).sum == docTfs.map(_._2.toLong).sum)
     val totalBlocks = spark.read.parquet(IndexBuilder.postingsDir(dir)).count()
     assert(rows.map(_("postings_written").toLong).sum == totalBlocks)
+  }
+
+  test("poison segment: retried to MaxAttempts, quarantined, build completes without it") {
+    val dir = tmpDir("idx-poison")
+    val rep1 = IndexBuilder.build(spark, turns,
+      BuildConfig(dir, nSegments = 6, waveSize = 3, poisonSegments = Set(2)))
+    assert(rep1.segmentsQuarantined == 1)
+    assert(rep1.segmentsBuilt == 5)
+    val states = Manifest.segmentStates(IndexBuilder.manifestDir(dir))
+    assert(states(2)("status") == Manifest.Quarantined)
+    assert(states(2)("attempts") == IndexBuilder.MaxAttempts.toString)
+    // rerun (poison still present): the quarantined segment is NOT
+    // re-planned; everything else is already COMPLETE
+    val rep2 = IndexBuilder.build(spark, turns,
+      BuildConfig(dir, nSegments = 6, waveSize = 3, poisonSegments = Set(2)))
+    assert(rep2.segmentsBuilt == 0 && rep2.segmentsQuarantined == 1)
+    assert(rep2.segmentsSkipped == 5)
+    // the surviving index still answers queries
+    val rdr = new IndexReader(spark, dir)
+    assert(rdr.search(referenceQueries.head, 10).nonEmpty)
+    // and hits never come from the quarantined docId range
+    val segSize = (nDocs + 5) / 6
+    referenceQueries.take(5).foreach { q =>
+      rdr.search(q, 10).foreach(h => assert(h.doc_id / segSize != 2))
+    }
   }
 }
