@@ -64,6 +64,11 @@ object SparkEntry {
   val FtQuery = "dup window spark"
   private val FtQueryTerms = Seq("dup", "spark", "window") // sorted
 
+  /** Query for the incremental-maintenance entry (distinct terms so a
+    * stale index can't accidentally agree with the topk entry). */
+  val FtQueryInc = "merge vector stream"
+  private val FtQueryIncTerms = Seq("merge", "stream", "vector") // sorted
+
   // ---------- flagship ----------
   /** Flagship: build the inverted index over sf0.001 documents and run
     * a BM25 top-10 query (driver smoke-checks rows > 0). */
@@ -371,13 +376,13 @@ object SparkEntry {
       .select(col("n_docs"), round(col("avgdl"), 6).as("avgdl"), col("n_terms"))
   }
 
-  private def ftBm25Topk(s: SparkSession, dir: String): DataFrame = {
+  /** Top-20 as (rank, doc_id, score): k large enough to capture every
+    * matching doc, so the rounded re-rank is over the complete
+    * candidate set (oracle-exact); doc_id parsed back from conv_id. */
+  private def bm25Top20DF(s: SparkSession, rdr: graft.query.IndexReader,
+                          query: String): DataFrame = {
     import s.implicits._
-    val rdr = FtIndex.reader(s, dir)
-    // k large enough to capture every matching doc, so the rounded
-    // re-rank below is over the complete candidate set (oracle-exact)
-    val all = rdr.searchRanked(FtQuery, 1000000)
-    val ranked = all
+    val ranked = rdr.searchRanked(query, 1000000)
       .map { r =>
         val origId = r.conv_id.substring(4).toLong
         val scoreR = BigDecimal(r.score)
@@ -388,6 +393,17 @@ object SparkEntry {
       .take(20).zipWithIndex
       .map { case ((id, sc), i) => ((i + 1).toLong, id, sc) }
     ranked.toDF("rank", "doc_id", "score")
+  }
+
+  private def ftBm25Topk(s: SparkSession, dir: String): DataFrame =
+    bm25Top20DF(s, FtIndex.reader(s, dir), FtQuery)
+
+  /** BM25 over the incrementally-maintained index (base build →
+    * update/delete/append delta → must equal plain SQL over the final
+    * documents corpus). */
+  private def ftIncremental(s: SparkSession, dir: String): DataFrame = {
+    val idx = FtIndex.ensureIncremental(s, dir)
+    bm25Top20DF(s, new graft.query.IndexReader(s, idx), FtQueryInc)
   }
 
   private def ftBm25Filtered(s: SparkSession, dir: String): DataFrame = {
@@ -456,7 +472,8 @@ object SparkEntry {
     "ft_dictionary" -> (ftDictionary _),
     "ft_corpus_stats" -> (ftCorpusStats _),
     "ft_bm25_topk" -> (ftBm25Topk _),
-    "ft_bm25_filtered" -> (ftBm25Filtered _)
+    "ft_bm25_filtered" -> (ftBm25Filtered _),
+    "ft_incremental" -> (ftIncremental _)
   )
 
   // =====================================================================
@@ -503,6 +520,7 @@ object SparkEntry {
     }.mkString(" + ")
 
     val ftTermsIn = inList(FtQueryTerms)
+    val ftIncTermsIn = inList(FtQueryIncTerms)
 
     Map(
       "q1_agg" ->
@@ -831,6 +849,24 @@ object SparkEntry {
            |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
            | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
            | WHERE tf.doc_id % 3 = 0
+           | GROUP BY tf.doc_id)
+           |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+           | doc_id, round(s, 4) AS score
+           |FROM scores ORDER BY rank LIMIT 20""".stripMargin,
+
+      // oracle over the FINAL corpus: the incremental index (base →
+      // update/delete/append delta) must land exactly here
+      "ft_incremental" ->
+        s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+           |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+           |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+           |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftIncTermsIn GROUP BY 1),
+           |scores AS (
+           | SELECT tf.doc_id,
+           |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+           | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
            | GROUP BY tf.doc_id)
            |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
            | doc_id, round(s, 4) AS score

@@ -1,0 +1,214 @@
+package graft.index
+
+import graft.analysis.Tokenizer
+import graft.model.{DocTurn, IndexFormat, Turn}
+import graft.store.Manifest
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import java.nio.file.{Files, Paths}
+
+/**
+ * Incremental (delta) index maintenance — the reference's reason to
+ * exist: reindex ONLY what changed (`ScannerImpl.java:380-417`
+ * hash-based change detection; `model/Document.java:236-240`
+ * NEW/UPDATE/DELETE statuses), instead of rebuilding a 10^12-turn
+ * index because one conversation gained a turn.
+ *
+ * == Semantics ==
+ * Document identity is (conv_id, turn_idx); content identity is
+ * xxhash64(role, text, tool), stored per row in staging. Against the
+ * current staging view the source diffs into:
+ *  - UNCHANGED (same key, same hash) → untouched; docID kept
+ *  - UPDATED   (same key, new hash)  → docID + segment kept; text/dl refreshed
+ *  - DELETED   (key gone)            → row dropped; docID retired (a gap)
+ *  - NEW       (key appeared)        → dense docIDs from maxDocId+1 in
+ *                                      (conv_id, turn_idx) order → tail segments
+ * Existing docIDs are never reassigned (stable across updates); the
+ * dense-rank property holds for the initial build and within each
+ * appended batch. Touched segments = segments of UPDATED/DELETED rows
+ * plus the tail segments NEW rows land in.
+ *
+ * == Mechanics ==
+ * The diff shuffles ids + 8-byte hashes — never the corpus text (the
+ * per-doc hash is precomputed in staging; changed docs' text is
+ * re-fetched by a semi-join against the source). Touched segments'
+ * replacement rows are written as per-segment OVERLAY dirs (base
+ * staging stays immutable); STALE ledger rows re-plan exactly those
+ * segments for Phase B; the phase A manifest is refreshed from a
+ * narrow-column aggregation of the updated view. Every step is
+ * idempotent: a crash anywhere replays the diff against the current
+ * view and converges — a replayed diff over already-published overlays
+ * is empty, and already-appended STALE rows drive the remaining
+ * rebuilds.
+ *
+ * Untouched segments' postings are never rewritten — byte-identical
+ * across updates (IncrementalSpec) — and remain score-correct under
+ * the shifted corpus avgdl because block-max metadata is
+ * avgdl-independent (index format v2).
+ */
+object Incremental {
+
+  /** Diff + overlay + re-plan. Returns (nDocs, avgdl, segSize,
+    * nSegEff) for the UPDATED corpus; Phase B (driven by the caller)
+    * then rebuilds the STALE segments. */
+  def delta(spark: SparkSession, turns: Dataset[Turn], cfg: BuildConfig,
+            srcHash: String): (Long, Double, Long, Int) = {
+    import spark.implicits._
+    val t0 = System.currentTimeMillis()
+    val outDir = cfg.outDir
+    val mdir = IndexBuilder.manifestDir(outDir)
+    val m = Manifest.read(Manifest.phaseAPath(mdir)).get
+    val segSize = m("seg_size").toLong
+    val oldNSeg = m("n_segments_effective").toInt
+    val az = cfg.analyzer
+
+    val view = IndexBuilder.readStaging(spark, outDir)
+
+    // ---- diff: keys + hashes only; unchanged rows never leave the join ----
+    val srcKeys = turns.toDF().select(col("conv_id"), col("turn_idx"),
+      xxhash64(col("role"), col("text"), col("tool")).as("h"))
+    val priKeys = view.select(col("conv_id"), col("turn_idx"),
+      col("doc_id"), col("segment"), col("src_hash"))
+    val deltaRows = srcKeys.join(priKeys, Seq("conv_id", "turn_idx"), "full_outer")
+      .filter(col("h").isNull || col("src_hash").isNull || col("h") =!= col("src_hash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val changedSegs: Set[Int] = deltaRows.filter(col("segment").isNotNull)
+        .select(col("segment")).distinct().as[Int].collect().toSet
+
+      // ---- NEW docs: dense ids from maxDocId+1, same 2-pass trick as
+      // phase A, over the (small) appended batch only ----
+      val maxId = view.agg(coalesce(max("doc_id"), lit(-1L))).head().getLong(0)
+      // classification is by KEY PRESENCE (doc_id/h null-ness), never by
+      // src_hash nullability: staging written before the hash column
+      // existed reads back with src_hash = null, which must degrade to
+      // "every matched doc is updated" — not "every doc is new"
+      val freshKeys = deltaRows.filter(col("doc_id").isNull)
+        .select(col("conv_id"), col("turn_idx"))
+      val p = if (cfg.sortPartitions > 0) cfg.sortPartitions
+              else spark.sparkContext.defaultParallelism
+      val sortedFresh = turns.toDF()
+        .join(freshKeys, Seq("conv_id", "turn_idx"), "left_semi")
+        .as[Turn]
+        .repartitionByRange(p, col("conv_id"), col("turn_idx"))
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val counts = sortedFresh.mapPartitions { it =>
+        Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+      }.collect().sortBy(_._1)
+      val nFresh = counts.map(_._2).sum
+      val offsets = new Array[Long](counts.length.max(1))
+      var acc = 0L
+      counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
+      val offB = spark.sparkContext.broadcast(offsets)
+      val freshRows: DataFrame =
+        if (nFresh == 0) spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), IndexBuilder.StagingSchema)
+        else {
+          val assigned = sortedFresh.mapPartitions { it =>
+            val off = offB.value(TaskContext.getPartitionId())
+            var i = 0L
+            it.map { t =>
+              val id = maxId + 1 + off + i; i += 1
+              DocTurn(id, (id / segSize).toInt, t.conv_id, t.turn_idx, t.role,
+                t.text, t.tool, az.docLength(t.text))
+            }
+          }.toDF().withColumn("src_hash",
+            xxhash64(col("role"), col("text"), col("tool")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          // materialize in an ISOLATED job: here the stage is
+          // cache-scan → map, so getPartitionId is the sorted-cache
+          // partition index the counts pass saw. Evaluated lazily
+          // inside the overlay union instead, this map becomes a
+          // UnionRDD branch whose partition ids are OFFSET by the
+          // other branches — offsets would be misindexed.
+          assigned.count()
+          assigned
+        }
+      val freshSegs: Set[Int] =
+        if (nFresh == 0) Set.empty
+        else (((maxId + 1) / segSize).toInt to ((maxId + nFresh) / segSize).toInt).toSet
+
+      val overlaySegs = changedSegs ++ freshSegs
+      if (overlaySegs.nonEmpty) {
+        // STALE rows FIRST: if we crash before the overlays publish,
+        // the re-planned segments rebuild from whatever view exists
+        // (idempotent overwrite), and the rerun's diff re-creates any
+        // missing overlays
+        Manifest.appendLedger(mdir, overlaySegs.toSeq.sorted.map(s => Map(
+          "segment" -> s.toString,
+          "status" -> Manifest.Stale,
+          "snapshot_id" -> t0.toString)))
+
+        // overlay rows = surviving rows of touched segments + updated
+        // versions + appended docs
+        val dlOf = udf((s: String) => az.docLength(s))
+        val droppedIds = deltaRows.filter(col("doc_id").isNotNull)
+          .select(col("doc_id")) // updated ∪ deleted old versions
+        val keep = view.filter(col("segment").isInCollection(overlaySegs))
+          .join(droppedIds, Seq("doc_id"), "left_anti")
+        val updatedKeys = deltaRows
+          .filter(col("h").isNotNull && col("doc_id").isNotNull)
+          .select(col("conv_id"), col("turn_idx"), col("doc_id"), col("segment"))
+        val updRows = turns.toDF().join(updatedKeys, Seq("conv_id", "turn_idx"))
+          .select(col("doc_id"), col("segment"), col("conv_id"), col("turn_idx"),
+            col("role"), col("text"), col("tool"), dlOf(col("text")).as("dl"))
+          .withColumn("src_hash", xxhash64(col("role"), col("text"), col("tool")))
+        val overlayNew = keep.unionByName(updRows).unionByName(freshRows)
+
+        val tmp = Paths.get(outDir, "_tmp_overlay")
+        Manifest.deleteRecursively(tmp)
+        overlayNew
+          .repartitionByRange(math.max(1, math.min(overlaySegs.size, p)),
+            col("segment"), col("doc_id"))
+          .sortWithinPartitions("segment", "doc_id")
+          .write.partitionBy("segment").mode("overwrite").parquet(tmp.toString)
+        overlaySegs.toSeq.sorted.foreach { seg =>
+          val src = tmp.resolve(s"segment=$seg")
+          val dest = Paths.get(IndexBuilder.overlayDir(outDir), s"segment=$seg")
+          if (Files.exists(src)) Manifest.publishDir(src, dest)
+          else { // segment lost ALL rows: empty overlay masks the base
+            Manifest.deleteRecursively(dest)
+            Files.createDirectories(dest)
+          }
+        }
+        Manifest.deleteRecursively(tmp)
+      }
+      sortedFresh.unpersist()
+      freshRows.unpersist()
+
+      // ---- refresh phase A stats from the UPDATED view (narrow
+      // columns only; exact long arithmetic ⇒ avgdl equals what a full
+      // rebuild over the same corpus computes, so scores are
+      // bit-identical) ----
+      val nv = IndexBuilder.readStaging(spark, outDir).agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("dl_sum"),
+        coalesce(max("doc_id"), lit(-1L)).as("max_id")).head()
+      val nDocs2 = nv.getLong(0)
+      val dlSum2 = nv.getLong(1)
+      val maxId2 = nv.getLong(2)
+      val avgdl2 = if (nDocs2 == 0) 1.0 else dlSum2.toDouble / nDocs2
+      val nSegEff2 = math.max(oldNSeg,
+        if (maxId2 < 0) 0 else (maxId2 / segSize).toInt + 1)
+
+      Manifest.writeAtomic(Manifest.phaseAPath(mdir), Map(
+        "status" -> Manifest.Complete,
+        "n_docs" -> nDocs2.toString,
+        "avgdl" -> avgdl2.toString,
+        "seg_size" -> segSize.toString,
+        "n_segments_effective" -> nSegEff2.toString,
+        "content_hash" -> srcHash,
+        "analyzer" -> cfg.analyzer.id,
+        "index_version" -> IndexFormat.Version.toString,
+        "tokenizer_version" -> Tokenizer.Version.toString,
+        "delta_of" -> m.getOrElse("content_hash", ""),
+        "segments_touched" -> overlaySegs.size.toString,
+        "wall_ms" -> (System.currentTimeMillis() - t0).toString))
+      (nDocs2, avgdl2, segSize, nSegEff2)
+    } finally deltaRows.unpersist()
+  }
+}

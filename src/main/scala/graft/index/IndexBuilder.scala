@@ -92,12 +92,11 @@ class SimulatedKill(wave: Int) extends RuntimeException(s"simulated kill after w
 object IndexBuilder {
 
   def stagingDir(outDir: String) = s"$outDir/_staging/docs"
+  /** Per-segment overlay replacing the base staging rows of segments
+    * touched by an incremental update ([[Incremental]]). */
+  def overlayDir(outDir: String) = s"$outDir/_staging/seg"
   def manifestDir(outDir: String) = s"$outDir/_manifest"
   def postingsDir(outDir: String) = s"$outDir/postings"
-  /** doc_stats IS the staging table read with column pruning — the
-    * files are doc_id-sorted and segment-clustered, so doc lookups
-    * prune by row-group stats; a second sorted copy would buy nothing. */
-  def docStatsDir(outDir: String) = stagingDir(outDir)
   def dictionaryDir(outDir: String) = s"$outDir/dictionary"
   def corpusStatsDir(outDir: String) = s"$outDir/corpus_stats"
 
@@ -105,6 +104,51 @@ object IndexBuilder {
     * dir must read as 0 rows, not an AnalysisException). */
   val PostingSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.Encoders.product[PostingBlockRow].schema
+
+  /** Staging-table schema: DocTurn + the per-doc source hash
+    * (xxhash64(role, text, tool)) incremental change detection diffs
+    * against — stored so the diff never has to re-read the text. */
+  val StagingSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[DocTurn].schema
+      .add("src_hash", org.apache.spark.sql.types.LongType)
+
+  /** Segments whose staging rows live in the overlay (directory list —
+    * bounded by segments touched since the last full build). */
+  def overlaidSegments(outDir: String): Set[Int] = {
+    val d = Paths.get(overlayDir(outDir))
+    if (!Files.exists(d)) return Set.empty
+    val it = Files.list(d).iterator()
+    val out = Set.newBuilder[Int]
+    while (it.hasNext) {
+      val name = it.next().getFileName.toString
+      if (name.startsWith("segment=")) out += name.stripPrefix("segment=").toInt
+    }
+    out.result()
+  }
+
+  /**
+   * The staging corpus VIEW: base rows for untouched segments, overlay
+   * rows for segments rewritten by incremental updates. This (not the
+   * base dir) is what Phase B, doc_stats readers, and metadata-filtered
+   * search must read. Both sides carry parquet min/max segment stats,
+   * so wave filters still prune files. Overlays accumulate one dir per
+   * touched segment; a periodic full rebuild compacts them away.
+   */
+  def readStaging(spark: SparkSession, outDir: String): DataFrame = {
+    val base = spark.read.schema(StagingSchema).parquet(stagingDir(outDir))
+    val over = overlaidSegments(outDir)
+    if (over.isEmpty) base
+    else {
+      val overlay = spark.read.schema(StagingSchema).parquet(overlayDir(outDir))
+      base.filter(!col("segment").isInCollection(over)).unionByName(overlay)
+    }
+  }
+
+  /** doc_stats view (doc_id, conv_id, turn_idx, dl, segment + fields) —
+    * the staging view read with column pruning; files are doc_id-sorted
+    * and segment-clustered so lookups prune by row-group stats. */
+  def readDocs(spark: SparkSession, outDir: String): DataFrame =
+    readStaging(spark, outDir)
 
   /** Per-segment Long-counter accumulator (merge = pointwise sum). */
   private class SegCounter extends org.apache.spark.util.AccumulatorV2[(Int, Long), Map[Int, Long]] {
@@ -154,10 +198,11 @@ object IndexBuilder {
     val t0 = System.currentTimeMillis()
     val mdir = manifestDir(cfg.outDir)
 
-    // ---- change detection: order-insensitive corpus hash ----
+    // ---- change detection: order-insensitive corpus hash over the
+    // full identity+content tuple ----
     val hashRow = turns.agg(
       coalesce(sum(lit(1L)), lit(0L)).as("n"),
-      coalesce(expr("bit_xor(xxhash64(conv_id, turn_idx, text))"), lit(0L)).as("h")
+      coalesce(expr("bit_xor(xxhash64(conv_id, turn_idx, role, text, tool))"), lit(0L)).as("h")
     ).head()
     val srcCount = hashRow.getLong(0)
     val srcHash = hashRow.getLong(1).toString
@@ -167,20 +212,28 @@ object IndexBuilder {
     // analyzer/index_version checks REQUIRE the keys (not forall): a
     // pre-v2 on-disk index must trigger a clean full rebuild, never a
     // resume into mixed-format tables
-    val phaseAValid = cfg.resume && prior.exists(m =>
+    val compatible = cfg.resume && prior.exists(m =>
       m.get("status").contains(Manifest.Complete) &&
-        m.get("content_hash").contains(srcHash) &&
         m.get("analyzer").contains(cfg.analyzer.id) &&
         m.get("index_version").contains(IndexFormat.Version.toString) &&
         Files.exists(Paths.get(stagingDir(cfg.outDir))))
+    val phaseAValid = compatible && prior.exists(_.get("content_hash").contains(srcHash))
 
     val (nDocs, avgdl, segSize, nSegEff) =
       if (phaseAValid) {
         val m = prior.get
         (m("n_docs").toLong, m("avgdl").toDouble,
           m("seg_size").toLong, m("n_segments_effective").toInt)
+      } else if (compatible && prior.exists(_.get("n_docs").exists(_ != "0"))) {
+        // source changed but the on-disk index is the same format over
+        // an older corpus version → DELTA: diff per-doc hashes, rewrite
+        // only touched segments' staging, mark them stale. Phase B then
+        // rebuilds exactly those segments. (An EMPTY prior index has no
+        // docIDs to preserve and a degenerate frozen segSize — route to
+        // a fresh full build instead.)
+        Incremental.delta(spark, turns, cfg, srcHash)
       } else {
-        // source changed or fresh build → reset everything
+        // fresh build (or incompatible format) → reset everything
         Manifest.deleteRecursively(Paths.get(cfg.outDir))
         phaseA(spark, turns, cfg, srcHash, srcCount)
       }
@@ -319,7 +372,9 @@ object IndexBuilder {
     val stagingTmp = Paths.get(cfg.outDir, "_tmp_staging_docs")
     Manifest.deleteRecursively(stagingTmp)
     val (_, tStag) = timedMs {
-      docTurns.write.mode("overwrite").parquet(stagingTmp.toString)
+      docTurns.toDF()
+        .withColumn("src_hash", xxhash64(col("role"), col("text"), col("tool")))
+        .write.mode("overwrite").parquet(stagingTmp.toString)
     }
     dbg(s"phaseA staging-write ${tStag}ms")
     Manifest.publishDir(stagingTmp, Paths.get(stagingDir(cfg.outDir)))
@@ -401,8 +456,8 @@ object IndexBuilder {
                         wave: Seq[Int], attemptOf: Int => Int): Unit = {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
-    val staging = spark.read.parquet(stagingDir(cfg.outDir))
-      .filter(col("segment").isInCollection(wave)) // partition pruning
+    val staging = readStaging(spark, cfg.outDir)
+      .filter(col("segment").isInCollection(wave)) // file/row-group pruning
 
     // per-segment lineage counters ride the encode job as accumulators
     // (one update per successful result-stage task) — no separate
@@ -643,7 +698,7 @@ object IndexBuilder {
     * between the indexed staging copy and the source, under stable
     * (conv_id, turn_idx) identity. Returns the number of violations. */
   def verifyIngestion(spark: SparkSession, outDir: String, source: Dataset[Turn]): Long = {
-    val staged = spark.read.parquet(stagingDir(outDir))
+    val staged = readStaging(spark, outDir)
       .select(col("conv_id"), col("turn_idx"), col("text").as("staged_text"))
     source.select(col("conv_id"), col("turn_idx"), col("text"))
       .join(staged, Seq("conv_id", "turn_idx"), "full_outer")

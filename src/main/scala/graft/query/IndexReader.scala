@@ -142,7 +142,7 @@ class IndexReader(spark: SparkSession, dir: String) extends Serializable {
     val avgdl = stats.avgdl
     val kk = k
 
-    val allowed = spark.read.parquet(IndexBuilder.stagingDir(dir))
+    val allowed = IndexBuilder.readStaging(spark, dir)
       .filter(predicate)
       .select(col("segment").as("a_segment"), col("doc_id").as("a_doc_id"))
       .as[(Int, Long)]
@@ -176,7 +176,7 @@ class IndexReader(spark: SparkSession, dir: String) extends Serializable {
     val hits = search(query, k)
     if (hits.isEmpty) return Seq.empty
     val ids = hits.map(_.doc_id)
-    val meta = spark.read.parquet(IndexBuilder.docStatsDir(dir))
+    val meta = IndexBuilder.readDocs(spark, dir)
       .filter(col("doc_id").isInCollection(ids))
       .select("doc_id", "conv_id", "turn_idx")
       .as[(Long, String, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap

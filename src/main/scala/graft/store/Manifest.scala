@@ -40,6 +40,9 @@ object Manifest {
     * builds until the ledger is cleared (the reference's DEAD state,
     * `ScannerImpl.java:614-713`). */
   val Quarantined = "QUARANTINED"
+  /** Segment invalidated by an incremental update (its staging rows
+    * changed) — re-planned by the next Phase B pass. */
+  val Stale = "STALE"
 
   /** Flat string→string JSON; numbers stored as strings to keep the
     * parser trivial and dependency-free. */

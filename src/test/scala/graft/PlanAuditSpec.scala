@@ -34,7 +34,7 @@ class PlanAuditSpec extends SparkFunSuite {
   }
 
   test("doc_stats lookup prunes columns (never reads text) and pushes the id filter") {
-    val df = spark.read.parquet(IndexBuilder.docStatsDir(idxDir))
+    val df = IndexBuilder.readDocs(spark, idxDir)
       .filter(col("doc_id") === 42L)
       .select("doc_id", "conv_id", "turn_idx")
     val plan = planOf(df)

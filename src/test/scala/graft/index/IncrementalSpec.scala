@@ -1,0 +1,144 @@
+package graft.index
+
+import graft.SparkFunSuite
+import graft.model.Turn
+import graft.query.IndexReader
+import graft.sources.SyntheticTranscripts
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Incremental maintenance invariants (FIXTURES.md §4 extension):
+ * update/delete/append → only touched segments rebuild, untouched
+ * posting files stay byte-identical on disk, docIDs of unchanged docs
+ * are stable, and the updated index is query-indistinguishable from a
+ * from-scratch build over the same corpus (scores bit-identical).
+ */
+class IncrementalSpec extends SparkFunSuite {
+  import graft.SparkTestBase.spark.implicits._
+
+  private lazy val v1 = SyntheticTranscripts.generate(spark, 42L, nConvs = 400, maxTurns = 8)
+
+  /** v2 = v1 with one conversation deleted, one turn's text updated,
+    * and 20 new conversations appended (keys sort after existing). */
+  private lazy val v2: Dataset[Turn] = {
+    val updated = v1
+      .filter(col("conv_id") =!= "conv-000005")
+      .withColumn("text",
+        when(col("conv_id") === "conv-000010" && col("turn_idx") === 0,
+          lit("freshly updated turn contents zebraword"))
+          .otherwise(col("text"))).as[Turn]
+    val appended = SyntheticTranscripts.generate(spark, 99L, nConvs = 20, maxTurns = 5)
+      .withColumn("conv_id", concat(lit("zz-"), col("conv_id"))).as[Turn]
+    updated.unionByName(appended).as[Turn]
+  }
+
+  /** v3 = v2 with a further update inside an already-overlaid segment
+    * and more appended conversations (exercises overlay replacement). */
+  private lazy val v3: Dataset[Turn] = {
+    val updated = v2.withColumn("text",
+      when(col("conv_id") === "conv-000010" && col("turn_idx") === 1,
+        lit("second round update quaggaword"))
+        .otherwise(col("text"))).as[Turn]
+    val appended = SyntheticTranscripts.generate(spark, 7L, nConvs = 10, maxTurns = 4)
+      .withColumn("conv_id", concat(lit("zzz-"), col("conv_id"))).as[Turn]
+    updated.unionByName(appended).as[Turn]
+  }
+
+  private def postingFiles(dir: String): Map[String, (Long, java.nio.file.attribute.FileTime)] =
+    Files.walk(Paths.get(IndexBuilder.postingsDir(dir))).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(p => p.toString -> ((Files.size(p), Files.getLastModifiedTime(p)))).toMap
+
+  private def queriesEqual(a: IndexReader, b: IndexReader): Unit = {
+    for (q <- Seq("assistant tool error", "user assistant", "zebraword",
+      "ba ce di", "browser", "quaggaword", "timeout error")) {
+      // k >> hits so tie-breaks at the k boundary can't differ (inc and
+      // full builds assign different docIDs; identity is conv/turn)
+      val ha = a.searchRanked(q, 10000).map(h => (h.conv_id, h.turn_idx, h.score)).toSet
+      val hb = b.searchRanked(q, 10000).map(h => (h.conv_id, h.turn_idx, h.score)).toSet
+      assert(ha == hb, s"query '$q'")
+    }
+  }
+
+  test("delta: update+delete+append rebuilds only touched segments; equals full rebuild") {
+    val incDir = tmpDir("inc-idx"); val fullDir = tmpDir("inc-full")
+    val cfgInc = BuildConfig(incDir, nSegments = 8, waveSize = 8)
+    val rep1 = IndexBuilder.build(spark, v1, cfgInc)
+    assert(rep1.segmentsBuilt == 8)
+    val before = postingFiles(incDir)
+    // docID of an untouched doc, for stability
+    val probeId = IndexBuilder.readDocs(spark, incDir)
+      .filter(col("conv_id") === "conv-000200" && col("turn_idx") === 0)
+      .select("doc_id").as[Long].head()
+
+    val rep2 = IndexBuilder.build(spark, v2, cfgInc)
+    val touched = IndexBuilder.overlaidSegments(incDir)
+    assert(touched.nonEmpty && rep2.segmentsBuilt == touched.size)
+    assert(touched.size < 8, "a small delta must not touch every segment")
+
+    // untouched segments' posting files byte-identical (same file set,
+    // size, mtime — never rewritten)
+    val after = postingFiles(incDir)
+    val untouchedFiles = before.keys.filterNot { path =>
+      touched.exists(s => path.contains(s"segment=$s/"))
+    }
+    assert(untouchedFiles.nonEmpty)
+    untouchedFiles.foreach { f =>
+      assert(after.get(f).contains(before(f)), s"untouched posting file rewritten: $f")
+    }
+
+    // unchanged docs keep their docIDs
+    val probeId2 = IndexBuilder.readDocs(spark, incDir)
+      .filter(col("conv_id") === "conv-000200" && col("turn_idx") === 0)
+      .select("doc_id").as[Long].head()
+    assert(probeId2 == probeId)
+
+    // updated view passes ingestion equality; deleted conv gone
+    assert(IndexBuilder.verifyIngestion(spark, incDir, v2) == 0L)
+    assert(IndexBuilder.readDocs(spark, incDir)
+      .filter(col("conv_id") === "conv-000005").count() == 0)
+
+    // equals a from-scratch build over v2: same corpus stats (exact)
+    // and identical (conv, turn, score) result sets
+    IndexBuilder.build(spark, v2, BuildConfig(fullDir, nSegments = 8, waveSize = 8))
+    val ri = new IndexReader(spark, incDir)
+    val rf = new IndexReader(spark, fullDir)
+    assert(ri.stats.n_docs == rf.stats.n_docs)
+    assert(ri.stats.avgdl == rf.stats.avgdl) // bit-equal doubles
+    assert(ri.stats.n_terms == rf.stats.n_terms)
+    queriesEqual(ri, rf)
+  }
+
+  test("second delta on top of overlays (overlay replacement) still equals full rebuild") {
+    val incDir = tmpDir("inc2-idx"); val fullDir = tmpDir("inc2-full")
+    val cfg = BuildConfig(incDir, nSegments = 8, waveSize = 8)
+    IndexBuilder.build(spark, v1, cfg)
+    IndexBuilder.build(spark, v2, cfg)
+    val rep3 = IndexBuilder.build(spark, v3, cfg)
+    assert(rep3.segmentsBuilt > 0)
+    assert(IndexBuilder.verifyIngestion(spark, incDir, v3) == 0L)
+    IndexBuilder.build(spark, v3, BuildConfig(fullDir, nSegments = 8, waveSize = 8))
+    val ri = new IndexReader(spark, incDir)
+    val rf = new IndexReader(spark, fullDir)
+    assert(ri.stats.n_docs == rf.stats.n_docs && ri.stats.avgdl == rf.stats.avgdl)
+    queriesEqual(ri, rf)
+  }
+
+  test("delta from an empty index = initial load; rerun of same source is a no-op") {
+    val dir = tmpDir("inc-empty")
+    val cfg = BuildConfig(dir, nSegments = 4, waveSize = 4)
+    IndexBuilder.build(spark, spark.emptyDataset[Turn], cfg)
+    // append everything to the empty index via the delta path
+    val rep = IndexBuilder.build(spark, v1, cfg)
+    assert(rep.nDocs == v1.count())
+    val rdr = new IndexReader(spark, dir)
+    assert(rdr.search("assistant", 5).nonEmpty)
+    // same source again → pure resume, nothing rebuilt
+    val rep2 = IndexBuilder.build(spark, v1, cfg)
+    assert(rep2.segmentsBuilt == 0)
+  }
+}

@@ -72,13 +72,13 @@ class IndexBuilderSpec extends SparkFunSuite {
     val dirA = tmpDir("idx-p2"); val dirB = tmpDir("idx-p13")
     IndexBuilder.build(spark, turns, BuildConfig(dirA, nSegments = 4, sortPartitions = 2))
     IndexBuilder.build(spark, turns, BuildConfig(dirB, nSegments = 4, sortPartitions = 13))
-    val a = spark.read.parquet(IndexBuilder.docStatsDir(dirA))
+    val a = IndexBuilder.readDocs(spark, dirA)
       .select("doc_id", "conv_id", "turn_idx").collect().map(_.toSeq).toSet
-    val b = spark.read.parquet(IndexBuilder.docStatsDir(dirB))
+    val b = IndexBuilder.readDocs(spark, dirB)
       .select("doc_id", "conv_id", "turn_idx").collect().map(_.toSeq).toSet
     assert(a == b)
     // and ids are exactly the rank in (conv_id, turn_idx) order
-    val ordered = spark.read.parquet(IndexBuilder.docStatsDir(dirA))
+    val ordered = IndexBuilder.readDocs(spark, dirA)
       .orderBy("conv_id", "turn_idx").select("doc_id").as[Long].collect()
     assert(ordered.sameElements(ordered.indices.map(_.toLong)))
   }
