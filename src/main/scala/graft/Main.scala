@@ -15,13 +15,18 @@ import org.apache.spark.sql.SparkSession
  */
 object Main {
   private def session(): SparkSession = {
+    // under spark-submit the master (and tuned conf) arrive via system
+    // properties — overriding them here would silently collapse a
+    // multi-executor cluster back into the driver JVM
+    val submitted = sys.props.get("spark.master").isDefined
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
-    val s = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .appName("graft")
-      .config("spark.sql.shuffle.partitions", cpus)
+    val b = SparkSession.builder().appName("graft")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    if (!submitted) {
+      b.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+        .config("spark.sql.shuffle.partitions", cpus)
+    }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

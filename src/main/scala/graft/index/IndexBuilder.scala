@@ -150,6 +150,19 @@ object IndexBuilder {
   def readDocs(spark: SparkSession, outDir: String): DataFrame =
     readStaging(spark, outDir)
 
+  /** Order-insensitive xor accumulator (for the ride-along corpus
+    * hash; updates ride a result stage → applied once per successful
+    * task, like the dl accumulator). */
+  private class XorAcc extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+    private var v = 0L
+    override def isZero: Boolean = v == 0L
+    override def copy(): XorAcc = { val c = new XorAcc; c.v = v; c }
+    override def reset(): Unit = v = 0L
+    override def add(x: Long): Unit = v ^= x
+    override def merge(o: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit = v ^= o.value
+    override def value: Long = v
+  }
+
   /** Per-segment Long-counter accumulator (merge = pointwise sum). */
   private class SegCounter extends org.apache.spark.util.AccumulatorV2[(Int, Long), Map[Int, Long]] {
     private val m = scala.collection.mutable.HashMap.empty[Int, Long]
@@ -198,17 +211,23 @@ object IndexBuilder {
     val t0 = System.currentTimeMillis()
     val mdir = manifestDir(cfg.outDir)
 
-    // ---- change detection: order-insensitive corpus hash over the
-    // full identity+content tuple ----
-    val hashRow = turns.agg(
-      coalesce(sum(lit(1L)), lit(0L)).as("n"),
-      coalesce(expr("bit_xor(xxhash64(conv_id, turn_idx, role, text, tool))"), lit(0L)).as("h")
-    ).head()
-    val srcCount = hashRow.getLong(0)
-    val srcHash = hashRow.getLong(1).toString
-
     val phaseAPath = Manifest.phaseAPath(mdir)
     val prior = Manifest.read(phaseAPath)
+
+    // ---- change detection: order-insensitive corpus hash over the
+    // full identity+content tuple. The upfront scan (a full corpus
+    // read) only runs when there IS a prior manifest to compare
+    // against; a fresh build computes the same hash as an accumulator
+    // riding Phase A's id-assignment pass — one less corpus read. ----
+    val (srcCount, srcHash) =
+      if (prior.isEmpty) (-1L, null: String)
+      else {
+        val hashRow = turns.agg(
+          coalesce(sum(lit(1L)), lit(0L)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(conv_id, turn_idx, role, text, tool))"), lit(0L)).as("h")
+        ).head()
+        (hashRow.getLong(0), hashRow.getLong(1).toString)
+      }
     // analyzer/index_version checks REQUIRE the keys (not forall): a
     // pre-v2 on-disk index must trigger a clean full rebuild, never a
     // resume into mixed-format tables
@@ -334,7 +353,8 @@ object IndexBuilder {
     }
     dbg(s"phaseA sort+count ${tCounts}ms")
     val nDocs = counts.map(_._2).sum
-    require(nDocs == srcCount, s"sorted count $nDocs != source count $srcCount")
+    require(srcCount < 0 || nDocs == srcCount,
+      s"sorted count $nDocs != source count $srcCount")
     val offsets = new Array[Long](counts.length.max(1))
     var acc = 0L
     counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
@@ -348,6 +368,9 @@ object IndexBuilder {
     // result-stage task), so avgdl costs no extra pass
     val az = cfg.analyzer
     val dlAcc = spark.sparkContext.longAccumulator("graft.dlSum")
+    val hashAcc = new XorAcc
+    spark.sparkContext.register(hashAcc, "graft.srcHash")
+    val needHash = srcHash == null // fresh build: hash rides this pass
     val docTurns: Dataset[DocTurn] = sorted.mapPartitions { it =>
       val off = offB.value(TaskContext.getPartitionId())
       var i = 0L
@@ -355,6 +378,7 @@ object IndexBuilder {
         val id = off + i; i += 1
         val dl = az.docLength(t.text)
         dlAcc.add(dl)
+        if (needHash) hashAcc.add(RowHash.turnHash(t))
         DocTurn(id, (id / segSize).toInt, t.conv_id, t.turn_idx, t.role,
           t.text, t.tool, dl)
       }
@@ -391,7 +415,7 @@ object IndexBuilder {
       "avgdl" -> avgdl.toString,
       "seg_size" -> segSize.toString,
       "n_segments_effective" -> nSegEff.toString,
-      "content_hash" -> srcHash,
+      "content_hash" -> (if (needHash) hashAcc.value.toString else srcHash),
       "analyzer" -> cfg.analyzer.id,
       "index_version" -> IndexFormat.Version.toString,
       "tokenizer_version" -> Tokenizer.Version.toString,

@@ -13,10 +13,10 @@ for E in 2 8; do
   OUT=/tmp/graft_submit_$E
   rm -rf "$OUT"
   /opt/spark/bin/spark-submit \
-    --master "local-cluster[$E,4,6144]" \
+    --master "local-cluster[$E,4,9216]" \
     --class graft.Main \
     --driver-memory 4g \
-    --conf spark.executor.memory=5g \
+    --conf spark.executor.memory=8g \
     --conf spark.sql.shuffle.partitions=$((E*4)) \
     --conf spark.sql.session.timeZone=UTC \
     --conf spark.ui.enabled=false \
