@@ -86,6 +86,12 @@ object Main {
         }
       }
       spark.stop()
+    case "compact" :: dir :: Nil =>
+      // fold incremental staging overlays back into the base table
+      val spark = session()
+      val n = graft.index.Incremental.compact(spark, dir)
+      println(s"compacted: $n overlay segment(s) folded into base staging")
+      spark.stop()
     case "time" :: name :: rest =>
       // profile one SparkEntry query at a scale dir: warm once on a
       // fresh plan, then time N runs (count() as the action)

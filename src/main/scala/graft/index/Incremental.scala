@@ -211,4 +211,39 @@ object Incremental {
       (nDocs2, avgdl2, segSize, nSegEff2)
     } finally deltaRows.unpersist()
   }
+
+  /**
+   * Fold accumulated per-segment overlays back into a fresh immutable
+   * base staging. Content-preserving — the staging VIEW is identical
+   * before and after — so it can run any time between builds; overlays
+   * otherwise accumulate one directory per segment ever touched, and
+   * `readStaging`'s NOT-IN mask grows with them. Run it when the
+   * overlay count becomes a noticeable fraction of the segment count.
+   *
+   * Sequencing: the merged view is written aside, the old base is
+   * renamed away, the new base renamed in, then old base + overlays
+   * are deleted. The only non-crash-safe instant is between the two
+   * renames (base absent, both copies on disk) — a deliberate
+   * single-filesystem compromise documented here; under a real object
+   * store this becomes a catalog swap.
+   */
+  def compact(spark: SparkSession, outDir: String): Int = {
+    val over = IndexBuilder.overlaidSegments(outDir)
+    if (over.isEmpty) return 0
+    val p = spark.sparkContext.defaultParallelism
+    val tmp = Paths.get(outDir, "_tmp_compact")
+    Manifest.deleteRecursively(tmp)
+    IndexBuilder.readStaging(spark, outDir)
+      .repartitionByRange(p, col("segment"), col("doc_id"))
+      .sortWithinPartitions("segment", "doc_id")
+      .write.parquet(tmp.toString)
+    val base = Paths.get(IndexBuilder.stagingDir(outDir))
+    val old = Paths.get(outDir, "_staging", "docs_precompact")
+    Manifest.deleteRecursively(old)
+    Files.move(base, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, base, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Manifest.deleteRecursively(old)
+    Manifest.deleteRecursively(Paths.get(IndexBuilder.overlayDir(outDir)))
+    over.size
+  }
 }

@@ -110,7 +110,7 @@ class IndexReader(spark: SparkSession, dir: String) extends Serializable {
             }
           }
           .collect()
-      } finally queriesB.destroy() // else each batch leaks executor blocks for the session lifetime
+      } finally queriesB.unpersist(blocking = false) // async: frees executor copies without stalling the serving path (destroy() blocks)
 
     perSegment.groupBy(_._1).toSeq.flatMap { case (qid, hits) =>
       hits.map(h => (h._2, h._3))

@@ -70,17 +70,29 @@ object LocalIndex {
     spark.read.parquet(IndexBuilder.dictionaryDir(dir))
       .select("term", "df").as[(String, Long)].collect()
       .foreach { case (t, df) => dfs.put(t, df) }
-    // stream partitions to the driver (toLocalIterator fetches one
-    // task result at a time — a multi-GB index loads without tripping
-    // spark.driver.maxResultSize)
+    // small enough to collect → ONE parallel job (every executor
+    // decodes its partitions concurrently); genuinely large indexes
+    // stream partition-at-a-time instead, trading load speed for a
+    // bounded driver fetch (collect would trip
+    // spark.driver.maxResultSize and double peak driver memory)
+    val postingBytes = {
+      val p = java.nio.file.Paths.get(IndexBuilder.postingsDir(dir))
+      val it = java.nio.file.Files.walk(p).iterator()
+      var n = 0L
+      while (it.hasNext) { val f = it.next(); if (java.nio.file.Files.isRegularFile(f)) n += java.nio.file.Files.size(f) }
+      n
+    }
     val acc = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[PostingBlockRow]]()
-    val it = spark.read.parquet(IndexBuilder.postingsDir(dir))
-      .as[PostingBlockRow].toLocalIterator()
-    while (it.hasNext) {
-      val b = it.next()
+    def put(b: PostingBlockRow): Unit = {
       var buf = acc.get(b.term)
       if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty; acc.put(b.term, buf) }
       buf += b
+    }
+    val ds = spark.read.parquet(IndexBuilder.postingsDir(dir)).as[PostingBlockRow]
+    if (postingBytes <= (1L << 30)) ds.collect().foreach(put)
+    else {
+      val it = ds.toLocalIterator()
+      while (it.hasNext) put(it.next())
     }
     val byTerm = new java.util.HashMap[String, IndexedSeq[PostingBlockRow]]()
     acc.forEach { (t, rows) =>

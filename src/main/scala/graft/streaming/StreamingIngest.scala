@@ -3,7 +3,14 @@ package graft.streaming
 import graft.model.Turn
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Running per-conversation state for [[StreamingIngest.conversationSummaries]]. */
+case class ConvState(nTurns: Long, minTurn: Int, maxTurn: Int, contentHash: Long)
+
+/** One finalized conversation emitted when it goes idle past the gap. */
+case class ConvSummary(conv_id: String, n_turns: Long, min_turn: Int,
+                       max_turn: Int, content_hash: Long)
 
 /**
  * Structured-Streaming ingest — the reference's polling `Scanner`
@@ -71,4 +78,49 @@ object StreamingIngest {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("role"))
       .agg(count(lit(1)).as("n_turns"),
         avg(length(col("text"))).as("mean_chars"))
+
+  /**
+   * Custom keyed state (`flatMapGroupsWithState` + event-time
+   * timeout): per-conversation progress tracking that emits ONE
+   * summary row — turn count, turn_idx span, order-insensitive
+   * content hash (xor of the same per-turn hash the index's change
+   * detection uses) — when the conversation goes idle past
+   * `gapMs` of event time. The streaming form of the reference
+   * scanner's per-source bookkeeping: state lives per key, is updated
+   * incrementally as turns arrive (arbitrarily across micro-batches),
+   * and is dropped on finalization, so memory is O(live
+   * conversations), never O(history).
+   */
+  def conversationSummaries(turns: Dataset[Turn],
+                            gapMs: Long = 30L * 60 * 1000): Dataset[ConvSummary] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns
+      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvState, ConvSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (convId: String, rows: Iterator[Turn], state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ConvSummary(convId, s.nTurns, s.minTurn, s.maxTurn, s.contentHash))
+          } else {
+            var s = state.getOption.getOrElse(ConvState(0L, Int.MaxValue, Int.MinValue, 0L))
+            var maxTs = Long.MinValue
+            rows.foreach { t =>
+              s = ConvState(s.nTurns + 1,
+                math.min(s.minTurn, t.turn_idx), math.max(s.maxTurn, t.turn_idx),
+                s.contentHash ^ graft.index.RowHash.turnHash(t))
+              if (t.ts != null) maxTs = math.max(maxTs, t.ts.getTime)
+            }
+            state.update(s)
+            // finalize when event time passes the conversation's last
+            // activity + gap
+            val base = if (maxTs == Long.MinValue) state.getCurrentWatermarkMs() else maxTs
+            state.setTimeoutTimestamp(base + gapMs)
+            Iterator.empty
+          }
+      }
+  }
 }

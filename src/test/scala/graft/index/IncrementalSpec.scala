@@ -128,6 +128,33 @@ class IncrementalSpec extends SparkFunSuite {
     queriesEqual(ri, rf)
   }
 
+  test("compact folds overlays into base; view, queries, and further deltas unchanged") {
+    val dir = tmpDir("inc-compact")
+    val cfg = BuildConfig(dir, nSegments = 8, waveSize = 8)
+    IndexBuilder.build(spark, v1, cfg)
+    IndexBuilder.build(spark, v2, cfg)
+    assert(IndexBuilder.overlaidSegments(dir).nonEmpty)
+    val rdr = new IndexReader(spark, dir)
+    val before = rdr.searchRanked("assistant tool error", 10000)
+      .map(h => (h.conv_id, h.turn_idx, h.score)).toSet
+
+    val folded = Incremental.compact(spark, dir)
+    assert(folded > 0)
+    assert(IndexBuilder.overlaidSegments(dir).isEmpty)
+    assert(IndexBuilder.verifyIngestion(spark, dir, v2) == 0L)
+    val after = new IndexReader(spark, dir).searchRanked("assistant tool error", 10000)
+      .map(h => (h.conv_id, h.turn_idx, h.score)).toSet
+    assert(after == before)
+    // a delta applied on top of the compacted base still works
+    val rep3 = IndexBuilder.build(spark, v3, cfg)
+    assert(rep3.segmentsBuilt > 0)
+    assert(IndexBuilder.verifyIngestion(spark, dir, v3) == 0L)
+    // compacting twice is a no-op
+    IndexBuilder.build(spark, v3, BuildConfig(dir, nSegments = 8, waveSize = 8))
+    Incremental.compact(spark, dir)
+    assert(Incremental.compact(spark, dir) == 0)
+  }
+
   test("delta from an empty index = initial load; rerun of same source is a no-op") {
     val dir = tmpDir("inc-empty")
     val cfg = BuildConfig(dir, nSegments = 4, waveSize = 4)

@@ -85,3 +85,38 @@ class StreamingIngestSpec extends SparkFunSuite {
     assert(rows == wantRoles)
   }
 }
+
+/** Custom keyed state: flatMapGroupsWithState conversation summaries
+  * with event-time timeout (prompt requirement: custom state via
+  * KeyValueGroupedDataset). */
+class ConversationStateSpec extends SparkFunSuite {
+  import graft.SparkTestBase.spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def t(convId: String, idx: Int, sec: Long) =
+    Turn(convId, idx, "user", s"text $convId $idx", "tool0",
+      new java.sql.Timestamp(sec * 1000))
+
+  test("idle conversation finalizes once: count, span, xor content hash; state dropped") {
+    val mem = MemoryStream[Turn]
+    val q = StreamingIngest.conversationSummaries(mem.toDS(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("convsum").outputMode("append")
+      .option("checkpointLocation", tmpDir("convsum-ckpt")).start()
+    try {
+      mem.addData(t("a", 0, 100), t("a", 1, 160))
+      q.processAllAvailable()
+      mem.addData(t("b", 0, 1000)) // watermark sails past a's idle gap
+      q.processAllAvailable()
+      mem.addData(t("b", 1, 2000)) // next trigger fires a's timeout
+      q.processAllAvailable()
+      val rows = spark.table("convsum").as[ConvSummary].collect()
+      val a = rows.filter(_.conv_id == "a")
+      assert(a.length == 1) // exactly one finalization
+      assert(a.head.n_turns == 2 && a.head.min_turn == 0 && a.head.max_turn == 1)
+      val want = graft.index.RowHash.turnHash(t("a", 0, 100)) ^
+        graft.index.RowHash.turnHash(t("a", 1, 160))
+      assert(a.head.content_hash == want)
+      assert(!rows.exists(_.conv_id == "b")) // b is still live (no timeout yet)
+    } finally q.stop()
+  }
+}
