@@ -58,7 +58,11 @@ object Main {
       val rep = IndexBuilder.build(spark, turns,
         nSeg.fold(BuildConfig(out))(n => BuildConfig(out, nSegments = n, waveSize = n)))
       println(s"built: nDocs=${rep.nDocs} avgdl=${rep.avgdl} nTerms=${rep.nTerms} " +
-        s"segments built=${rep.segmentsBuilt} skipped=${rep.segmentsSkipped} wallMs=${rep.wallMs}")
+        s"segments built=${rep.segmentsBuilt} skipped=${rep.segmentsSkipped} " +
+        s"quarantined=${rep.segmentsQuarantined} wallMs=${rep.wallMs}")
+      if (rep.segmentsQuarantined > 0)
+        System.err.println(s"WARNING: ${rep.segmentsQuarantined} segment(s) " +
+          "quarantined after repeated failures — the index is missing their documents")
       spark.stop()
     case "query" :: dir :: qs if qs.nonEmpty =>
       val spark = session()

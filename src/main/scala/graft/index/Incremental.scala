@@ -90,19 +90,11 @@ object Incremental {
         .select(col("conv_id"), col("turn_idx"))
       val p = if (cfg.sortPartitions > 0) cfg.sortPartitions
               else spark.sparkContext.defaultParallelism
-      val sortedFresh = turns.toDF()
-        .join(freshKeys, Seq("conv_id", "turn_idx"), "left_semi")
-        .as[Turn]
-        .repartitionByRange(p, col("conv_id"), col("turn_idx"))
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val counts = sortedFresh.mapPartitions { it =>
-        Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
-      }.collect().sortBy(_._1)
-      val nFresh = counts.map(_._2).sum
-      val offsets = new Array[Long](counts.length.max(1))
-      var acc = 0L
-      counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
+      val (sortedFresh, offsets, nFresh) = IndexBuilder.sortAndOffsets(spark,
+        turns.toDF()
+          .join(freshKeys, Seq("conv_id", "turn_idx"), "left_semi")
+          .as[Turn],
+        p)
       val offB = spark.sparkContext.broadcast(offsets)
       val freshRows: DataFrame =
         if (nFresh == 0) spark.createDataFrame(
@@ -134,7 +126,13 @@ object Incremental {
 
       val overlaySegs = changedSegs ++ freshSegs
       if (overlaySegs.nonEmpty) {
-        // STALE rows FIRST: if we crash before the overlays publish,
+        // invalidate the finalize commit point FIRST: the dictionary /
+        // corpus_stats derived for the pre-delta corpus must never
+        // survive a crash that lands after the waves but before
+        // finalizeStats reruns (pending would be empty on resume and
+        // the stale COMPLETE finalize manifest would skip the rebuild)
+        Files.deleteIfExists(Manifest.finalizePath(mdir))
+        // STALE rows next: if we crash before the overlays publish,
         // the re-planned segments rebuild from whatever view exists
         // (idempotent overwrite), and the rerun's diff re-creates any
         // missing overlays

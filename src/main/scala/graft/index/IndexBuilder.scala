@@ -117,13 +117,16 @@ object IndexBuilder {
   def overlaidSegments(outDir: String): Set[Int] = {
     val d = Paths.get(overlayDir(outDir))
     if (!Files.exists(d)) return Set.empty
-    val it = Files.list(d).iterator()
-    val out = Set.newBuilder[Int]
-    while (it.hasNext) {
-      val name = it.next().getFileName.toString
-      if (name.startsWith("segment=")) out += name.stripPrefix("segment=").toInt
-    }
-    out.result()
+    val s = Files.list(d)
+    try {
+      val it = s.iterator()
+      val out = Set.newBuilder[Int]
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.startsWith("segment=")) out += name.stripPrefix("segment=").toInt
+      }
+      out.result()
+    } finally s.close() // serving-path hot loop: leaked dir fds accumulate between GCs
   }
 
   /**
@@ -284,25 +287,35 @@ object IndexBuilder {
       try buildWave(spark, cfg, wave, attemptOf)
       catch {
         case k: SimulatedKill => throw k
-        case _: Exception =>
+        case e0: Exception =>
+          val rows = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+          var anySucceeded = false
+          var lastErr: Exception = e0
           wave.foreach { seg =>
             var done = false
             while (!done && failCounts.getOrElse(seg, 0) < MaxAttempts) {
-              try { buildWave(spark, cfg, Seq(seg), attemptOf); done = true }
+              try { buildWave(spark, cfg, Seq(seg), attemptOf); done = true; anySucceeded = true }
               catch {
                 case k: SimulatedKill => throw k
                 case e: Exception =>
+                  lastErr = e
                   val n = failCounts.getOrElse(seg, 0) + 1
                   failCounts(seg) = n
                   val status =
                     if (n >= MaxAttempts) Manifest.Quarantined else Manifest.Failed
-                  Manifest.appendLedger(mdir, Seq(Map(
+                  rows += Map(
                     "segment" -> seg.toString, "status" -> status,
                     "attempts" -> n.toString,
-                    "error" -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))))
+                    "error" -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
               }
             }
           }
+          // poison isolation assumes MOST segments succeed: when every
+          // segment of a multi-segment wave fails, the cause is the
+          // environment (lost executors, full disk), not the data —
+          // abort without burning retry budget or quarantining anything
+          if (!anySucceeded && wave.size > 1) throw lastErr
+          Manifest.appendLedger(mdir, rows.toSeq)
       }
       wavesDone += 1
     }
@@ -320,7 +333,10 @@ object IndexBuilder {
     val finalStates = Manifest.segmentStates(mdir)
     val built = pending.count(s => finalStates.get(s)
       .exists(_.get("status").contains(Manifest.Complete)))
-    val quarantined = finalStates.count(_._2.get("status").contains(Manifest.Quarantined))
+    // quarantined THIS RUN (symmetric with `built`); the full set is
+    // Manifest.quarantinedSegments(manifestDir)
+    val quarantined = pending.count(s => finalStates.get(s)
+      .exists(_.get("status").contains(Manifest.Quarantined)))
     BuildReport(nDocs, avgdl, nTerms, built, complete.size,
       System.currentTimeMillis() - t0, quarantined)
   }
@@ -328,6 +344,36 @@ object IndexBuilder {
   /** Failed-segment retry budget before quarantine (the reference's
     * `errorCounter` threshold, `ScannerImpl.java:614-713`). */
   val MaxAttempts = 3
+
+  /**
+   * The shared 2-pass dense-rank mechanism: global (conv_id, turn_idx)
+   * range sort, then per-partition counts → prefix offsets, so a later
+   * mapPartitions can assign id = offset(pid) + local index. Range
+   * partitions are globally ordered and keys unique, so the id equals
+   * the row's rank in the total order at ANY parallelism (the 2-vs-13
+   * partition stability spec). Returns (sorted persisted dataset,
+   * offsets by partition id, total rows); the caller must unpersist.
+   *
+   * The counting action also MATERIALIZES the cache; any later
+   * offset-indexing mapPartitions over `sorted` must likewise run in
+   * its own job against the cache — evaluated lazily inside a union it
+   * would see UNION-GLOBAL partition ids and misindex the offsets.
+   */
+  private[index] def sortAndOffsets(spark: SparkSession, turns: Dataset[Turn],
+                                    p: Int): (Dataset[Turn], Array[Long], Long) = {
+    import spark.implicits._
+    val sorted = turns
+      .repartitionByRange(p, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.mapPartitions { it =>
+      Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](counts.length.max(1))
+    var acc = 0L
+    counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
+    (sorted, offsets, acc)
+  }
 
   /** Phase A. Returns (nDocs, avgdl, segSize, effective segment count). */
   private def phaseA(spark: SparkSession, turns: Dataset[Turn], cfg: BuildConfig,
@@ -337,27 +383,12 @@ object IndexBuilder {
     val p = if (cfg.sortPartitions > 0) cfg.sortPartitions
             else spark.sparkContext.defaultParallelism
 
-    val sorted = turns
-      .repartitionByRange(p, col("conv_id"), col("turn_idx"))
-      .sortWithinPartitions("conv_id", "turn_idx")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // pass 1: per-partition counts → dense offsets (docID stability:
-    // range partitions are globally ordered and keys are unique, so the
-    // assigned id equals the row's rank in the total order regardless
-    // of p — SURVEY.md §7.5)
-    val (counts, tCounts) = timedMs {
-      sorted.mapPartitions { it =>
-        Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
-      }.collect().sortBy(_._1)
-    }
+    // pass 1: sort + per-partition counts → dense offsets (docID
+    // stability — SURVEY.md §7.5)
+    val ((sorted, offsets, nDocs), tCounts) = timedMs(sortAndOffsets(spark, turns, p))
     dbg(s"phaseA sort+count ${tCounts}ms")
-    val nDocs = counts.map(_._2).sum
     require(srcCount < 0 || nDocs == srcCount,
       s"sorted count $nDocs != source count $srcCount")
-    val offsets = new Array[Long](counts.length.max(1))
-    var acc = 0L
-    counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
     val nSegTarget = cfg.segmentsFor(nDocs)
     val segSize = math.max(1L, (nDocs + nSegTarget - 1) / nSegTarget)
     val nSegEff = if (nDocs == 0) 0 else (((nDocs - 1) / segSize) + 1).toInt

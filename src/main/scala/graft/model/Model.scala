@@ -35,6 +35,13 @@ case class CorpusStats(n_docs: Long, avgdl: Double, n_terms: Long,
   * Readers and the resume path refuse other versions cleanly. */
 object IndexFormat {
   val Version = 2
+
+  /** Single version gate shared by every reader (cluster + serving
+    * paths must enforce identically). */
+  def check(stats: CorpusStats, dir: String): Unit =
+    require(stats.index_version == Version,
+      s"index at $dir is format v${stats.index_version}; this reader " +
+        s"requires v$Version — rebuild the index")
 }
 
 /** One encoded posting block: ≤ blockSize postings of one (segment,

@@ -23,9 +23,7 @@ class IndexReader(spark: SparkSession, dir: String) extends Serializable {
 
   lazy val stats: CorpusStats = {
     val s = spark.read.parquet(IndexBuilder.corpusStatsDir(dir)).as[CorpusStats].head()
-    require(s.index_version == graft.model.IndexFormat.Version,
-      s"index at $dir is format v${s.index_version}; this reader requires " +
-        s"v${graft.model.IndexFormat.Version} — rebuild the index")
+    graft.model.IndexFormat.check(s, dir)
     s
   }
 

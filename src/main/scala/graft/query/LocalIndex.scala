@@ -57,9 +57,7 @@ object LocalIndex {
     import spark.implicits._
     val s = spark.read.parquet(IndexBuilder.corpusStatsDir(dir))
       .as[CorpusStats].head()
-    require(s.index_version == graft.model.IndexFormat.Version,
-      s"index at $dir is format v${s.index_version}; this reader requires " +
-        s"v${graft.model.IndexFormat.Version} — rebuild the index")
+    graft.model.IndexFormat.check(s, dir)
     s
   }
 
@@ -77,11 +75,20 @@ object LocalIndex {
     // spark.driver.maxResultSize and double peak driver memory)
     val postingBytes = {
       val p = java.nio.file.Paths.get(IndexBuilder.postingsDir(dir))
-      val it = java.nio.file.Files.walk(p).iterator()
-      var n = 0L
-      while (it.hasNext) { val f = it.next(); if (java.nio.file.Files.isRegularFile(f)) n += java.nio.file.Files.size(f) }
-      n
+      val s = java.nio.file.Files.walk(p)
+      try {
+        val it = s.iterator()
+        var n = 0L
+        while (it.hasNext) { val f = it.next(); if (java.nio.file.Files.isRegularFile(f)) n += java.nio.file.Files.size(f) }
+        n
+      } finally s.close()
     }
+    // the collect() fast path must stay safely under the driver's
+    // result-size cap (serialized task results ≥ on-disk size); 0 = no cap
+    val maxResult = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.driver.maxResultSize", "1g"))
+    val collectCap =
+      if (maxResult <= 0) 1L << 30 else math.min(1L << 30, maxResult / 2)
     val acc = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[PostingBlockRow]]()
     def put(b: PostingBlockRow): Unit = {
       var buf = acc.get(b.term)
@@ -89,7 +96,7 @@ object LocalIndex {
       buf += b
     }
     val ds = spark.read.parquet(IndexBuilder.postingsDir(dir)).as[PostingBlockRow]
-    if (postingBytes <= (1L << 30)) ds.collect().foreach(put)
+    if (postingBytes <= collectCap) ds.collect().foreach(put)
     else {
       val it = ds.toLocalIterator()
       while (it.hasNext) put(it.next())

@@ -62,6 +62,8 @@ object Manifest {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
+      case '\r' => "\\r" // a CR in an error message must not split a JSONL row
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
 
@@ -80,10 +82,12 @@ object Manifest {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < s.length) {
         s.charAt(i + 1) match {
-          case 'n' => sb.append('\n')
-          case x => sb.append(x)
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case x => sb.append(x); i += 2
         }
-        i += 2
       } else { sb.append(c); i += 1 }
     }
     sb.toString
@@ -130,9 +134,12 @@ object Manifest {
   def segmentStates(manifestDir: String): Map[Int, Map[String, String]] = {
     val dir = Paths.get(manifestDir)
     if (!Files.exists(dir)) return Map.empty
-    val files = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.matches("wave-.*\\.jsonl"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val listing = Files.list(dir)
+    val files =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.matches("wave-.*\\.jsonl"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally listing.close()
     val acc = scala.collection.mutable.HashMap.empty[Int, Map[String, String]]
     files.foreach { f =>
       Files.readAllLines(f, StandardCharsets.UTF_8).asScala.foreach { line =>
@@ -161,8 +168,10 @@ object Manifest {
   /** Recursive delete (for overwrite rebuilds and tests). */
   def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
+      finally s.close()
     }
   }
 

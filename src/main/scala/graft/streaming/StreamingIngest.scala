@@ -5,8 +5,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-/** Running per-conversation state for [[StreamingIngest.conversationSummaries]]. */
-case class ConvState(nTurns: Long, minTurn: Int, maxTurn: Int, contentHash: Long)
+/** Running per-conversation state for [[StreamingIngest.conversationSummaries]].
+  * `lastTsMs` is the running max event time — the timeout must be
+  * monotone in it, or a late (within-watermark) batch would pull the
+  * deadline earlier and finalize prematurely. */
+case class ConvState(nTurns: Long, minTurn: Int, maxTurn: Int,
+                     contentHash: Long, lastTsMs: Long)
 
 /** One finalized conversation emitted when it goes idle past the gap. */
 case class ConvSummary(conv_id: String, n_turns: Long, min_turn: Int,
@@ -106,18 +110,21 @@ object StreamingIngest {
             state.remove()
             Iterator.single(ConvSummary(convId, s.nTurns, s.minTurn, s.maxTurn, s.contentHash))
           } else {
-            var s = state.getOption.getOrElse(ConvState(0L, Int.MaxValue, Int.MinValue, 0L))
-            var maxTs = Long.MinValue
+            var s = state.getOption.getOrElse(
+              ConvState(0L, Int.MaxValue, Int.MinValue, 0L, Long.MinValue))
             rows.foreach { t =>
               s = ConvState(s.nTurns + 1,
                 math.min(s.minTurn, t.turn_idx), math.max(s.maxTurn, t.turn_idx),
-                s.contentHash ^ graft.index.RowHash.turnHash(t))
-              if (t.ts != null) maxTs = math.max(maxTs, t.ts.getTime)
+                s.contentHash ^ graft.index.RowHash.turnHash(t),
+                if (t.ts == null) s.lastTsMs else math.max(s.lastTsMs, t.ts.getTime))
             }
             state.update(s)
             // finalize when event time passes the conversation's last
-            // activity + gap
-            val base = if (maxTs == Long.MinValue) state.getCurrentWatermarkMs() else maxTs
+            // activity + gap; monotone in the RUNNING max (a late
+            // in-order-violating batch must never pull it earlier)
+            val base =
+              if (s.lastTsMs == Long.MinValue) state.getCurrentWatermarkMs()
+              else s.lastTsMs
             state.setTimeoutTimestamp(base + gapMs)
             Iterator.empty
           }

@@ -155,6 +155,28 @@ class IncrementalSpec extends SparkFunSuite {
     assert(Incremental.compact(spark, dir) == 0)
   }
 
+  test("delta invalidates the finalize commit point (stale dictionary cannot survive a crash)") {
+    val dir = tmpDir("inc-fin")
+    val cfg = BuildConfig(dir, nSegments = 8, waveSize = 8)
+    IndexBuilder.build(spark, v1, cfg)
+    val finPath = graft.store.Manifest.finalizePath(IndexBuilder.manifestDir(dir))
+    assert(Files.exists(finPath))
+    // simulate the crash window: the delta lands (overlays + STALE +
+    // manifest), then the process dies before Phase B / finalize
+    val h = v2.agg(org.apache.spark.sql.functions.expr(
+      "bit_xor(xxhash64(conv_id, turn_idx, role, text, tool))")).head().getLong(0).toString
+    Incremental.delta(spark, v2, cfg, h)
+    assert(!Files.exists(finPath), "stale finalize manifest must be invalidated by the delta")
+    // the resumed build must re-derive dictionary/corpus_stats
+    val rep = IndexBuilder.build(spark, v2, cfg)
+    assert(rep.segmentsBuilt > 0)
+    val fullDir = tmpDir("inc-fin-full")
+    IndexBuilder.build(spark, v2, BuildConfig(fullDir, nSegments = 8, waveSize = 8))
+    val ri = new IndexReader(spark, dir); val rf = new IndexReader(spark, fullDir)
+    assert(ri.stats.n_docs == rf.stats.n_docs && ri.stats.avgdl == rf.stats.avgdl &&
+      ri.stats.n_terms == rf.stats.n_terms)
+  }
+
   test("delta from an empty index = initial load; rerun of same source is a no-op") {
     val dir = tmpDir("inc-empty")
     val cfg = BuildConfig(dir, nSegments = 4, waveSize = 4)

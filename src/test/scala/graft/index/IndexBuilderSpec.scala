@@ -184,11 +184,14 @@ class IndexBuilderSpec extends SparkFunSuite {
     assert(states(2)("status") == Manifest.Quarantined)
     assert(states(2)("attempts") == IndexBuilder.MaxAttempts.toString)
     // rerun (poison still present): the quarantined segment is NOT
-    // re-planned; everything else is already COMPLETE
+    // re-planned; everything else is already COMPLETE. This run
+    // quarantines nothing NEW (report is per-run); the persistent set
+    // comes from the ledger.
     val rep2 = IndexBuilder.build(spark, turns,
       BuildConfig(dir, nSegments = 6, waveSize = 3, poisonSegments = Set(2)))
-    assert(rep2.segmentsBuilt == 0 && rep2.segmentsQuarantined == 1)
+    assert(rep2.segmentsBuilt == 0 && rep2.segmentsQuarantined == 0)
     assert(rep2.segmentsSkipped == 5)
+    assert(Manifest.quarantinedSegments(IndexBuilder.manifestDir(dir)) == Set(2))
     // the surviving index still answers queries
     val rdr = new IndexReader(spark, dir)
     assert(rdr.search(referenceQueries.head, 10).nonEmpty)
