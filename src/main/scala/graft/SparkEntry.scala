@@ -300,6 +300,15 @@ object SparkEntry {
       .select("rank", "id", "cosine")
   }
 
+  private def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val q = queryVec(s, dir)
+    Similarity.ivfTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding", q, 20,
+        centroidStep = 50, nprobe = 3)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("id").asc)).cast("long"))
+      .select("rank", "id", "cosine")
+  }
+
   private def taLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.languageId(tbl(s, dir, "documents"), "text")
       .select("doc_id", "lang_pred")
@@ -459,6 +468,7 @@ object SparkEntry {
     "d_embedding_neardup" -> (dEmbeddingNeardup _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_ann_topk" -> (simAnnTopk _),
+    "sim_ivf_topk" -> (simIvfTopk _),
     "ta_lang_id" -> (taLangId _),
     "ta_quality" -> (taQuality _),
     "ta_token_counts" -> (taTokenCounts _),
@@ -731,6 +741,20 @@ object SparkEntry {
            |c AS (SELECT vec_id AS id, ${cosSql("embedding", "qv")} AS cosine FROM embeddings, q)
            |SELECT row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank, id, cosine
            |FROM c ORDER BY rank LIMIT 20""".stripMargin,
+
+      // IVF oracle: same sampled centroids, argmax-cosine assignment
+      // (ties → lowest centroid id), nprobe nearest lists, exact re-rank
+      "sim_ivf_topk" ->
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+           |pr AS (SELECT cid FROM c, q ORDER BY ${cosSql("cv", "qv")} DESC, cid ASC LIMIT 3),
+           |a AS (SELECT e.vec_id AS id, e.embedding AS v,
+           |  (SELECT cid FROM c ORDER BY ${cosSql("e.embedding", "cv")} DESC, cid ASC LIMIT 1) AS bucket
+           | FROM embeddings e),
+           |cand AS (SELECT id, ${cosSql("v", "qv")} AS cosine
+           |         FROM a, q WHERE bucket IN (SELECT cid FROM pr))
+           |SELECT row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank, id, cosine
+           |FROM cand ORDER BY rank LIMIT 20""".stripMargin,
 
       "ta_lang_id" ->
         s"""WITH base AS (SELECT doc_id, $ToksSql AS toks FROM documents),

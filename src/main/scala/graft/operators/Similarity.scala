@@ -74,6 +74,69 @@ object Similarity {
    * corpus pass. Recall is approximate by construction — the
    * brute-force path is the exactness baseline.
    */
+  /**
+   * IVF-flat ANN: the corpus is assigned to nearest-centroid buckets
+   * (an inverted file over vector space); a query probes only the
+   * `nprobe` centroid lists nearest to it, with exact cosine re-rank
+   * inside. Centroids default to a deterministic data sample (every
+   * `centroidStep`-th id — the standard cheap baseline; a k-means
+   * refinement would slot into the same assign/probe plumbing).
+   *
+   * Scale shape: centroids are tiny (collected + inlined as literals,
+   * broadcast-free), assignment is ONE narrow map pass, and at scale
+   * the assigned table is written bucket-partitioned so a query reads
+   * nprobe partitions — never the full corpus. Assignment tie-break is
+   * deterministic (earliest/lowest centroid id on equal similarity),
+   * and every arithmetic step is oracle-mirrorable in plain SQL.
+   */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], k: Int,
+              centroidStep: Int = 50, nprobe: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Seq[Float])] =
+      df.filter(pmod(col(idCol), lit(centroidStep)) === 0)
+        .select(col(idCol).cast("long"), col(vecCol))
+        .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty, s"no centroids: no $idCol % $centroidStep == 0 rows")
+
+    // bucket = argmax over centroids of cos(v, c); strict > keeps the
+    // LOWEST cid on ties (deterministic, matches the SQL oracle)
+    def bucketOf(v: Column): Column =
+      cents.foldLeft(struct(lit(-1L).as("cid"),
+        lit(Double.NegativeInfinity).as("sim"))) { case (acc, (cid, cv)) =>
+        val s = cosine(v, typedLit(cv))
+        when(s > acc.getField("sim"),
+          struct(lit(cid).as("cid"), s.as("sim"))).otherwise(acc)
+      }.getField("cid")
+
+    // probe set: nprobe centroids nearest to the query, computed with
+    // the same left-fold double arithmetic the executors (and the
+    // oracle) use
+    def dotD(a: Array[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def normD(a: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val qn = normD(query.toSeq)
+    val probes = cents.map { case (cid, cv) =>
+      (cid, dotD(query, cv) / (normD(cv) * qn))
+    }.sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1)
+
+    val q = typedLit(query.toSeq)
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", bucketOf(col("v")))
+      .filter(col("bucket").isInCollection(probes))
+      .select(col("id"), cosine(col("v"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Array[Float], k: Int, planes: Int = 12): DataFrame = {
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))

@@ -282,6 +282,26 @@ class OperatorsSpec extends SparkFunSuite {
 
   // ---- Multimodal ----
 
+  test("ivfTopK: query's own bucket is probed; exact match found; assignment deterministic") {
+    val dim = 8
+    // i·31 mod 101 is injective for i < 101 → all vectors distinct
+    val vecs = (0L until 40L).map { i =>
+      (i, (0 until dim).map(d => ((i * 31 + d * 13) % 101 - 50).toFloat / 50f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val query = vecs(23)._2.toArray
+    val top = Similarity.ivfTopK(df, "vec_id", "embedding", query, 5,
+        centroidStep = 10, nprobe = 2)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 23L) // the vector itself wins its own probe set
+    assert(math.abs(top.head._2 - 1.0) < 1e-9)
+    // determinism: identical result on a re-run at different parallelism
+    val top2 = Similarity.ivfTopK(df.repartition(7), "vec_id", "embedding", query, 5,
+        centroidStep = 10, nprobe = 2)
+      .as[(Long, Double)].collect()
+    assert(top.toSeq == top2.toSeq)
+  }
+
   test("multimodal: schema contract, deterministic decode, null payload error channel") {
     val media = Multimodal.demoMediaTable(spark, docs.filter($"doc_id" < 2),
       "doc_id", "text")
