@@ -88,4 +88,26 @@ class PlanAuditSpec extends SparkFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1)))
     assert(terms.sameElements(terms.sortBy(identity)), "postings not (term, block_id)-sorted")
   }
+
+  test("minhash candidate generation: one signature computation, no self-join, no cartesian") {
+    val docs = Seq((0L, "a b c d e f"), (1L, "a b c d e g"), (2L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val plan = planOf(graft.operators.Dedup.minHashCandidates(docs, "doc_id", "text"))
+    // signatures must be derived ONCE: the old self-join duplicated the
+    // whole pipeline per side (2x compute, 3x shuffle)
+    assert("graft_minhash_sig".r.findAllIn(plan).size <= 1, plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin")) // pairs come from in-bucket lists, not a join
+  }
+
+  test("ivf probe: no cartesian/join — assignment is a map, probe a filter") {
+    val vecs = (0L until 30L).map(i =>
+      (i, (0 until 4).map(d => ((i * 31 + d * 13) % 101 - 50).toFloat / 50f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val plan = planOf(graft.operators.Similarity.ivfTopK(
+      df, "vec_id", "embedding", vecs(3)._2.toArray, 5, centroidStep = 10, nprobe = 2))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject")) // top-k, not a global sort
+  }
 }
