@@ -48,6 +48,15 @@ import java.nio.file.{Files, Paths}
  * across updates (IncrementalSpec) — and remain score-correct under
  * the shifted corpus avgdl because block-max metadata is
  * avgdl-independent (index format v2).
+ *
+ * Contract: (conv_id, turn_idx) is UNIQUE in the source (the
+ * reference's document-id uniqueness); duplicate keys make the diff
+ * join fan out and are undefined behavior, exactly as they are for
+ * the initial build's rank-based docIDs. Cost shape: the source is
+ * scanned up to three times per delta (hash diff; updated-row fetch;
+ * new-row fetch) but only ids + 8-byte hashes ever cross a shuffle —
+ * re-scanning columnar source beats shipping the text column through
+ * an exchange at any scale.
  */
 object Incremental {
 

@@ -17,8 +17,15 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Σ a_i·b_i with double accumulation (deterministic fold order). */
-  def dot(a: Column, b: Column): Column =
+  /** Σ a_i·b_i with double accumulation (deterministic fold order).
+    * Native codegen'd loop ([[graft.functions.DotExpr]]); [[dotDecl]]
+    * is the declarative reference form it must match bit-for-bit
+    * (DotExprSpec pins the equivalence; every cosine oracle proves it
+    * cross-engine). */
+  def dot(a: Column, b: Column): Column = graft.functions.DotExpr(a, b)
+
+  /** Declarative (pure functions._) reference implementation. */
+  def dotDecl(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -100,15 +107,18 @@ object Similarity {
         .as[(Long, Seq[Float])].collect().sortBy(_._1)
     require(cents.nonEmpty, s"no centroids: no $idCol % $centroidStep == 0 rows")
 
-    // bucket = argmax over centroids of cos(v, c); strict > keeps the
-    // LOWEST cid on ties (deterministic, matches the SQL oracle)
-    def bucketOf(v: Column): Column =
-      cents.foldLeft(struct(lit(-1L).as("cid"),
-        lit(Double.NegativeInfinity).as("sim"))) { case (acc, (cid, cv)) =>
-        val s = cosine(v, typedLit(cv))
-        when(s > acc.getField("sim"),
-          struct(lit(cid).as("cid"), s.as("sim"))).otherwise(acc)
-      }.getField("cid")
+    // bucket = argmax over centroids of cos(v, c); array_position finds
+    // the FIRST max, so ties go to the lowest cid (deterministic,
+    // matches the SQL oracle). Built as one similarity ARRAY — a
+    // when/otherwise fold would duplicate its accumulator twice per
+    // level and blow the expression tree up exponentially in the
+    // centroid count.
+    val cidsLit = typedLit(cents.map(_._1).toSeq)
+    def bucketOf(v: Column): Column = {
+      val sims = array(cents.map { case (_, cv) => cosine(v, typedLit(cv)) }: _*)
+      val pos = array_position(sims, array_max(sims))
+      when(pos > 0, element_at(cidsLit, pos.cast("int"))).otherwise(lit(-1L))
+    }
 
     // probe set: nprobe centroids nearest to the query, computed with
     // the same left-fold double arithmetic the executors (and the
