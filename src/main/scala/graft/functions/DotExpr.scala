@@ -30,16 +30,14 @@ case class DotExpr(left: Expression, right: Expression) extends BinaryExpression
 
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    if (x.numElements() != y.numElements()) null else DotExpr.dot(x, y)
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotExpr.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
-         |else { ${ev.value} = graft.functions.DotExpr.dot($a, $b); }
+         |java.lang.Double r = graft.functions.DotExpr.dotOrNull($a, $b);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
        """.stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotExpr =
@@ -48,14 +46,17 @@ case class DotExpr(left: Expression, right: Expression) extends BinaryExpression
 
 object DotExpr {
 
-  /** Σ a_i·b_i, double accumulation in index order. Length-mismatched
-    * inputs return null upstream (the declarative zip_with form pads
-    * the shorter side with nulls, which null-propagates the fold). */
-  def dot(a: ArrayData, b: ArrayData): Double = {
+  /** Σ a_i·b_i, double accumulation in index order. Null on length
+    * mismatch OR any null element — exactly the declarative zip_with
+    * fold's semantics (padding and null products null-propagate the
+    * whole sum). */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }

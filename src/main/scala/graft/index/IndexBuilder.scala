@@ -288,34 +288,54 @@ object IndexBuilder {
       catch {
         case k: SimulatedKill => throw k
         case e0: Exception =>
-          val rows = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+          // Isolate segment by segment. FAILED rows are appended
+          // IMMEDIATELY (crash-safe attempt accounting, and a later
+          // retry-success's COMPLETE row correctly supersedes them in
+          // ledger order). The QUARANTINE decision is deferred to the
+          // end of the wave and requires SIBLING EVIDENCE: only when
+          // some segment of the same wave succeeded in this same
+          // environment is repeated failure attributable to the DATA.
+          // An all-failing multi-segment wave aborts instead (lost
+          // executors / full disk look exactly like this) — after a
+          // few all-failing segments we stop probing and throw rather
+          // than burn MaxAttempts × waveSize failing jobs.
           var anySucceeded = false
           var lastErr: Exception = e0
-          wave.foreach { seg =>
+          val completed = scala.collection.mutable.Set.empty[Int]
+          val it = wave.iterator
+          var probed = 0
+          while (it.hasNext && (anySucceeded || probed < 3 || wave.size == 1)) {
+            val seg = it.next()
+            probed += 1
             var done = false
             while (!done && failCounts.getOrElse(seg, 0) < MaxAttempts) {
-              try { buildWave(spark, cfg, Seq(seg), attemptOf); done = true; anySucceeded = true }
-              catch {
+              try {
+                buildWave(spark, cfg, Seq(seg), attemptOf)
+                done = true; anySucceeded = true; completed += seg
+              } catch {
                 case k: SimulatedKill => throw k
                 case e: Exception =>
                   lastErr = e
                   val n = failCounts.getOrElse(seg, 0) + 1
                   failCounts(seg) = n
-                  val status =
-                    if (n >= MaxAttempts) Manifest.Quarantined else Manifest.Failed
-                  rows += Map(
-                    "segment" -> seg.toString, "status" -> status,
+                  Manifest.appendLedger(mdir, Seq(Map(
+                    "segment" -> seg.toString, "status" -> Manifest.Failed,
                     "attempts" -> n.toString,
-                    "error" -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+                    "error" -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))))
               }
             }
           }
-          // poison isolation assumes MOST segments succeed: when every
-          // segment of a multi-segment wave fails, the cause is the
-          // environment (lost executors, full disk), not the data —
-          // abort without burning retry budget or quarantining anything
           if (!anySucceeded && wave.size > 1) throw lastErr
-          Manifest.appendLedger(mdir, rows.toSeq)
+          // exhausted-but-unfinished segments with sibling evidence →
+          // quarantine (appended last, supersedes their FAILED rows).
+          // This also catches segments that exhausted their budget in
+          // PRIOR runs once any sibling finally succeeds.
+          val exhausted = wave.filter(s => !completed.contains(s) &&
+            failCounts.getOrElse(s, 0) >= MaxAttempts)
+          if (exhausted.nonEmpty)
+            Manifest.appendLedger(mdir, exhausted.map(s => Map(
+              "segment" -> s.toString, "status" -> Manifest.Quarantined,
+              "attempts" -> failCounts(s).toString)))
       }
       wavesDone += 1
     }

@@ -134,8 +134,12 @@ object Similarity {
       math.sqrt(s)
     }
     val qn = normD(query.toSeq)
+    // contract: vectors are nonzero (cosine of a zero vector is NaN in
+    // any engine); defensively rank NaN last so a degenerate centroid
+    // can never enter the probe set
     val probes = cents.map { case (cid, cv) =>
-      (cid, dotD(query, cv) / (normD(cv) * qn))
+      val s = dotD(query, cv) / (normD(cv) * qn)
+      (cid, if (s.isNaN) Double.NegativeInfinity else s)
     }.sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1)
 
     val q = typedLit(query.toSeq)

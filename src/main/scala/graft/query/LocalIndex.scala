@@ -96,10 +96,18 @@ object LocalIndex {
       buf += b
     }
     val ds = spark.read.parquet(IndexBuilder.postingsDir(dir)).as[PostingBlockRow]
-    if (postingBytes <= collectCap) ds.collect().foreach(put)
-    else {
+    def stream(): Unit = {
       val it = ds.toLocalIterator()
       while (it.hasNext) put(it.next())
+    }
+    if (postingBytes > collectCap) stream()
+    else try ds.collect().foreach(put)
+    catch {
+      // on-disk size under-estimates serialized task results for some
+      // compression ratios — fall back to the bounded streaming path
+      case e: org.apache.spark.SparkException
+        if String.valueOf(e.getMessage).contains("maxResultSize") =>
+        acc.clear(); stream()
     }
     val byTerm = new java.util.HashMap[String, IndexedSeq[PostingBlockRow]]()
     acc.forEach { (t, rows) =>

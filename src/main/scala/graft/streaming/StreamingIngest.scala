@@ -121,11 +121,15 @@ object StreamingIngest {
             state.update(s)
             // finalize when event time passes the conversation's last
             // activity + gap; monotone in the RUNNING max (a late
-            // in-order-violating batch must never pull it earlier)
+            // in-order-violating batch must never pull it earlier),
+            // and clamped above the current watermark — Spark rejects
+            // a timeout at or below it, which a null-ts row arriving
+            // after the gap already elapsed would otherwise produce
             val base =
               if (s.lastTsMs == Long.MinValue) state.getCurrentWatermarkMs()
               else s.lastTsMs
-            state.setTimeoutTimestamp(base + gapMs)
+            state.setTimeoutTimestamp(
+              math.max(base + gapMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

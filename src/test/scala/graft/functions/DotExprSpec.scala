@@ -37,6 +37,15 @@ class DotExprSpec extends SparkFunSuite {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("null ELEMENT yields null (a null product null-propagates the declarative fold)") {
+    val r = Seq((Seq(Option(1f), None, Option(2f)), Seq(Option(1f), Option(1f), Option(1f))))
+      .toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("fast"),
+        Similarity.dotDecl(col("a"), col("b")).as("decl"))
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("null input propagates") {
     val r = Seq((Some(Seq(1f)), Option.empty[Seq[Float]])).toDF("a", "b")
       .select(Similarity.dot(col("a"), col("b"))).head()
