@@ -88,7 +88,7 @@ object LocalIndex {
     val maxResult = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.driver.maxResultSize", "1g"))
     val collectCap =
-      if (maxResult <= 0) 1L << 30 else math.min(1L << 30, maxResult / 2)
+      if (maxResult <= 0) 1L << 30 else math.min(1L << 30, maxResult / 4)
     val acc = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[PostingBlockRow]]()
     def put(b: PostingBlockRow): Unit = {
       var buf = acc.get(b.term)
