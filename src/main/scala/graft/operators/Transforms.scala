@@ -124,6 +124,24 @@ object Transforms {
     df.withColumn(into, concat(parts.toSeq: _*))
   }
 
+  /** `processors/WrappingProcessor.java` — around-advice for another
+    * processor (before/success/error/always hooks). In a columnar
+    * engine a processor is a `DataFrame => DataFrame` function, so the
+    * around-advice is literal function composition plus a LAZY metrics
+    * frame (rows in/out, step name) the caller sinks with the data —
+    * the reference's success/error callbacks become inspection of the
+    * metrics (per-ROW error channels stay op-specific: Multimodal's
+    * `decode_error`, xmlExtract's PERMISSIVE nulls). */
+  def wrap(df: DataFrame, stepName: String)
+          (op: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val out = op(df)
+    val metrics = df.groupBy().agg(count(lit(1)).as("rows_in"))
+      .crossJoin(out.groupBy().agg(count(lit(1)).as("rows_out")))
+      .withColumn("step", lit(stepName))
+      .select("step", "rows_in", "rows_out")
+    (out, metrics)
+  }
+
   /** `processors/LogAndDrop.java` — drop rows matching a predicate;
     * returns (kept, droppedCount-as-metric-df). The reference writes a
     * DROPPED status event per doc; we record the count in the lineage

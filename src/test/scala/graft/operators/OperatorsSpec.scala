@@ -48,6 +48,15 @@ class OperatorsSpec extends SparkFunSuite {
       .select("t").as[String].head() == "ensrc0")
   }
 
+  test("wrap: around-advice composition with lazy in/out metrics (WrappingProcessor analog)") {
+    val (out, metrics) = Transforms.wrap(docs, "drop-empty") { d =>
+      d.filter(length(col("text")) > 0)
+    }
+    assert(out.count() == 5) // one empty-text row dropped
+    val m = metrics.collect().head
+    assert(m.getString(0) == "drop-empty" && m.getLong(1) == 6L && m.getLong(2) == 5L)
+  }
+
   test("childDocs: composite parent⇛ordinal ids, parent fields carried") {
     val kids = ScanOps.childDocs(docs.filter(col("doc_id") === 2L), "doc_id",
         split(col("text"), " "))
