@@ -303,12 +303,18 @@ object IndexBuilder {
           var lastErr: Exception = e0
           val completed = scala.collection.mutable.Set.empty[Int]
           val it = wave.iterator
-          var probed = 0
-          while (it.hasNext && (anySucceeded || probed < 3 || wave.size == 1)) {
+          // environment probe counter: segments that ATTEMPTED this run
+          // and failed outright. Budget-exhausted segments (poisons from
+          // prior runs) must not count — three leading poisons would
+          // otherwise bail the loop forever and starve their healthy
+          // siblings of the attempt that proves sibling evidence.
+          var failedProbes = 0
+          while (it.hasNext && (anySucceeded || failedProbes < 3 || wave.size == 1)) {
             val seg = it.next()
-            probed += 1
             var done = false
+            var attempted = false
             while (!done && failCounts.getOrElse(seg, 0) < MaxAttempts) {
+              attempted = true
               try {
                 buildWave(spark, cfg, Seq(seg), attemptOf)
                 done = true; anySucceeded = true; completed += seg
@@ -324,8 +330,15 @@ object IndexBuilder {
                     "error" -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))))
               }
             }
+            if (attempted && !done) failedProbes += 1
           }
-          if (!anySucceeded && wave.size > 1) throw lastErr
+          // env-abort only when this run actually TESTED the
+          // environment and everything it tested failed. A wave of
+          // solely budget-exhausted segments (nothing attemptable)
+          // falls through: their ≥MaxAttempts recorded failures are
+          // the quarantine evidence — the reference's DEAD state has
+          // the same env-vs-poison residual risk.
+          if (!anySucceeded && failedProbes > 0 && wave.size > 1) throw lastErr
           // exhausted-but-unfinished segments with sibling evidence →
           // quarantine (appended last, supersedes their FAILED rows).
           // This also catches segments that exhausted their budget in

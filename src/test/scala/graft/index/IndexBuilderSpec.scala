@@ -174,6 +174,23 @@ class IndexBuilderSpec extends SparkFunSuite {
     assert(rows.map(_("postings_written").toLong).sum == totalBlocks)
   }
 
+  test("all-probes-fail run aborts (env-suspected); rerun quarantines on sibling evidence") {
+    val dir = tmpDir("idx-poison3")
+    val cfg = BuildConfig(dir, nSegments = 6, waveSize = 6, poisonSegments = Set(0, 1, 2))
+    // run 1: the first three isolation probes all fail → looks like a
+    // broken environment → abort, budget persisted in the ledger
+    intercept[org.apache.spark.SparkException] { IndexBuilder.build(spark, turns, cfg) }
+    assert(Manifest.quarantinedSegments(IndexBuilder.manifestDir(dir)).isEmpty)
+    // run 2: the exhausted segments are skipped, healthy siblings
+    // succeed → sibling evidence → quarantine; build completes
+    val rep2 = IndexBuilder.build(spark, turns, cfg)
+    assert(rep2.segmentsQuarantined == 3 && rep2.segmentsBuilt == 3)
+    assert(Manifest.quarantinedSegments(IndexBuilder.manifestDir(dir)) == Set(0, 1, 2))
+    // run 3: nothing pending
+    val rep3 = IndexBuilder.build(spark, turns, cfg)
+    assert(rep3.segmentsBuilt == 0 && rep3.segmentsQuarantined == 0)
+  }
+
   test("poison segment: retried to MaxAttempts, quarantined, build completes without it") {
     val dir = tmpDir("idx-poison")
     val rep1 = IndexBuilder.build(spark, turns,
