@@ -111,6 +111,21 @@ class IncrementalSpec extends SparkFunSuite {
     assert(ri.stats.avgdl == rf.stats.avgdl) // bit-equal doubles
     assert(ri.stats.n_terms == rf.stats.n_terms)
     queriesEqual(ri, rf)
+
+    // metadata-FILTERED search reads the staging VIEW (base + overlays):
+    // results over the delta'd index equal the full rebuild's
+    val fi = ri.searchWhere("assistant tool error", col("role") === "assistant", 10000)
+    val ff = rf.searchWhere("assistant tool error", col("role") === "assistant", 10000)
+    def keyed(r: IndexReader, hits: Vector[graft.model.QueryHit]) = {
+      val ids = hits.map(_.doc_id).toSet
+      IndexBuilder.readDocs(spark, if (r eq ri) incDir else fullDir)
+        .filter(col("doc_id").isInCollection(ids))
+        .select("doc_id", "conv_id", "turn_idx")
+        .as[(Long, String, Int)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    }
+    val mi = keyed(ri, fi); val mf = keyed(rf, ff)
+    assert(fi.map(h => (mi(h.doc_id), h.score)).toSet ==
+      ff.map(h => (mf(h.doc_id), h.score)).toSet)
   }
 
   test("second delta on top of overlays (overlay replacement) still equals full rebuild") {
