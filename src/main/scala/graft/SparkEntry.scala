@@ -415,14 +415,13 @@ object SparkEntry {
     bm25Top20DF(s, new graft.query.IndexReader(s, idx), FtQueryInc)
   }
 
-  private def ftBm25Filtered(s: SparkSession, dir: String): DataFrame = {
+  /** QueryHits → top-20 (rank, doc_id, score) with 4-decimal rounding;
+    * engine docIDs equal original doc_ids on this corpus (dense,
+    * conv_id zero-padded), so results are oracle-mirrorable. */
+  private def hitsTop20DF(s: SparkSession,
+                          hits: Seq[graft.model.QueryHit]): DataFrame = {
     import s.implicits._
-    val rdr = FtIndex.reader(s, dir)
-    // engine docIDs equal original doc_ids on this corpus (dense,
-    // conv_id zero-padded), so the predicate is oracle-mirrorable
-    val hits = rdr.searchWhere(FtQuery, pmod(col("doc_id"), lit(3)) === 0, 1000000)
-    val ranked = hits
-      .map { h =>
+    hits.map { h =>
         val scoreR = BigDecimal(h.score)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
         (h.doc_id, scoreR)
@@ -430,7 +429,19 @@ object SparkEntry {
       .sortBy { case (id, sc) => (-sc, id) }
       .take(20).zipWithIndex
       .map { case ((id, sc), i) => ((i + 1).toLong, id, sc) }
-    ranked.toDF("rank", "doc_id", "score")
+      .toDF("rank", "doc_id", "score")
+  }
+
+  private def ftBm25Filtered(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    hitsTop20DF(s, rdr.searchWhere(FtQuery, pmod(col("doc_id"), lit(3)) === 0, 1000000))
+  }
+
+  /** Boolean query: both must-terms required, the not-term excluding —
+    * the reference's Solr/Lucene boolean query shape. */
+  private def ftBm25Boolean(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    hitsTop20DF(s, rdr.searchBoolean("batch window", "dup", 1000000))
   }
 
   // =====================================================================
@@ -483,6 +494,7 @@ object SparkEntry {
     "ft_corpus_stats" -> (ftCorpusStats _),
     "ft_bm25_topk" -> (ftBm25Topk _),
     "ft_bm25_filtered" -> (ftBm25Filtered _),
+    "ft_bm25_boolean" -> (ftBm25Boolean _),
     "ft_incremental" -> (ftIncremental _)
   )
 
@@ -873,6 +885,29 @@ object SparkEntry {
            |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
            | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
            | WHERE tf.doc_id % 3 = 0
+           | GROUP BY tf.doc_id)
+           |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+           | doc_id, round(s, 4) AS score
+           |FROM scores ORDER BY rank LIMIT 20""".stripMargin,
+
+      // boolean: both must-terms required, the not-term excluding;
+      // scores over must terms only
+      "ft_bm25_boolean" ->
+        s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+           |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+           |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+           |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ('batch', 'window') GROUP BY 1),
+           |m AS (SELECT doc_id FROM tf WHERE term IN ('batch', 'window')
+           |      GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+           |x AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'),
+           |scores AS (
+           | SELECT tf.doc_id,
+           |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+           | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           | WHERE tf.doc_id IN (SELECT doc_id FROM m)
+           |   AND tf.doc_id NOT IN (SELECT doc_id FROM x)
            | GROUP BY tf.doc_id)
            |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
            | doc_id, round(s, 4) AS score

@@ -169,6 +169,45 @@ class IndexReader(spark: SparkSession, dir: String) extends Serializable {
     }).take(k).toVector
   }
 
+  /**
+   * Boolean BM25 top-k: every `mustQuery` term required (AND), any
+   * `notQuery` term excluding (NOT) — the reference's Solr/Lucene
+   * boolean query shape, scored over the must terms only. One pruned
+   * postings scan of must ∪ not terms; per-segment leapfrog
+   * intersection ([[Wand.topKConjunctive]]); driver k-way merge.
+   */
+  def searchBoolean(mustQuery: String, notQuery: String = "",
+                    k: Int = 10): Vector[QueryHit] = {
+    val must = analyzer.tokenize(mustQuery).distinct.sorted
+    val not = analyzer.tokenize(notQuery).distinct.sorted.filterNot(must.contains)
+    if (must.isEmpty || stats.n_docs == 0) return Vector.empty
+    val dfs = docFreqs(must)
+    if (dfs.size < must.size) return Vector.empty // a must-term is absent from the corpus
+    val idfs = dfs.map { case (t, df) => t -> BM25.idf(df, stats.n_docs) }
+    val avgdl = stats.avgdl
+    val kk = k
+    val mustSet = must.toSet
+    val allTerms = must ++ not
+
+    val perSegment = postings
+      .filter(col("term").isInCollection(allTerms))
+      .as[PostingBlockRow]
+      .groupByKey(_.segment)
+      .flatMapGroups { (_, rows) =>
+        val byTerm = rows.toVector.groupBy(_.term).map { case (t, rs) =>
+          t -> rs.toIndexedSeq
+        }
+        val (mb, nb) = byTerm.partition { case (t, _) => mustSet.contains(t) }
+        Wand.topKConjunctive(mb, nb, idfs, avgdl, kk, must).iterator
+      }
+      .collect()
+
+    perSegment.sorted(new Ordering[QueryHit] {
+      override def compare(a: QueryHit, b: QueryHit): Int =
+        BM25.hitOrdering.compare((a.doc_id, a.score), (b.doc_id, b.score))
+    }).take(k).toVector
+  }
+
   /** Top-k joined back to (conv_id, turn_idx) via doc_stats. */
   def searchRanked(query: String, k: Int = 10): Seq[RankedTurn] = {
     val hits = search(query, k)

@@ -204,4 +204,80 @@ object Wand extends Serializable {
     }
     heap.dequeueAll.reverseIterator.toVector // best-first
   }
+
+  /**
+   * Conjunctive (AND) top-k with optional exclusion (NOT) over one
+   * segment — the boolean query shape the reference gets from its
+   * Solr/Lucene sink. Document-at-a-time intersection: the sparsest
+   * must-term drives; the other cursors advance by skip pointers to
+   * each candidate, any miss jumps the driver forward to the furthest
+   * cursor (classic leapfrog). NOT cursors advance alongside and veto.
+   * Scores accumulate over the must terms in ascending term order —
+   * same summation contract as [[topK]].
+   *
+   * Every must term must have postings in this segment or the segment
+   * contributes nothing (docs live in exactly one segment, so
+   * conjunction is segment-local).
+   */
+  def topKConjunctive(mustBlocks: Map[String, IndexedSeq[PostingBlockRow]],
+                      notBlocks: Map[String, IndexedSeq[PostingBlockRow]],
+                      idfs: Map[String, Double], avgdl: Double, k: Int,
+                      mustTerms: Seq[String]): Vector[QueryHit] = {
+    if (mustTerms.isEmpty || k <= 0) return Vector.empty
+    val terms = mustTerms.distinct.sorted
+    if (!terms.forall(t => mustBlocks.get(t).exists(_.nonEmpty))) return Vector.empty
+    // term-sorted cursors fix the summation order; the sparsest term
+    // (fewest postings) drives the intersection
+    val cursors = terms.map { t =>
+      new Cursor(t, idfs.getOrElse(t, 0.0), mustBlocks(t).sortBy(_.max_doc_id), avgdl)
+    }.toArray
+    val sizes = terms.map(t => mustBlocks(t).map(_.n_docs.toLong).sum)
+    val driver = cursors(sizes.zipWithIndex.minBy(x => (x._1, x._2))._2)
+    val others = cursors.filterNot(_ eq driver)
+    val nots = notBlocks.toArray.sortBy(_._1).map { case (t, bs) =>
+      new Cursor(t, 0.0, bs.sortBy(_.max_doc_id), avgdl)
+    }
+
+    val heap = mutable.PriorityQueue.empty[QueryHit](worstFirst.reverse)
+    def offer(doc: Long, s: Double): Unit = {
+      if (heap.size < k) heap.enqueue(QueryHit(doc, s))
+      else {
+        val worst = heap.head
+        if (s > worst.score || (s == worst.score && doc < worst.doc_id)) {
+          heap.dequeue(); heap.enqueue(QueryHit(doc, s))
+        }
+      }
+    }
+
+    while (!driver.exhausted) {
+      val target = driver.docId
+      var maxSeen = target
+      var allMatch = true
+      var j = 0
+      while (j < others.length) {
+        val c = others(j)
+        c.advance(target)
+        if (c.exhausted) return heap.dequeueAll.reverseIterator.toVector
+        if (c.docId != target) { allMatch = false; if (c.docId > maxSeen) maxSeen = c.docId }
+        j += 1
+      }
+      if (allMatch) {
+        var excluded = false
+        var n = 0
+        while (n < nots.length && !excluded) {
+          nots(n).advance(target)
+          if (!nots(n).exhausted && nots(n).docId == target) excluded = true
+          n += 1
+        }
+        if (!excluded) {
+          var s = 0.0
+          var i = 0
+          while (i < cursors.length) { s += cursors(i).currentScore; i += 1 }
+          offer(target, s)
+        }
+        driver.next()
+      } else driver.advance(maxSeen)
+    }
+    heap.dequeueAll.reverseIterator.toVector
+  }
 }

@@ -68,6 +68,27 @@ class IndexBuilderSpec extends SparkFunSuite {
     }
   }
 
+  test("searchBoolean: AND + NOT parity vs brute force, bit-identical scores") {
+    val dir = tmpDir("idx-bool")
+    IndexBuilder.build(spark, turns, BuildConfig(dir, nSegments = 8, waveSize = 8))
+    val rdr = new IndexReader(spark, dir)
+    val cases = Seq(("assistant tool", "error"), ("user assistant", ""),
+      ("ba ce", "di"), ("timeout error", "user"), ("nosuchterm user", ""))
+    cases.foreach { case (mq, nq) =>
+      val must = Tokenizer.tokenize(mq).distinct.sorted
+      val not = Tokenizer.tokenize(nq).distinct.sorted
+      val want = docTfs.iterator
+        .filter { case (_, _, tfs) => must.forall(tfs.contains) && !not.exists(tfs.contains) }
+        .map { case (id, dl, tfs) =>
+          var s = 0.0
+          must.foreach(t => s += BM25.score(tfs(t), dl, dfs(t), nDocs, avgdl))
+          (id, s)
+        }.toVector.sorted(BM25.hitOrdering).take(10)
+      val got = rdr.searchBoolean(mq, nq, 10).map(h => (h.doc_id, h.score))
+      assert(got == want, s"must='$mq' not='$nq'")
+    }
+  }
+
   test("docID stability: identical ids at 2 vs 13 sort partitions") {
     val dirA = tmpDir("idx-p2"); val dirB = tmpDir("idx-p13")
     IndexBuilder.build(spark, turns, BuildConfig(dirA, nSegments = 4, sortPartitions = 2))
