@@ -444,6 +444,13 @@ object SparkEntry {
     hitsTop20DF(s, rdr.searchBoolean("batch window", "dup", 1000000))
   }
 
+  /** Phrase query (ordered adjacency; Lucene PhraseQuery scoring:
+    * tf = phrase frequency, idf = Σ term idfs). */
+  private def ftBm25Phrase(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    hitsTop20DF(s, rdr.searchPhrase("batch window", 1000000))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -495,6 +502,7 @@ object SparkEntry {
     "ft_bm25_topk" -> (ftBm25Topk _),
     "ft_bm25_filtered" -> (ftBm25Filtered _),
     "ft_bm25_boolean" -> (ftBm25Boolean _),
+    "ft_bm25_phrase" -> (ftBm25Phrase _),
     "ft_incremental" -> (ftIncremental _)
   )
 
@@ -909,6 +917,28 @@ object SparkEntry {
            | WHERE tf.doc_id IN (SELECT doc_id FROM m)
            |   AND tf.doc_id NOT IN (SELECT doc_id FROM x)
            | GROUP BY tf.doc_id)
+           |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+           | doc_id, round(s, 4) AS score
+           |FROM scores ORDER BY rank LIMIT 20""".stripMargin,
+
+      // phrase: ordered adjacency count = tf; idf = idf(batch)+idf(window)
+      // summed in phrase order (explicit left-to-right addition)
+      "ft_bm25_phrase" ->
+        s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+           |p AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+           |  len(list_filter(range(1, len(toks)), i -> toks[i] = 'batch' AND toks[i+1] = 'window'))::BIGINT AS pf
+           | FROM t),
+           |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+           |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM p) / (SELECT count(*) FROM documents) AS avgdl),
+           |tf AS (SELECT doc_id, unnest(toks) AS term FROM t),
+           |dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf
+           |        WHERE term IN ('batch', 'window') GROUP BY 1),
+           |scores AS (
+           | SELECT p.doc_id,
+           |  ((SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5)) FROM dfs WHERE term = 'batch')
+           |   + (SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5)) FROM dfs WHERE term = 'window'))
+           |  * (pf / (pf + 1.2 * (1 - 0.75 + 0.75 * p.dl / stats.avgdl))) AS s
+           | FROM p CROSS JOIN stats WHERE pf > 0)
            |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
            | doc_id, round(s, 4) AS score
            |FROM scores ORDER BY rank LIMIT 20""".stripMargin,

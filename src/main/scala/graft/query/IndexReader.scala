@@ -208,6 +208,59 @@ class IndexReader(spark: SparkSession, dir: String) extends Serializable {
     }).take(k).toVector
   }
 
+  /**
+   * Phrase top-k (candidate-verify design): the index prunes to docs
+   * containing ALL phrase terms (conjunctive leapfrog — no positions
+   * stored in the v2 format), then the candidates' texts are re-read
+   * from the staging view (row-group pruned by doc_id) and the exact
+   * ordered-adjacency count is computed with the same analyzer the
+   * index used. Scoring is Lucene PhraseQuery semantics: tf = phrase
+   * frequency, idf = Σ idf(term_i) over the phrase's terms in order.
+   *
+   * Scale shape: the verify stage touches candidate rows only (the
+   * conjunction of all phrase terms bounds it by the rarest term's
+   * df); `maxCandidates` caps the exactness window for pathological
+   * all-stopword phrases — a positions-bearing format v3 would replace
+   * the verify scan if phrase queries dominated a workload.
+   */
+  def searchPhrase(phrase: String, k: Int = 10,
+                   maxCandidates: Int = 100000): Vector[QueryHit] = {
+    val terms = analyzer.tokenize(phrase) // ordered, duplicates kept
+    if (terms.isEmpty || stats.n_docs == 0) return Vector.empty
+    if (terms.length == 1) return search(phrase, k)
+    val dfs = docFreqs(terms.distinct)
+    if (dfs.size < terms.distinct.size) return Vector.empty
+    // Lucene PhraseWeight: idf summed over term OCCURRENCES in order
+    val idfSum = terms.foldLeft(0.0)((s, t) => s + BM25.idf(dfs(t), stats.n_docs))
+    val cands = searchBoolean(terms.mkString(" "), "", maxCandidates).map(_.doc_id)
+    if (cands.isEmpty) return Vector.empty
+    val az = analyzer
+    val seq = terms.toIndexedSeq
+    val avgdl = stats.avgdl
+    val candDf = cands.toDF("doc_id")
+    val verified = IndexBuilder.readDocs(spark, dir)
+      .join(org.apache.spark.sql.functions.broadcast(candDf), "doc_id")
+      .select(col("doc_id"), col("text"), col("dl"))
+      .as[(Long, String, Int)]
+      .map { case (id, text, dl) =>
+        val toks = az.tokenize(text)
+        var pf = 0
+        var i = 0
+        while (i + seq.length <= toks.length) {
+          var j = 0
+          while (j < seq.length && toks(i + j) == seq(j)) j += 1
+          if (j == seq.length) pf += 1
+          i += 1
+        }
+        (id, pf, dl)
+      }
+      .filter(_._2 > 0)
+      .collect()
+    verified.map { case (id, pf, dl) =>
+        QueryHit(id, idfSum * BM25.tfNorm(pf, dl, avgdl))
+      }.sortBy(h => (-h.score, h.doc_id)).take(k).toVector
+  }
+
   /** Top-k joined back to (conv_id, turn_idx) via doc_stats. */
   def searchRanked(query: String, k: Int = 10): Seq[RankedTurn] = {
     val hits = search(query, k)

@@ -89,6 +89,33 @@ class IndexBuilderSpec extends SparkFunSuite {
     }
   }
 
+  test("searchPhrase: ordered adjacency + PhraseQuery scoring parity vs brute force") {
+    val dir = tmpDir("idx-phrase")
+    IndexBuilder.build(spark, turns, BuildConfig(dir, nSegments = 8, waveSize = 8))
+    val rdr = new IndexReader(spark, dir)
+    val seqs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, Tokenizer.tokenize(t.text)) }
+    def oracle(phrase: String, k: Int): Seq[(Long, Double)] = {
+      val ts = Tokenizer.tokenize(phrase)
+      val idfSum = ts.foldLeft(0.0)((s, t) => s + BM25.idf(dfs.getOrElse(t, 0L), nDocs))
+      seqs.flatMap { case (id, toks) =>
+        var pf = 0; var i = 0
+        while (i + ts.length <= toks.length) {
+          var j = 0
+          while (j < ts.length && toks(i + j) == ts(j)) j += 1
+          if (j == ts.length) pf += 1
+          i += 1
+        }
+        if (pf > 0) Some((id, idfSum * BM25.tfNorm(pf, docTfs(id.toInt)._2, avgdl)))
+        else None
+      }.sorted(BM25.hitOrdering).take(k)
+    }
+    Seq("assistant tool", "timeout error", "user assistant system",
+      "error retrying", "nosuchterm tool").foreach { ph =>
+      val got = rdr.searchPhrase(ph, 10).map(h => (h.doc_id, h.score))
+      assert(got == oracle(ph, 10), s"phrase '$ph'")
+    }
+  }
+
   test("docID stability: identical ids at 2 vs 13 sort partitions") {
     val dirA = tmpDir("idx-p2"); val dirB = tmpDir("idx-p13")
     IndexBuilder.build(spark, turns, BuildConfig(dirA, nSegments = 4, sortPartitions = 2))
