@@ -615,7 +615,14 @@ object IndexBuilder {
       val src = waveTmp.resolve(s"segment=$seg")
       val dest = Paths.get(postingsDir(cfg.outDir), s"segment=$seg")
       if (Files.exists(src)) Manifest.publishDir(src, dest)
-      else Files.createDirectories(dest) // segment with no postings
+      else {
+        // segment with no postings. A STALE re-plan can legitimately
+        // rebuild a previously-populated segment down to zero postings
+        // (a delta deleted or blanked every doc in it) — the old
+        // parquet files must not survive to serve ghost postings.
+        Manifest.deleteRecursively(dest)
+        Files.createDirectories(dest)
+      }
     }
     Manifest.appendLedger(manifestDir(cfg.outDir), wave.map { seg => Map(
       "segment" -> seg.toString,

@@ -95,7 +95,12 @@ object LocalIndex {
       if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty; acc.put(b.term, buf) }
       buf += b
     }
-    val ds = spark.read.parquet(IndexBuilder.postingsDir(dir)).as[PostingBlockRow]
+    // explicit schema: an index whose segment dirs are all empty (an
+    // all-empty-text corpus) must load as an empty index, not throw
+    // AnalysisException from schema inference — same contract as
+    // IndexBuilder.finalizeStats
+    val ds = spark.read.schema(IndexBuilder.PostingSchema)
+      .parquet(IndexBuilder.postingsDir(dir)).as[PostingBlockRow]
     def stream(): Unit = {
       val it = ds.toLocalIterator()
       while (it.hasNext) put(it.next())
@@ -129,7 +134,8 @@ object LocalIndex {
       .select("term", "df").as[(String, Long)].collect()
       .foreach { case (t, df) => dfs.put(t, df) }
     val byTerm = new java.util.HashMap[String, IndexedSeq[PostingBlockRow]]()
-    spark.read.parquet(IndexBuilder.postingsDir(dir))
+    spark.read.schema(IndexBuilder.PostingSchema)
+      .parquet(IndexBuilder.postingsDir(dir))
       .filter(col("term").isInCollection(terms))
       .as[PostingBlockRow].collect()
       .groupBy(_.term)

@@ -111,13 +111,20 @@ object Manifest {
 
   private val ledgerSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Per-process unique name component: a crash-restart (or second
+    * writer) whose AtomicLong restarts at 1 could otherwise collide
+    * with an existing wave file within the same millisecond and
+    * silently REPLACE a committed wave's rows. */
+  private val procToken =
+    java.util.UUID.randomUUID().toString.substring(0, 8)
+
   /** Append one wave's segment rows to the ledger (atomic). Every row
     * must carry "segment" and "status". */
   def appendLedger(manifestDir: String, rows: Seq[Map[String, String]]): Unit = {
     if (rows.isEmpty) return
     val dir = Paths.get(manifestDir)
     Files.createDirectories(dir)
-    val name = f"wave-${System.currentTimeMillis()}%013d-${ledgerSeq.incrementAndGet()}%06d.jsonl"
+    val name = f"wave-${System.currentTimeMillis()}%013d-${ledgerSeq.incrementAndGet()}%06d-$procToken.jsonl"
     val txt = rows.map { fields =>
       fields.toSeq.sortBy(_._1).map { case (k, v) =>
         "\"" + esc(k) + "\": \"" + esc(v) + "\""

@@ -192,6 +192,30 @@ class IncrementalSpec extends SparkFunSuite {
       ri.stats.n_terms == rf.stats.n_terms)
   }
 
+  test("delta that empties a whole segment clears its old postings (no ghosts)") {
+    val incDir = tmpDir("inc-empty-seg"); val fullDir = tmpDir("inc-empty-seg-full")
+    val cfg = BuildConfig(incDir, nSegments = 8, waveSize = 8)
+    IndexBuilder.build(spark, v1, cfg)
+    // delete EVERY doc of one middle segment (by (conv_id, turn_idx) key)
+    val segKeys = IndexBuilder.readDocs(spark, incDir)
+      .filter(col("segment") === 2).select("conv_id", "turn_idx")
+    assert(segKeys.count() > 0)
+    val v2d = v1.join(segKeys, Seq("conv_id", "turn_idx"), "left_anti").as[Turn]
+    IndexBuilder.build(spark, v2d, cfg)
+    // the rebuilt-to-zero segment must hold NO posting files — pre-fix,
+    // the old parquet survived and served ghost postings for deleted docs
+    val segDir = Paths.get(IndexBuilder.postingsDir(incDir), "segment=2")
+    val ghost = Files.walk(segDir).iterator().asScala
+      .count(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+    assert(ghost == 0, s"segment=2 still holds $ghost posting files after losing all docs")
+    // and queries (incl. searchRanked's doc join) equal a full rebuild
+    IndexBuilder.build(spark, v2d, BuildConfig(fullDir, nSegments = 8, waveSize = 8))
+    val ri = new IndexReader(spark, incDir); val rf = new IndexReader(spark, fullDir)
+    assert(ri.stats.n_docs == rf.stats.n_docs && ri.stats.avgdl == rf.stats.avgdl &&
+      ri.stats.n_terms == rf.stats.n_terms)
+    queriesEqual(ri, rf)
+  }
+
   test("delta from an empty index = initial load; rerun of same source is a no-op") {
     val dir = tmpDir("inc-empty")
     val cfg = BuildConfig(dir, nSegments = 4, waveSize = 4)
