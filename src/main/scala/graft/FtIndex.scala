@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object FtIndex {
 
   /** Bump to invalidate /tmp caches when the index layout changes. */
-  private val CacheVersion = 6
+  private val CacheVersion = 7 // v7: index format v3 (positional postings)
 
   private val built = scala.collection.mutable.Set[String]()
 

@@ -102,6 +102,48 @@ object Tokenizer extends Serializable {
   /** Document length = token count under the V1 chain. */
   def docLength(text: String): Int = tokenize(text).length
 
+  /** Growable position list (per-term, per-doc — typically 1-2 long). */
+  final class IntBuf {
+    var a = new Array[Int](2)
+    var n = 0
+    def add(v: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
+      a(n) = v; n += 1
+    }
+    def toArray: Array[Int] = java.util.Arrays.copyOf(a, n)
+  }
+
+  /** Per-document term → token positions (indices in the analyzed
+    * stream) in one pass — the index build's hot path for format v3
+    * positional postings. tf = position count. */
+  def termPositions(text: String): collection.mutable.HashMap[String, IntBuf] = {
+    val m = collection.mutable.HashMap.empty[String, IntBuf]
+    if (text == null || text.isEmpty) return m
+    val n = text.length
+    var i = 0
+    var p = 0
+    val sb = new java.lang.StringBuilder(16)
+    def emit(): Unit = {
+      val t = sb.toString
+      m.getOrElseUpdate(t, new IntBuf).add(p)
+      p += 1
+      sb.setLength(0)
+    }
+    while (i < n) {
+      val c = text.charAt(i)
+      val lc =
+        if (c >= 'a' && c <= 'z') c
+        else if (c >= 'A' && c <= 'Z') (c + 32).toChar
+        else if (c >= '0' && c <= '9') c
+        else 0.toChar
+      if (lc != 0) sb.append(lc)
+      else if (sb.length > 0) emit()
+      i += 1
+    }
+    if (sb.length > 0) emit()
+    m
+  }
+
   /** One analyzed token with character offsets and position increment
     * — the attributes the reference extracts from the Lucene token
     * stream for Solr PreAnalyzed JSON (`{t, s, e, i}`;

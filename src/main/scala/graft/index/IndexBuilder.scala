@@ -648,12 +648,21 @@ object IndexBuilder {
     var ids = new Array[Long](4)
     var tfs = new Array[Int](4)
     var dls = new Array[Int](4)
+    // concatenated token positions of the buffered postings (format
+    // v3); run boundaries are the tfs — grows independently since a
+    // posting contributes tf positions
+    var pos = new Array[Int](4)
+    var pn = 0
     var n = 0
     def grow(): Unit = {
       val cap = math.min(PostingCodec.BlockSize, ids.length << 1)
       ids = java.util.Arrays.copyOf(ids, cap)
       tfs = java.util.Arrays.copyOf(tfs, cap)
       dls = java.util.Arrays.copyOf(dls, cap)
+    }
+    def addPos(p: Int): Unit = {
+      if (pn == pos.length) pos = java.util.Arrays.copyOf(pos, pos.length << 1)
+      pos(pn) = p; pn += 1
     }
   }
 
@@ -686,6 +695,7 @@ object IndexBuilder {
     new Iterator[PostingBlockRow] {
       private var bufs = new java.util.HashMap[String, TermBuf]()
       private var nBuffered = 0L
+      private var nBufferedPos = 0L
       private var curSeg = Int.MinValue
       private var pending: (Long, Int, String, Int) = _
       private var segFlush: Iterator[PostingBlockRow] = Iterator.empty
@@ -705,12 +715,28 @@ object IndexBuilder {
           cf += tfs(i)
           i += 1
         }
+        // positions: delta within each posting's run, first absolute
+        // (the buffered ints are absolute; runs delimited by tfs)
+        val posDeltas = new Array[Long](b.pn)
+        var o = 0
+        i = 0
+        while (i < b.n) {
+          var j = 0
+          var prev = 0
+          while (j < tfs(i)) {
+            val p = b.pos(o)
+            posDeltas(o) = if (j == 0) p.toLong else (p - prev).toLong
+            prev = p; o += 1; j += 1
+          }
+          i += 1
+        }
         val row = PostingBlockRow(term, seg, b.blockId, b.n, ids(b.n - 1),
           maxTf, minDl,
           VByte.encode(VByte.deltas(ids)), VByte.encodeInts(tfs),
-          VByte.encodeInts(dls), cf)
+          VByte.encodeInts(dls), VByte.encode(posDeltas), cf)
         b.blockId += 1
         b.n = 0
+        b.pn = 0
         row
       }
 
@@ -721,6 +747,7 @@ object IndexBuilder {
         val old = bufs
         bufs = new java.util.HashMap[String, TermBuf]()
         nBuffered = 0L
+        nBufferedPos = 0L
         if (old.isEmpty) { segFlush = Iterator.empty; return }
         val keys = old.keySet.toArray(new Array[String](old.size))
         java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
@@ -730,22 +757,30 @@ object IndexBuilder {
 
       private def process(row: (Long, Int, String, Int)): Unit = {
         val (docId, seg, text, dl) = row
-        az.termFreqs(text).foreach { case (term, tf) =>
+        az.termPositions(text).foreach { case (term, posBuf) =>
+          val tf = posBuf.n
           var b = bufs.get(term)
           if (b == null) { b = new TermBuf; bufs.put(term, b) }
           if (b.n == b.ids.length) b.grow()
           b.ids(b.n) = docId; b.tfs(b.n) = tf; b.dls(b.n) = dl; b.n += 1
+          var j = 0
+          while (j < tf) { b.addPos(posBuf.a(j)); j += 1 }
           nBuffered += 1
+          nBufferedPos += tf
           if (b.n == PostingCodec.BlockSize) {
-            nBuffered -= b.n; ready.addLast(encodeBlock(term, seg, b))
+            nBuffered -= b.n; nBufferedPos -= b.pn
+            ready.addLast(encodeBlock(term, seg, b))
           }
         }
         // memory cap: pathological vocabulary (open-term count) OR raw
         // buffered-posting volume → flush every open buffer now (doc
         // boundary keeps block doc ranges disjoint). The posting-volume
-        // trigger hard-bounds task memory (~16 B/posting) even when a
-        // few hot terms hold near-full blocks across a huge vocab.
-        if (bufs.size >= maxOpenTerms || nBuffered >= maxBufferedPostings)
+        // trigger hard-bounds task memory (~16 B/posting + 4 B/buffered
+        // position — the position cap is 4x the posting cap, so both
+        // budgets top out around the same byte volume) even when a few
+        // hot terms hold near-full blocks across a huge vocab.
+        if (bufs.size >= maxOpenTerms || nBuffered >= maxBufferedPostings ||
+            nBufferedPos >= 4L * maxBufferedPostings)
           startSegFlush(seg)
       }
 

@@ -32,9 +32,13 @@ case class CorpusStats(n_docs: Long, avgdl: Double, n_terms: Long,
   * (block_max_tf, block_min_dl) instead of a baked tf-normalization —
   * avgdl-independent, so incremental updates that shift the corpus
   * average never stale the stored bounds of untouched segments.
+  * v3: per-posting POSITION lists (token indices in the analyzed
+  * stream, delta+VByte, concatenated per block in posting order) —
+  * phrase queries become exact and index-only, no candidate cap and
+  * no re-read of document text.
   * Readers and the resume path refuse other versions cleanly. */
 object IndexFormat {
-  val Version = 2
+  val Version = 3
 
   /** Single version gate shared by every reader (cluster + serving
     * paths must enforce identically). */
@@ -50,12 +54,19 @@ object IndexFormat {
   * bound: tfNorm is ↑ in tf and ↓ in dl, so tfNorm(max_tf, min_dl,
   * avgdl) ≥ every in-block contribution at ANY avgdl) metadata
   * (FIXTURES.md §2). All binary columns are self-contained (first
-  * delta is absolute). */
+  * delta is absolute).
+  *
+  * `positions` (format v3): the i-th posting's tf_i token positions
+  * (indices in the ANALYZED token stream — stopword chains renumber,
+  * matching the query-side tokenization), delta-encoded within each
+  * posting (first absolute), concatenated in posting order, VByte.
+  * tf values delimit the per-posting runs, so no length prefixes. */
 case class PostingBlockRow(term: String, segment: Int, block_id: Int,
                            n_docs: Int, max_doc_id: Long,
                            block_max_tf: Int, block_min_dl: Int,
                            doc_deltas: Array[Byte], tfs: Array[Byte],
-                           dls: Array[Byte], block_cf: Long)
+                           dls: Array[Byte], positions: Array[Byte],
+                           block_cf: Long)
 
 /** A scored query hit. */
 case class QueryHit(doc_id: Long, score: Double)

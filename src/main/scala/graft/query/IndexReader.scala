@@ -15,10 +15,23 @@ import org.apache.spark.sql.functions._
  * driver k-way merge under the total order (score desc, docId asc).
  *
  * The per-segment shuffle moves only the query terms' posting BLOCKS
- * (compressed), never documents; the driver merge moves only
- * per-segment top-k — both O(k · terms), independent of corpus size.
+ * (compressed), never documents.
+ *
+ * == Two-level merge + θ sharing ==
+ * Query tasks each own a contiguous RANGE of segments (`groupByKey(
+ * segment / groupSize)`), processed in ascending docId order with the
+ * WAND threshold carried ACROSS segments ([[Wand.TopKMerger]] seeds
+ * each segment's evaluator with the task's current kth score — the
+ * shared-collector-threshold pattern of Lucene's per-segment search).
+ * The driver then merges per-TASK top-k: O(k · tasks) rows collected,
+ * independent of segment count — at 2^20 segments the flat per-segment
+ * collect would be O(k · 2^20) rows with every segment's WAND starting
+ * cold at θ = −∞.
+ *
+ * @param queryTasks target query-task count; 0 → 2 × defaultParallelism
  */
-class IndexReader(spark: SparkSession, dir: String) extends Serializable {
+class IndexReader(spark: SparkSession, dir: String,
+                  queryTasks: Int = 0) extends Serializable {
   import spark.implicits._
 
   lazy val stats: CorpusStats = {
@@ -33,38 +46,58 @@ class IndexReader(spark: SparkSession, dir: String) extends Serializable {
   private lazy val postings = spark.read.parquet(IndexBuilder.postingsDir(dir))
   private lazy val dictionary = spark.read.parquet(IndexBuilder.dictionaryDir(dir))
 
+  /** Segments per query task (contiguous ranges keep docIds ascending
+    * within a task — the θ-carry correctness condition). */
+  private[query] lazy val groupSize: Int = {
+    val nSeg = graft.store.Manifest
+      .read(graft.store.Manifest.phaseAPath(IndexBuilder.manifestDir(dir)))
+      .flatMap(_.get("n_segments_effective")).map(_.toInt).getOrElse(0)
+    val tasks = if (queryTasks > 0) queryTasks
+                else 2 * spark.sparkContext.defaultParallelism
+    if (nSeg <= 0) 1 else math.max(1, (nSeg + tasks - 1) / tasks)
+  }
+
   /** Global document frequencies for a term set (small collect). */
   def docFreqs(terms: Seq[String]): Map[String, Long] =
     dictionary.filter(col("term").isInCollection(terms))
       .select("term", "df").as[(String, Long)].collect().toMap
 
-  /** Top-k hits for a free-text query. Deterministic: tie-break
-    * (score desc, docId asc); summation in ascending term order. */
-  def search(query: String, k: Int = 10): Vector[QueryHit] = {
-    val terms = analyzer.tokenize(query).distinct.sorted
-    if (terms.isEmpty || stats.n_docs == 0) return Vector.empty
-    val dfs = docFreqs(terms)
-    if (dfs.isEmpty) return Vector.empty
-    val idfs = dfs.map { case (t, df) => t -> BM25.idf(df, stats.n_docs) }
-    val avgdl = stats.avgdl
-    val kk = k
-
-    val perSegment = postings
-      .filter(col("term").isInCollection(terms))
-      .as[PostingBlockRow]
-      .groupByKey(_.segment)
-      .flatMapGroups { (_, rows) =>
-        val byTerm = rows.toVector.groupBy(_.term).map { case (t, rs) =>
-          t -> rs.toIndexedSeq
-        }
-        Wand.topK(byTerm, idfs, avgdl, kk).iterator
-      }
-      .collect()
-
-    perSegment.sorted(new Ordering[QueryHit] {
+  private def mergeDriver(perTask: Array[QueryHit], k: Int): Vector[QueryHit] =
+    perTask.sorted(new Ordering[QueryHit] {
       override def compare(a: QueryHit, b: QueryHit): Int =
         BM25.hitOrdering.compare((a.doc_id, a.score), (b.doc_id, b.score))
     }).take(k).toVector
+
+  /** Top-k hits for a free-text query. Deterministic: tie-break
+    * (score desc, docId asc); summation in ascending term order. */
+  def search(query: String, k: Int = 10): Vector[QueryHit] =
+    mergeDriver(searchCollect(query, k), k)
+
+  /** The pre-driver-merge collected rows — package-visible so specs
+    * can pin the O(k · tasks) collect bound. */
+  private[query] def searchCollect(query: String, k: Int): Array[QueryHit] = {
+    val terms = analyzer.tokenize(query).distinct.sorted
+    if (terms.isEmpty || stats.n_docs == 0) return Array.empty
+    val dfs = docFreqs(terms)
+    if (dfs.isEmpty) return Array.empty
+    val idfs = dfs.map { case (t, df) => t -> BM25.idf(df, stats.n_docs) }
+    val avgdl = stats.avgdl
+    val kk = k
+    val g = groupSize
+
+    postings
+      .filter(col("term").isInCollection(terms))
+      .as[PostingBlockRow]
+      .groupByKey(_.segment / g)
+      .flatMapGroups { (_, rows) =>
+        val merger = new Wand.TopKMerger(kk)
+        Wand.bySegment(rows).foreach { case (_, byTerm) =>
+          merger.offerAll(Wand.topK(byTerm, idfs, avgdl, kk,
+            initialThreshold = merger.threshold))
+        }
+        merger.result.iterator
+      }
+      .collect()
   }
 
   /**
@@ -91,26 +124,35 @@ class IndexReader(spark: SparkSession, dir: String) extends Serializable {
     val kk = k
     val queriesB = spark.sparkContext.broadcast(parsed)
 
-    val perSegment =
+    val g = groupSize
+    val perTask =
       try {
         postings
           .filter(col("term").isInCollection(allTerms))
           .as[PostingBlockRow]
-          .groupByKey(_.segment)
+          .groupByKey(_.segment / g)
           .flatMapGroups { (_, rows) =>
-            val byTerm = rows.toVector.groupBy(_.term).map { case (t, rs) =>
-              t -> rs.toIndexedSeq
+            // one merger per query, θ carried across the task's segments
+            val mergers = scala.collection.mutable.LinkedHashMap
+              .empty[String, Wand.TopKMerger]
+            Wand.bySegment(rows).foreach { case (_, byTerm) =>
+              queriesB.value.foreach { case (qid, terms) =>
+                val qBlocks = terms.iterator.flatMap(t => byTerm.get(t).map(t -> _)).toMap
+                if (qBlocks.nonEmpty) {
+                  val m = mergers.getOrElseUpdate(qid, new Wand.TopKMerger(kk))
+                  m.offerAll(Wand.topK(qBlocks, idfs, avgdl, kk,
+                    initialThreshold = m.threshold))
+                }
+              }
             }
-            queriesB.value.iterator.flatMap { case (qid, terms) =>
-              val qBlocks = terms.iterator.flatMap(t => byTerm.get(t).map(t -> _)).toMap
-              if (qBlocks.isEmpty) Iterator.empty
-              else Wand.topK(qBlocks, idfs, avgdl, kk).iterator.map(h => (qid, h.doc_id, h.score))
+            mergers.iterator.flatMap { case (qid, m) =>
+              m.result.iterator.map(h => (qid, h.doc_id, h.score))
             }
           }
           .collect()
       } finally queriesB.unpersist(blocking = false) // async: frees executor copies without stalling the serving path (destroy() blocks)
 
-    perSegment.groupBy(_._1).toSeq.flatMap { case (qid, hits) =>
+    perTask.groupBy(_._1).toSeq.flatMap { case (qid, hits) =>
       hits.map(h => (h._2, h._3))
         .sorted(new Ordering[(Long, Double)] {
           override def compare(a: (Long, Double), b: (Long, Double)): Int =
@@ -140,33 +182,41 @@ class IndexReader(spark: SparkSession, dir: String) extends Serializable {
     val avgdl = stats.avgdl
     val kk = k
 
+    val g = groupSize
     val allowed = IndexBuilder.readStaging(spark, dir)
       .filter(predicate)
       .select(col("segment").as("a_segment"), col("doc_id").as("a_doc_id"))
       .as[(Int, Long)]
-      .groupByKey(_._1)
+      .groupByKey(_._1 / g)
     val blocks = postings
       .filter(col("term").isInCollection(terms))
       .as[PostingBlockRow]
-      .groupByKey(_.segment)
+      .groupByKey(_.segment / g)
 
-    val perSegment = blocks.cogroup(allowed) { (_, rows, allowRows) =>
-      val byTerm = rows.toVector.groupBy(_.term).map { case (t, rs) =>
-        t -> rs.toIndexedSeq
-      }
-      if (byTerm.isEmpty) Iterator.empty
+    val perTask = blocks.cogroup(allowed) { (_, rows, allowRows) =>
+      val segs = Wand.bySegment(rows)
+      if (segs.isEmpty) Iterator.empty
       else {
-        val ok = new java.util.HashSet[java.lang.Long]()
-        allowRows.foreach(r => ok.add(r._2))
-        if (ok.isEmpty) Iterator.empty
-        else Wand.topK(byTerm, idfs, avgdl, kk, allow = ok.contains(_)).iterator
+        // per-segment allowed sets (bounded by the task's share of the
+        // filtered docs); absent segment → nothing allowed there
+        val okBySeg = new java.util.HashMap[Int, java.util.HashSet[java.lang.Long]]()
+        allowRows.foreach { case (s, id) =>
+          var set = okBySeg.get(s)
+          if (set == null) { set = new java.util.HashSet[java.lang.Long](); okBySeg.put(s, set) }
+          set.add(id)
+        }
+        val merger = new Wand.TopKMerger(kk)
+        segs.foreach { case (seg, byTerm) =>
+          val ok = okBySeg.get(seg)
+          if (ok != null && !ok.isEmpty)
+            merger.offerAll(Wand.topK(byTerm, idfs, avgdl, kk,
+              initialThreshold = merger.threshold, allow = ok.contains(_)))
+        }
+        merger.result.iterator
       }
     }.collect()
 
-    perSegment.sorted(new Ordering[QueryHit] {
-      override def compare(a: QueryHit, b: QueryHit): Int =
-        BM25.hitOrdering.compare((a.doc_id, a.score), (b.doc_id, b.score))
-    }).take(k).toVector
+    mergeDriver(perTask, k)
   }
 
   /**
@@ -189,42 +239,36 @@ class IndexReader(spark: SparkSession, dir: String) extends Serializable {
     val mustSet = must.toSet
     val allTerms = must ++ not
 
-    val perSegment = postings
+    val g = groupSize
+    val perTask = postings
       .filter(col("term").isInCollection(allTerms))
       .as[PostingBlockRow]
-      .groupByKey(_.segment)
+      .groupByKey(_.segment / g)
       .flatMapGroups { (_, rows) =>
-        val byTerm = rows.toVector.groupBy(_.term).map { case (t, rs) =>
-          t -> rs.toIndexedSeq
+        val merger = new Wand.TopKMerger(kk)
+        Wand.bySegment(rows).foreach { case (_, byTerm) =>
+          val (mb, nb) = byTerm.partition { case (t, _) => mustSet.contains(t) }
+          merger.offerAll(Wand.topKConjunctive(mb, nb, idfs, avgdl, kk, must,
+            initialThreshold = merger.threshold))
         }
-        val (mb, nb) = byTerm.partition { case (t, _) => mustSet.contains(t) }
-        Wand.topKConjunctive(mb, nb, idfs, avgdl, kk, must).iterator
+        merger.result.iterator
       }
       .collect()
 
-    perSegment.sorted(new Ordering[QueryHit] {
-      override def compare(a: QueryHit, b: QueryHit): Int =
-        BM25.hitOrdering.compare((a.doc_id, a.score), (b.doc_id, b.score))
-    }).take(k).toVector
+    mergeDriver(perTask, k)
   }
 
   /**
-   * Phrase top-k (candidate-verify design): the index prunes to docs
-   * containing ALL phrase terms (conjunctive leapfrog — no positions
-   * stored in the v2 format), then the candidates' texts are re-read
-   * from the staging view (row-group pruned by doc_id) and the exact
-   * ordered-adjacency count is computed with the same analyzer the
-   * index used. Scoring is Lucene PhraseQuery semantics: tf = phrase
-   * frequency, idf = Σ idf(term_i) over the phrase's terms in order.
-   *
-   * Scale shape: the verify stage touches candidate rows only (the
-   * conjunction of all phrase terms bounds it by the rarest term's
-   * df); `maxCandidates` caps the exactness window for pathological
-   * all-stopword phrases — a positions-bearing format v3 would replace
-   * the verify scan if phrase queries dominated a workload.
+   * Exact phrase top-k, INDEX-ONLY (format v3 positional postings): a
+   * single pruned postings scan of the phrase's distinct terms,
+   * per-segment conjunctive leapfrog + position-list adjacency
+   * counting ([[Wand.topKPhrase]]), driver k-way merge. No candidate
+   * cap, no re-read of document text — an all-common-terms phrase
+   * costs the conjunction, never a truncated answer. Scoring is Lucene
+   * PhraseQuery semantics: tf = phrase frequency, idf = Σ idf(term_i)
+   * over the phrase's terms in order (duplicates counted).
    */
-  def searchPhrase(phrase: String, k: Int = 10,
-                   maxCandidates: Int = 100000): Vector[QueryHit] = {
+  def searchPhrase(phrase: String, k: Int = 10): Vector[QueryHit] = {
     val terms = analyzer.tokenize(phrase) // ordered, duplicates kept
     if (terms.isEmpty || stats.n_docs == 0) return Vector.empty
     if (terms.length == 1) return search(phrase, k)
@@ -232,33 +276,26 @@ class IndexReader(spark: SparkSession, dir: String) extends Serializable {
     if (dfs.size < terms.distinct.size) return Vector.empty
     // Lucene PhraseWeight: idf summed over term OCCURRENCES in order
     val idfSum = terms.foldLeft(0.0)((s, t) => s + BM25.idf(dfs(t), stats.n_docs))
-    val cands = searchBoolean(terms.mkString(" "), "", maxCandidates).map(_.doc_id)
-    if (cands.isEmpty) return Vector.empty
-    val az = analyzer
-    val seq = terms.toIndexedSeq
     val avgdl = stats.avgdl
-    val candDf = cands.toDF("doc_id")
-    val verified = IndexBuilder.readDocs(spark, dir)
-      .join(org.apache.spark.sql.functions.broadcast(candDf), "doc_id")
-      .select(col("doc_id"), col("text"), col("dl"))
-      .as[(Long, String, Int)]
-      .map { case (id, text, dl) =>
-        val toks = az.tokenize(text)
-        var pf = 0
-        var i = 0
-        while (i + seq.length <= toks.length) {
-          var j = 0
-          while (j < seq.length && toks(i + j) == seq(j)) j += 1
-          if (j == seq.length) pf += 1
-          i += 1
+    val kk = k
+    val seq = terms.toIndexedSeq
+
+    val g = groupSize
+    val perTask = postings
+      .filter(col("term").isInCollection(terms.distinct))
+      .as[PostingBlockRow]
+      .groupByKey(_.segment / g)
+      .flatMapGroups { (_, rows) =>
+        val merger = new Wand.TopKMerger(kk)
+        Wand.bySegment(rows).foreach { case (_, byTerm) =>
+          merger.offerAll(Wand.topKPhrase(byTerm, seq, idfSum, avgdl, kk,
+            initialThreshold = merger.threshold))
         }
-        (id, pf, dl)
+        merger.result.iterator
       }
-      .filter(_._2 > 0)
       .collect()
-    verified.map { case (id, pf, dl) =>
-        QueryHit(id, idfSum * BM25.tfNorm(pf, dl, avgdl))
-      }.sortBy(h => (-h.score, h.doc_id)).take(k).toVector
+
+    mergeDriver(perTask, k)
   }
 
   /** Top-k joined back to (conv_id, turn_idx) via doc_stats. */

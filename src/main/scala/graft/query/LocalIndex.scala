@@ -47,6 +47,33 @@ class LocalIndex private (stats: CorpusStats,
     }.toMap
     Wand.topK(blocks, idfs, stats.avgdl, k)
   }
+
+  /** In-process boolean (AND/NOT) BM25 top-k; bit-identical to
+    * IndexReader.searchBoolean. */
+  def searchBoolean(mustQuery: String, notQuery: String = "",
+                    k: Int = 10): Vector[QueryHit] = {
+    val must = analyzer.tokenize(mustQuery).distinct.sorted
+    val not = analyzer.tokenize(notQuery).distinct.sorted.filterNot(must.contains)
+    if (must.isEmpty || stats.n_docs == 0) return Vector.empty
+    if (!must.forall(t => dfs.containsKey(t))) return Vector.empty
+    val idfs = must.map(t => t -> BM25.idf(dfs.get(t), stats.n_docs)).toMap
+    val mb = must.iterator.flatMap(t => Option(byTerm.get(t)).map(t -> _)).toMap
+    val nb = not.iterator.flatMap(t => Option(byTerm.get(t)).map(t -> _)).toMap
+    Wand.topKConjunctive(mb, nb, idfs, stats.avgdl, k, must)
+  }
+
+  /** In-process exact phrase top-k over the v3 positional postings;
+    * bit-identical to IndexReader.searchPhrase. */
+  def searchPhrase(phrase: String, k: Int = 10): Vector[QueryHit] = {
+    val terms = analyzer.tokenize(phrase)
+    if (terms.isEmpty || stats.n_docs == 0) return Vector.empty
+    if (terms.length == 1) return search(phrase, k)
+    if (!terms.distinct.forall(t => dfs.containsKey(t))) return Vector.empty
+    val idfSum = terms.foldLeft(0.0)((s, t) => s + BM25.idf(dfs.get(t), stats.n_docs))
+    val blocks = terms.distinct.iterator
+      .flatMap(t => Option(byTerm.get(t)).map(t -> _)).toMap
+    Wand.topKPhrase(blocks, terms, idfSum, stats.avgdl, k)
+  }
 }
 
 object LocalIndex {

@@ -62,6 +62,15 @@ object Wand extends Serializable {
     def docId: Long = cur
     def exhausted: Boolean = cur == Long.MaxValue
 
+    /** Current posting's doc length. */
+    def currentDl: Int = decoded.dls(pos)
+
+    /** Current posting's token positions (format v3), zero-copy:
+      * (decoded flat array, from, until). Decoding the block's position
+      * stream is lazy — only phrase evaluation pays for it. */
+    def currentPositions: (Array[Int], Int, Int) =
+      (decoded.posFlat, decoded.posOff(pos), decoded.posOff(pos + 1))
+
     /** Upper bound on this cursor's remaining contribution. */
     def maxRemainingScore: Double =
       if (exhausted) 0.0 else idf * suffixMaxTfn(blockIdx)
@@ -115,6 +124,45 @@ object Wand extends Serializable {
       if (c != 0) c else java.lang.Long.compare(b.doc_id, a.doc_id) // docId desc
     }
   }
+
+  /**
+   * Accumulating top-k merger for one query TASK spanning many
+   * segments — the shared-collector-threshold pattern of Lucene's
+   * per-segment search. Feed segments in ASCENDING docId order (the
+   * reader groups contiguous segment ranges, so this is free); after
+   * each segment, [[threshold]] is the θ to seed the next segment's
+   * evaluator with: scores strictly worse than the current kth can
+   * never surface, and an equal score correctly loses because every
+   * later segment's docIds exceed everything already in the heap
+   * (tie-break is docId ASC). One merger's result is O(k) rows per
+   * task, so the driver collects O(k · tasks), not O(k · segments).
+   */
+  final class TopKMerger(k: Int) {
+    private val heap = mutable.PriorityQueue.empty[QueryHit](worstFirst.reverse)
+    def threshold: Double =
+      if (heap.size >= k) heap.head.score else Double.NegativeInfinity
+    def offer(h: QueryHit): Unit = {
+      if (heap.size < k) heap.enqueue(h)
+      else {
+        val worst = heap.head
+        if (h.score > worst.score ||
+            (h.score == worst.score && h.doc_id < worst.doc_id)) {
+          heap.dequeue(); heap.enqueue(h)
+        }
+      }
+    }
+    def offerAll(hs: Vector[QueryHit]): Unit = hs.foreach(offer)
+    /** Best-first; consumes the merger. */
+    def result: Vector[QueryHit] = heap.dequeueAll.reverseIterator.toVector
+  }
+
+  /** Bucket one task's posting rows by segment, ascending (docId
+    * order — segments are contiguous docId ranges), each segment as
+    * term → blocks. */
+  def bySegment(rows: Iterator[PostingBlockRow]): Seq[(Int, Map[String, IndexedSeq[PostingBlockRow]])] =
+    rows.toVector.groupBy(_.segment).toSeq.sortBy(_._1).map { case (s, rs) =>
+      s -> rs.groupBy(_.term).map { case (t, x) => t -> (x: IndexedSeq[PostingBlockRow]) }
+    }
 
   /**
    * Top-k over one segment. `termBlocks` maps term → its blocks in this
@@ -222,7 +270,8 @@ object Wand extends Serializable {
   def topKConjunctive(mustBlocks: Map[String, IndexedSeq[PostingBlockRow]],
                       notBlocks: Map[String, IndexedSeq[PostingBlockRow]],
                       idfs: Map[String, Double], avgdl: Double, k: Int,
-                      mustTerms: Seq[String]): Vector[QueryHit] = {
+                      mustTerms: Seq[String],
+                      initialThreshold: Double = Double.NegativeInfinity): Vector[QueryHit] = {
     if (mustTerms.isEmpty || k <= 0) return Vector.empty
     val terms = mustTerms.distinct.sorted
     if (!terms.forall(t => mustBlocks.get(t).exists(_.nonEmpty))) return Vector.empty
@@ -240,7 +289,7 @@ object Wand extends Serializable {
 
     val heap = mutable.PriorityQueue.empty[QueryHit](worstFirst.reverse)
     def offer(doc: Long, s: Double): Unit = {
-      if (heap.size < k) heap.enqueue(QueryHit(doc, s))
+      if (heap.size < k) { if (s > initialThreshold) heap.enqueue(QueryHit(doc, s)) }
       else {
         val worst = heap.head
         if (s > worst.score || (s == worst.score && doc < worst.doc_id)) {
@@ -275,6 +324,99 @@ object Wand extends Serializable {
           while (i < cursors.length) { s += cursors(i).currentScore; i += 1 }
           offer(target, s)
         }
+        driver.next()
+      } else driver.advance(maxSeen)
+    }
+    heap.dequeueAll.reverseIterator.toVector
+  }
+
+  /**
+   * Exact phrase top-k over one segment, index-only (format v3
+   * positions): conjunctive leapfrog over the phrase's distinct terms,
+   * then ordered-adjacency counting by position-list intersection —
+   * pf = |{p : p ∈ pos(t_0), p+1 ∈ pos(t_1), …}|. Scoring is Lucene
+   * PhraseQuery semantics: one "term" whose tf is the phrase frequency
+   * and whose idf is Σ idf(term_i) over the phrase's terms IN ORDER
+   * (duplicates counted), so scores are identical to the previous
+   * candidate-verify implementation — but with no candidate cap and no
+   * re-read of document text.
+   */
+  def topKPhrase(blocks: Map[String, IndexedSeq[PostingBlockRow]],
+                 phraseTerms: Seq[String], idfSum: Double, avgdl: Double,
+                 k: Int,
+                 initialThreshold: Double = Double.NegativeInfinity): Vector[QueryHit] = {
+    if (phraseTerms.isEmpty || k <= 0) return Vector.empty
+    val distinct = phraseTerms.distinct.sorted
+    if (!distinct.forall(t => blocks.get(t).exists(_.nonEmpty))) return Vector.empty
+    val byTerm = distinct.map { t =>
+      t -> new Cursor(t, 0.0, blocks(t).sortBy(_.max_doc_id), avgdl)
+    }.toMap
+    val cursors = byTerm.values.toArray
+    val sizes = distinct.map(t => blocks(t).map(_.n_docs.toLong).sum)
+    val driver = byTerm(distinct(sizes.zipWithIndex.minBy(x => (x._1, x._2))._2))
+    val others = cursors.filterNot(_ eq driver)
+    // phrase slot s → its term's cursor (duplicate terms share one)
+    val slots = phraseTerms.map(byTerm).toArray
+
+    val heap = mutable.PriorityQueue.empty[QueryHit](worstFirst.reverse)
+    def offer(doc: Long, s: Double): Unit = {
+      if (heap.size < k) { if (s > initialThreshold) heap.enqueue(QueryHit(doc, s)) }
+      else {
+        val worst = heap.head
+        if (s > worst.score || (s == worst.score && doc < worst.doc_id)) {
+          heap.dequeue(); heap.enqueue(QueryHit(doc, s))
+        }
+      }
+    }
+
+    val m = slots.length
+    val flats = new Array[Array[Int]](m)
+    val froms = new Array[Int](m)
+    val untils = new Array[Int](m)
+    val ptrs = new Array[Int](m)
+
+    while (!driver.exhausted) {
+      val target = driver.docId
+      var maxSeen = target
+      var allMatch = true
+      var j = 0
+      while (j < others.length) {
+        val c = others(j)
+        c.advance(target)
+        if (c.exhausted) return heap.dequeueAll.reverseIterator.toVector
+        if (c.docId != target) { allMatch = false; if (c.docId > maxSeen) maxSeen = c.docId }
+        j += 1
+      }
+      if (allMatch) {
+        // ordered-adjacency count over the aligned doc's position lists
+        var s = 0
+        while (s < m) {
+          val (f, from, until) = slots(s).currentPositions
+          flats(s) = f; froms(s) = from; untils(s) = until; ptrs(s) = from
+          s += 1
+        }
+        var pf = 0
+        var i0 = froms(0)
+        var live = true
+        while (live && i0 < untils(0)) {
+          val p0 = flats(0)(i0)
+          var ok = true
+          s = 1
+          while (s < m && ok) {
+            val want = p0 + s
+            var p = ptrs(s)
+            val u = untils(s)
+            val fl = flats(s)
+            while (p < u && fl(p) < want) p += 1
+            ptrs(s) = p
+            if (p >= u) { ok = false; live = false } // slot exhausted: no later start can match
+            else if (fl(p) != want) ok = false
+            s += 1
+          }
+          if (ok) pf += 1
+          i0 += 1
+        }
+        if (pf > 0) offer(target, idfSum * BM25.tfNorm(pf, driver.currentDl, avgdl))
         driver.next()
       } else driver.advance(maxSeen)
     }

@@ -44,6 +44,41 @@ class PostingCodecSpec extends AnyFunSuite {
     assert(blocks.map(_.max_doc_id).sliding(2).forall(s => s.length < 2 || s(0) < s(1)))
   }
 
+  test("positions round-trip exactly across block boundaries (format v3)") {
+    val rng = new java.util.SplittableRandom(99)
+    samples(postingsGen, 50).foreach { case (ids, tfs, dls) =>
+      // tf random ascending positions per posting, may start at 0
+      val positions: Array[Array[Int]] = tfs.map { tf =>
+        val out = new Array[Int](tf)
+        var p = rng.nextInt(3)
+        var i = 0
+        while (i < tf) { out(i) = p; p += 1 + rng.nextInt(7); i += 1 }
+        out
+      }
+      val blocks = PostingCodec.encodeTerm("t", 0, ids, tfs, dls, positions)
+      val decoded = blocks.flatMap { b =>
+        val d = PostingCodec.decodeBlock(b)
+        d.docIds.indices.map(i =>
+          d.posFlat.slice(d.posOff(i), d.posOff(i + 1)).toVector)
+      }
+      assert(decoded == positions.map(_.toVector).toSeq)
+    }
+  }
+
+  test("synthesized positions (no explicit lists) keep the tf-sum invariant") {
+    val ids = Array.tabulate(300)(i => (i * 2 + 1).toLong)
+    val tfs = Array.tabulate(300)(i => 1 + i % 5)
+    val dls = Array.fill(300)(50)
+    PostingCodec.encodeTerm("t", 0, ids, tfs, dls).foreach { b =>
+      val d = PostingCodec.decodeBlock(b)
+      assert(d.posFlat.length == d.tfs.sum)
+      d.docIds.indices.foreach { i =>
+        assert(d.posFlat.slice(d.posOff(i), d.posOff(i + 1)).toVector ==
+          Vector.range(0, d.tfs(i)))
+      }
+    }
+  }
+
   test("(block_max_tf, block_min_dl) bound in-block contributions at any avgdl") {
     samples(postingsGen, 50).foreach { case (ids, tfs, dls) =>
       PostingCodec.encodeTerm("t", 0, ids, tfs, dls).foreach { b =>
