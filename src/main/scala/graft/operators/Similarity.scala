@@ -1,19 +1,28 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
- * Similarity search over an embedding column (`Array[Float]`), pure
- * `functions._` expressions (whole-stage codegen; no UDFs):
+ * Similarity search over an embedding column (`Array[Float]`):
  *
  *  - brute-force cosine top-k — the exact baseline; a single
  *    narrow map over the corpus, then a k-row ordered take;
- *  - random-hyperplane LSH bucketing — the scale path: candidate
- *    generation by shared bucket, exact re-rank within buckets.
+ *  - persisted IVF-flat index — the scale path: the corpus is
+ *    assigned ONCE to nearest-centroid buckets and written
+ *    bucket-partitioned; a query reads only its `nprobe` partitions;
+ *  - persisted SRP-LSH (random hyperplane) index — same
+ *    build-once/probe-partitions shape with Hamming-1 multi-probe.
  *
- * The dot product folds over `zip_with` in left-to-right element order
- * with double accumulation — deterministic at any parallelism.
+ * Both index builds are one narrow map pass over the corpus (no
+ * shuffle beyond the partitioned write), and both query paths are
+ * partition-pruned scans + an exact cosine re-rank — never a full
+ * corpus pass per query (the round-2 one-shot forms recomputed the
+ * whole assignment per query; SimilarityIndexSpec pins the pruning).
+ *
+ * The dot product folds in left-to-right element order with double
+ * accumulation — deterministic at any parallelism and bit-identical
+ * to the DuckDB oracles' `list_reduce` mirror.
  */
 object Similarity {
 
@@ -73,66 +82,80 @@ object Similarity {
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
+  // ------------------------------------------------------------------
+  // Driver-side probe arithmetic: the SAME left-fold double dot the
+  // executors (and the oracle) use, so probe selection is
+  // engine-independent.
+  // ------------------------------------------------------------------
+  private def dotD(a: Array[Float], b: Seq[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  private def normD(a: Seq[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  // ==================================================================
+  // Persisted IVF-flat index
+  // ==================================================================
+
+  def ivfCentroidsDir(dir: String): String = s"$dir/centroids"
+  def ivfAssignedDir(dir: String): String = s"$dir/assigned"
+
   /**
-   * ANN top-k via LSH buckets with multi-probe fallback: the query's
-   * bucket plus all buckets at Hamming distance 1 are probed (exact
-   * cosine re-rank inside). At 1000 executors the probe is a
-   * partition-pruned scan of a bucket-partitioned table, not a full
-   * corpus pass. Recall is approximate by construction — the
-   * brute-force path is the exactness baseline.
-   */
-  /**
-   * IVF-flat ANN: the corpus is assigned to nearest-centroid buckets
-   * (an inverted file over vector space); a query probes only the
-   * `nprobe` centroid lists nearest to it, with exact cosine re-rank
-   * inside. Centroids default to a deterministic data sample (every
-   * `centroidStep`-th id — the standard cheap baseline; a k-means
-   * refinement would slot into the same assign/probe plumbing).
+   * Build a persisted IVF-flat index under `outDir`:
    *
-   * Scale shape: centroids are tiny (collected + inlined as literals,
-   * broadcast-free), assignment is ONE narrow map pass, and at scale
-   * the assigned table is written bucket-partitioned so a query reads
-   * nprobe partitions — never the full corpus. Assignment tie-break is
-   * deterministic (earliest/lowest centroid id on equal similarity),
-   * and every arithmetic step is oracle-mirrorable in plain SQL.
+   *  - `centroids/` — `numCentroids` rows `(cid, cv)`, a fixed-size
+   *    deterministic pseudo-random sample of the corpus (hash-ordered
+   *    by `(id · 2654435761) mod P`, ties by id — SQL-mirrorable, and
+   *    independent of corpus size: the round-2 every-`step`-th-id rule
+   *    grew the centroid count, and the per-centroid literal
+   *    expression tree, linearly with the corpus). A k-means
+   *    refinement would slot into the same assign/probe plumbing.
+   *  - `assigned/` — the full corpus as `(id, v)` written
+   *    `partitionBy(bucket)` where bucket = argmax-cosine centroid id
+   *    (ties → lowest cid), computed by the native
+   *    [[graft.functions.ArgMaxCosExpr]] (one codegen'd loop; the
+   *    centroid matrix ships as plan data, not literal sub-trees).
+   *
+   * One narrow map pass over the corpus; queries then read `nprobe`
+   * bucket partitions — never the full corpus.
    */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-              query: Array[Float], k: Int,
-              centroidStep: Int = 50, nprobe: Int = 3): DataFrame = {
+  def ivfBuild(df: DataFrame, idCol: String, vecCol: String, outDir: String,
+               numCentroids: Int = 64): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     val cents: Array[(Long, Seq[Float])] =
-      df.filter(pmod(col(idCol), lit(centroidStep)) === 0)
-        .select(col(idCol).cast("long"), col(vecCol))
+      df.select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+        .orderBy(pmod(col("cid") * lit(2654435761L), lit(Hashing.P)).asc,
+          col("cid").asc)
+        .limit(numCentroids)
         .as[(Long, Seq[Float])].collect().sortBy(_._1)
-    require(cents.nonEmpty, s"no centroids: no $idCol % $centroidStep == 0 rows")
+    require(cents.nonEmpty, "ivfBuild: empty corpus")
+    cents.toSeq.toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(ivfCentroidsDir(outDir))
 
-    // bucket = argmax over centroids of cos(v, c); array_position finds
-    // the FIRST max, so ties go to the lowest cid (deterministic,
-    // matches the SQL oracle). Built as one similarity ARRAY — a
-    // when/otherwise fold would duplicate its accumulator twice per
-    // level and blow the expression tree up exponentially in the
-    // centroid count.
-    val cidsLit = typedLit(cents.map(_._1).toSeq)
-    def bucketOf(v: Column): Column = {
-      val sims = array(cents.map { case (_, cv) => cosine(v, typedLit(cv)) }: _*)
-      val pos = array_position(sims, array_max(sims))
-      when(pos > 0, element_at(cidsLit, pos.cast("int"))).otherwise(lit(-1L))
-    }
+    val cids = cents.map(_._1).toSeq
+    val matrix = cents.map(_._2.toArray)
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", element_at(typedLit(cids),
+        graft.functions.ArgMaxCosExpr(col("v"), matrix) + 1))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(ivfAssignedDir(outDir))
+  }
 
-    // probe set: nprobe centroids nearest to the query, computed with
-    // the same left-fold double arithmetic the executors (and the
-    // oracle) use
-    def dotD(a: Array[Float], b: Seq[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
-    def normD(a: Seq[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
-      math.sqrt(s)
-    }
+  /** Query a persisted IVF index: probe the `nprobe` centroid lists
+    * nearest to the query (partition-pruned read of the assigned
+    * table), exact cosine re-rank inside. Returns (id, cosine),
+    * tie-break (cosine desc, id asc). */
+  def ivfQuery(spark: SparkSession, dir: String, query: Array[Float],
+               k: Int, nprobe: Int = 3): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(ivfCentroidsDir(dir))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
     val qn = normD(query.toSeq)
     // contract: vectors are nonzero (cosine of a zero vector is NaN in
     // any engine); defensively rank NaN last so a degenerate centroid
@@ -143,26 +166,51 @@ object Similarity {
     }.sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1)
 
     val q = typedLit(query.toSeq)
-    df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", bucketOf(col("v")))
+    spark.read.parquet(ivfAssignedDir(dir))
       .filter(col("bucket").isInCollection(probes))
       .select(col("id"), cosine(col("v"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
   }
 
-  def annTopK(df: DataFrame, idCol: String, vecCol: String,
-              query: Array[Float], k: Int, planes: Int = 12): DataFrame = {
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", hyperplaneBucket(col("v"), planes))
-    // compute query bucket with the same expression over a 1-row frame
+  // ==================================================================
+  // Persisted SRP-LSH (random hyperplane) index
+  // ==================================================================
+
+  def annAssignedDir(dir: String): String = s"$dir/assigned"
+  def annMetaDir(dir: String): String = s"$dir/meta"
+
+  /** Build a persisted SRP-LSH index: the corpus as `(id, v)` written
+    * `partitionBy(bucket)` with bucket = [[hyperplaneBucket]] (plane
+    * count persisted in `meta/`). One narrow map pass. */
+  def annBuild(df: DataFrame, idCol: String, vecCol: String, outDir: String,
+               planes: Int = 12): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    Seq(planes).toDF("planes").coalesce(1)
+      .write.mode("overwrite").parquet(annMetaDir(outDir))
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(annAssignedDir(outDir))
+  }
+
+  /** Query a persisted SRP index: the query's bucket plus all buckets
+    * at Hamming distance 1 are probed (partition-pruned read), exact
+    * cosine re-rank inside. Recall is approximate by construction —
+    * [[bruteForceTopK]] is the exactness baseline. */
+  def annQuery(spark: SparkSession, dir: String, query: Array[Float],
+               k: Int): DataFrame = {
+    import spark.implicits._
+    val planes = spark.read.parquet(annMetaDir(dir)).as[Int].head()
+    // query bucket via the same declarative expression over a 1-row
+    // frame — identical arithmetic to the build (and the oracle)
     val qdf = Seq(query.toSeq).toDF("v")
     val qBucket = qdf.select(hyperplaneBucket(col("v"), planes)).head().getLong(0)
     val probes = qBucket +: (0 until planes).map(j => qBucket ^ (1L << j))
     val q = typedLit(query.toSeq)
-    bucketed.filter(col("bucket").isInCollection(probes))
+    spark.read.parquet(annAssignedDir(dir))
+      .filter(col("bucket").isInCollection(probes))
       .select(col("id"), cosine(col("v"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)

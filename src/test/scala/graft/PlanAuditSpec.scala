@@ -100,12 +100,17 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!plan.contains("SortMergeJoin")) // pairs come from in-bucket lists, not a join
   }
 
-  test("ivf probe: no cartesian/join — assignment is a map, probe a filter") {
+  test("ivf probe: partition-pruned scan of the persisted index, no join, heap top-k") {
     val vecs = (0L until 30L).map(i =>
       (i, (0 until 4).map(d => ((i * 31 + d * 13) % 101 - 50).toFloat / 50f)))
     val df = vecs.toDF("vec_id", "embedding")
-    val plan = planOf(graft.operators.Similarity.ivfTopK(
-      df, "vec_id", "embedding", vecs(3)._2.toArray, 5, centroidStep = 10, nprobe = 2))
+    val dir = tmpDir("ivf-plan")
+    graft.operators.Similarity.ivfBuild(df, "vec_id", "embedding", dir, numCentroids = 4)
+    val plan = planOf(graft.operators.Similarity.ivfQuery(
+      spark, dir, vecs(3)._2.toArray, 5, nprobe = 2))
+    // the probe filter lands on the PARTITION column → Catalyst prunes
+    // bucket directories at planning; the scan never lists the corpus
+    assert(plan.contains("PartitionFilters: [bucket"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("Join"), plan.take(2000))
     assert(plan.contains("TakeOrderedAndProject")) // top-k, not a global sort

@@ -1,0 +1,125 @@
+package graft.functions
+
+import graft.SparkFunSuite
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/**
+ * The persisted similarity indexes (IVF-flat and SRP-LSH) and the
+ * native argmax-cosine kernel:
+ *
+ *  - runtime FILE pruning: a query's scan touches only the probed
+ *    bucket partitions (checked with input_file_name over the rows
+ *    actually read — stronger than the static PartitionFilters audit
+ *    in PlanAuditSpec);
+ *  - [[ArgMaxCosExpr]] bit-parity with the declarative per-centroid
+ *    literal form it replaces (ties → lowest index; null semantics).
+ */
+class SimilarityIndexSpec extends SparkFunSuite {
+  import graft.SparkTestBase.spark.implicits._
+
+  private def vecs(n: Int, dim: Int): Seq[(Long, Seq[Float])] =
+    (0L until n.toLong).map { i =>
+      (i, (0 until dim).map(d => ((i * 31 + d * 13) % 101 - 50).toFloat / 50f))
+    }
+
+  test("ivf query reads ONLY the nprobe probed bucket partitions (file-level pruning)") {
+    val data = vecs(60, 6)
+    val df = data.toDF("vec_id", "embedding")
+    val dir = tmpDir("ivf-prune")
+    Similarity.ivfBuild(df, "vec_id", "embedding", dir, numCentroids = 8)
+
+    val query = data(11)._2.toArray
+    // reproduce the probe set the query path computes
+    val cents = spark.read.parquet(Similarity.ivfCentroidsDir(dir))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    def cos(a: Array[Float], b: Seq[Float]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+      while (i < a.length) {
+        dab += a(i).toDouble * b(i).toDouble
+        daa += a(i).toDouble * a(i).toDouble
+        dbb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dab / (math.sqrt(daa) * math.sqrt(dbb))
+    }
+    val probes = cents.map { case (cid, cv) => (cid, cos(query, cv)) }
+      .sortBy { case (cid, s) => (-s, cid) }.take(3).map(_._1).toSet
+
+    // files actually read under the probe filter
+    val readFiles = spark.read.parquet(Similarity.ivfAssignedDir(dir))
+      .filter(col("bucket").isInCollection(probes.toSeq))
+      .select(input_file_name()).distinct().as[String].collect()
+    assert(readFiles.nonEmpty)
+    val bucketOf = "bucket=(\\d+)".r
+    val readBuckets = readFiles.flatMap(f =>
+      bucketOf.findFirstMatchIn(f).map(_.group(1).toLong)).toSet
+    assert(readBuckets.subsetOf(probes), s"read $readBuckets, probed $probes")
+    // and the index genuinely has MORE buckets than were read
+    val allBuckets = spark.read.parquet(Similarity.ivfAssignedDir(dir))
+      .select("bucket").distinct().as[Long].collect().toSet
+    assert(allBuckets.size > probes.size, s"only ${allBuckets.size} buckets built")
+    // end-to-end: the query result equals brute force over the probed buckets
+    val got = Similarity.ivfQuery(spark, dir, query, 5, nprobe = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.head._1 == 11L && math.abs(got.head._2 - 1.0) < 1e-9)
+  }
+
+  test("ann query reads only Hamming-1 probe partitions") {
+    val data = vecs(80, 6)
+    val df = data.toDF("vec_id", "embedding")
+    val dir = tmpDir("ann-prune")
+    Similarity.annBuild(df, "vec_id", "embedding", dir, planes = 5)
+    val query = data(19)._2.toArray
+    val qBucket = Seq(query.toSeq).toDF("v")
+      .select(Similarity.hyperplaneBucket(col("v"), 5)).head().getLong(0)
+    val probes = (qBucket +: (0 until 5).map(j => qBucket ^ (1L << j))).toSet
+
+    val got = Similarity.annQuery(spark, dir, query, 5)
+    val withFile = spark.read.parquet(Similarity.annAssignedDir(dir))
+      .filter(col("bucket").isInCollection(probes.toSeq))
+      .select(input_file_name()).distinct().as[String].collect()
+    val bucketOf = "bucket=(\\d+)".r
+    val readBuckets = withFile.flatMap(f =>
+      bucketOf.findFirstMatchIn(f).map(_.group(1).toLong)).toSet
+    assert(readBuckets.subsetOf(probes), s"read $readBuckets, probed $probes")
+    assert(got.as[(Long, Double)].collect().head._1 == 19L)
+  }
+
+  test("ArgMaxCosExpr matches the declarative literal-array argmax, ties → lowest index") {
+    val dim = 5
+    val cents: Array[Array[Float]] = Array(
+      Array.tabulate(dim)(d => math.sin(d + 1).toFloat),
+      Array.tabulate(dim)(d => math.cos(d * 2 + 1).toFloat),
+      Array.tabulate(dim)(d => math.sin(d + 1).toFloat), // duplicate of 0 → tie
+      Array.tabulate(dim)(d => (d - 2).toFloat))
+    val rows = vecs(40, dim) ++ Seq((100L, cents(0).toSeq), (101L, cents(2).toSeq))
+    val df = rows.toDF("id", "v")
+
+    val native = df.select($"id", ArgMaxCosExpr($"v", cents).as("am"))
+      .as[(Long, Int)].collect().sortBy(_._1)
+    // declarative reference: one cosine sub-tree per centroid (the form
+    // the native expression replaces), first max via array_position
+    val sims = array(cents.map(c => Similarity.cosine($"v", typedLit(c.toSeq))): _*)
+    val decl = df.select($"id",
+        (array_position(sims, array_max(sims)) - 1).cast("int").as("am"))
+      .as[(Long, Int)].collect().sortBy(_._1)
+    assert(native.toSeq == decl.toSeq)
+    // the duplicate-centroid tie resolves to index 0, never 2
+    assert(native.find(_._1 == 100L).get._2 == 0)
+    assert(native.find(_._1 == 101L).get._2 == 0)
+  }
+
+  test("ArgMaxCosExpr null semantics: dimension mismatch and null input") {
+    val cents = Array(Array(1.0f, 0.0f, 0.0f))
+    val df = Seq(
+      (1L, Some(Seq(1.0f, 2.0f))),            // dim mismatch → null
+      (2L, None: Option[Seq[Float]]),          // null input → null
+      (3L, Some(Seq(0.5f, 0.1f, 0.2f)))        // fine
+    ).toDF("id", "v")
+    val got = df.select($"id", ArgMaxCosExpr($"v", cents).as("am"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, None), (2L, None), (3L, Some(0))))
+  }
+}

@@ -280,18 +280,20 @@ class OperatorsSpec extends SparkFunSuite {
     assert(top(0)._3 == 1.0 && math.abs(top(2)._3 - math.sqrt(0.5)) < 1e-12)
   }
 
-  test("annTopK finds the exact-match vector via its own bucket") {
+  test("ann persisted index: exact-match vector found via its own bucket") {
     val e = (0L until 50L).map(i => (i, Seq.tabulate(8)(d =>
       math.sin(i * 31 + d).toFloat))).toDF("vec_id", "embedding")
+    val dir = tmpDir("ann-idx")
+    Similarity.annBuild(e, "vec_id", "embedding", dir, planes = 6)
     val q = Seq.tabulate(8)(d => math.sin(7 * 31 + d).toFloat).toArray
-    val got = Similarity.annTopK(e, "vec_id", "embedding", q, 5, planes = 6)
+    val got = Similarity.annQuery(spark, dir, q, 5)
       .as[(Long, Double)].collect()
     assert(got.nonEmpty && got.head._1 == 7L && math.abs(got.head._2 - 1.0) < 1e-9)
   }
 
   // ---- Multimodal ----
 
-  test("ivfTopK: query's own bucket is probed; exact match found; assignment deterministic") {
+  test("ivf persisted index: query's own bucket is probed; exact match found; build deterministic") {
     val dim = 8
     // i·31 mod 101 is injective for i < 101 → all vectors distinct
     val vecs = (0L until 40L).map { i =>
@@ -299,14 +301,19 @@ class OperatorsSpec extends SparkFunSuite {
     }
     val df = vecs.toDF("vec_id", "embedding")
     val query = vecs(23)._2.toArray
-    val top = Similarity.ivfTopK(df, "vec_id", "embedding", query, 5,
-        centroidStep = 10, nprobe = 2)
+    val dir = tmpDir("ivf-idx")
+    Similarity.ivfBuild(df, "vec_id", "embedding", dir, numCentroids = 4)
+    val top = Similarity.ivfQuery(spark, dir, query, 5, nprobe = 2)
       .as[(Long, Double)].collect()
-    assert(top.head._1 == 23L) // the vector itself wins its own probe set
+    // probe #1 is exactly the query's own argmax centroid (same
+    // arithmetic) → the vector itself always enters the candidate set
+    assert(top.head._1 == 23L)
     assert(math.abs(top.head._2 - 1.0) < 1e-9)
-    // determinism: identical result on a re-run at different parallelism
-    val top2 = Similarity.ivfTopK(df.repartition(7), "vec_id", "embedding", query, 5,
-        centroidStep = 10, nprobe = 2)
+    // determinism: byte-equivalent index from a differently-partitioned
+    // build → identical query result
+    val dir2 = tmpDir("ivf-idx2")
+    Similarity.ivfBuild(df.repartition(7), "vec_id", "embedding", dir2, numCentroids = 4)
+    val top2 = Similarity.ivfQuery(spark, dir2, query, 5, nprobe = 2)
       .as[(Long, Double)].collect()
     assert(top.toSeq == top2.toSeq)
   }
