@@ -111,6 +111,31 @@ object FtIndex {
     out
   }
 
+  // ---- non-default analyzer chain (v1+stop) gate fixture ----
+  // Same corpus, indexed under the stopword-removing chain — proves a
+  // non-default analysis chain survives build → query → oracle (the
+  // chain id is persisted in corpus_stats and re-parsed at query time,
+  // so the query side tokenizes identically). The DuckDB oracle
+  // mirrors the chain with a list_filter over the same stopword list.
+
+  private val builtStop = scala.collection.mutable.Set[String]()
+
+  def stopIndexDir(sfDir: String): String = {
+    val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"/tmp/graft_ftstop_v$CacheVersion/$name"
+  }
+
+  def ensureStop(spark: SparkSession, sfDir: String): String = synchronized {
+    val out = stopIndexDir(sfDir)
+    if (!builtStop.contains(out)) {
+      IndexBuilder.build(spark, docsAsTurns(spark, sfDir),
+        BuildConfig(out, nSegments = 8, waveSize = 8,
+          analyzer = graft.analysis.Analyzer(stop = true)))
+      builtStop += out
+    }
+    out
+  }
+
   /** Original doc_id parsed back out of the engine conv_id
     * ("doc-%010d" → the zero-padded digits; safe for doc_id 0). */
   def origId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

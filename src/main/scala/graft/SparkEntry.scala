@@ -28,6 +28,15 @@ object SparkEntry {
   private val ToksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
 
+  /** The v1+stop chain: V1 then English stopword removal — mirrors
+    * `Analyzer(stop = true)` with the engine's exact stopword list
+    * ([[graft.analysis.Tokenizer.EnglishStopwords]]). */
+  private lazy val StopToksSql = {
+    val stops = graft.analysis.Tokenizer.EnglishStopwords.toSeq.sorted
+      .map(w => s"'$w'").mkString("(", ", ", ")")
+    s"list_filter($ToksSql, t -> t NOT IN $stops)"
+  }
+
   /** Mirror of Hashing.polyHash (base-257 rolling hash mod 1e9+7). */
   private def polySql(s: String): String =
     s"list_reduce(list_concat([0::BIGINT], list_transform(string_split($s, ''), " +
@@ -475,6 +484,15 @@ object SparkEntry {
     hitsTop20DF(s, rdr.searchPhrase("batch window", 1000000))
   }
 
+  /** BM25 over an index built with the NON-DEFAULT v1+stop analysis
+    * chain (the mirrorable half of the reference's text_en): stopword
+    * removal changes dl/avgdl, so a build that silently ignored the
+    * chain hash-mismatches the stop-filtered oracle. */
+  private def ftBm25Stop(s: SparkSession, dir: String): DataFrame = {
+    val idx = FtIndex.ensureStop(s, dir)
+    bm25Top20DF(s, new graft.query.IndexReader(s, idx), FtQuery)
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -527,6 +545,7 @@ object SparkEntry {
     "ft_bm25_filtered" -> (ftBm25Filtered _),
     "ft_bm25_boolean" -> (ftBm25Boolean _),
     "ft_bm25_phrase" -> (ftBm25Phrase _),
+    "ft_bm25_stop" -> (ftBm25Stop _),
     "ft_incremental" -> (ftIncremental _)
   )
 
@@ -966,6 +985,25 @@ object SparkEntry {
            |   + (SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5)) FROM dfs WHERE term = 'window'))
            |  * (pf / (pf + 1.2 * (1 - 0.75 + 0.75 * p.dl / stats.avgdl))) AS s
            | FROM p CROSS JOIN stats WHERE pf > 0)
+           |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+           | doc_id, round(s, 4) AS score
+           |FROM scores ORDER BY rank LIMIT 20""".stripMargin,
+
+      // the v1+stop chain: same BM25 shape, tokens stop-filtered — dl,
+      // avgdl, and every score shift, so an index built with the wrong
+      // chain cannot hash-match
+      "ft_bm25_stop" ->
+        s"""WITH toks AS (SELECT doc_id, unnest($StopToksSql) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+           |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+           |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+           |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftTermsIn GROUP BY 1),
+           |scores AS (
+           | SELECT tf.doc_id,
+           |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+           | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           | GROUP BY tf.doc_id)
            |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
            | doc_id, round(s, 4) AS score
            |FROM scores ORDER BY rank LIMIT 20""".stripMargin,
