@@ -304,7 +304,7 @@ object SparkEntry {
   // the gate queries run against the bucket-partitioned tables, so the
   // query-side plan is a partition-pruned scan — SimilarityIndexSpec
   // pins the pruning) ----
-  private val SimCacheVersion = 1
+  private val SimCacheVersion = 2 // v2: clustered writes, k-means-capable build
   private val builtSim = scala.collection.mutable.Set[String]()
 
   private def ensureSimIndex(kind: String, sfDir: String)

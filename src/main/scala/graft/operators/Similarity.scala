@@ -113,8 +113,8 @@ object Similarity {
    *    by `(id · 2654435761) mod P`, ties by id — SQL-mirrorable, and
    *    independent of corpus size: the round-2 every-`step`-th-id rule
    *    grew the centroid count, and the per-centroid literal
-   *    expression tree, linearly with the corpus). A k-means
-   *    refinement would slot into the same assign/probe plumbing.
+   *    expression tree, linearly with the corpus). `kmeansIters > 0`
+   *    refines them with spherical Lloyd iterations.
    *  - `assigned/` — the full corpus as `(id, v)` written
    *    `partitionBy(bucket)` where bucket = argmax-cosine centroid id
    *    (ties → lowest cid), computed by the native
@@ -125,24 +125,62 @@ object Similarity {
    * bucket partitions — never the full corpus.
    */
   def ivfBuild(df: DataFrame, idCol: String, vecCol: String, outDir: String,
-               numCentroids: Int = 64): Unit = {
+               numCentroids: Int = 64, kmeansIters: Int = 0): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cents: Array[(Long, Seq[Float])] =
+    val sampled: Array[(Long, Seq[Float])] =
       df.select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
         .orderBy(pmod(col("cid") * lit(2654435761L), lit(Hashing.P)).asc,
           col("cid").asc)
         .limit(numCentroids)
         .as[(Long, Seq[Float])].collect().sortBy(_._1)
-    require(cents.nonEmpty, "ivfBuild: empty corpus")
-    cents.toSeq.toDF("cid", "cv").coalesce(1)
+    require(sampled.nonEmpty, "ivfBuild: empty corpus")
+
+    // Optional spherical k-means refinement (Lloyd iterations): assign
+    // to argmax-cosine centroid, recenter each centroid on the MEAN of
+    // its bucket (cosine is scale-invariant in the centroid, so the
+    // unnormalized mean maximizes Σ cos for a fixed assignment — the
+    // objective is monotone non-decreasing per iteration,
+    // SimilarityIndexSpec pins it). Each iteration is one narrow
+    // assignment map + one (bucket, pos)-grouped aggregation; the
+    // k·dim partial sums collected to the driver are tiny. Empty
+    // buckets keep their previous centroid. kmeansIters = 0 keeps the
+    // raw sample — the gate path, mirrored exactly by the DuckDB
+    // oracle (k-means centroids are training artifacts an external
+    // engine reproduces from the PERSISTED centroids table instead).
+    var matrix = sampled.map(_._2.toArray)
+    val cids: Seq[Long] =
+      if (kmeansIters == 0) sampled.map(_._1).toSeq
+      else {
+        for (_ <- 1 to kmeansIters) {
+          val sums = df
+            .select(graft.functions.ArgMaxCosExpr(col(vecCol), matrix).as("b"),
+              posexplode(col(vecCol)).as(Seq("pos", "x")))
+            .groupBy("b", "pos")
+            .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+            .as[(Int, Int, Double, Long)].collect()
+          val next = matrix.map(_.clone())
+          sums.groupBy(_._1).foreach { case (b, rows) =>
+            val dim = matrix(b).length
+            val c = new Array[Float](dim)
+            rows.foreach { case (_, pos, sx, n) => c(pos) = (sx / n).toFloat }
+            next(b) = c
+          }
+          matrix = next
+        }
+        matrix.indices.map(_.toLong)
+      }
+    cids.zip(matrix.map(_.toSeq)).toDF("cid", "cv").coalesce(1)
       .write.mode("overwrite").parquet(ivfCentroidsDir(outDir))
 
-    val cids = cents.map(_._1).toSeq
-    val matrix = cents.map(_._2.toArray)
+    // repartition on the bucket before the partitioned write: without
+    // it every write task emits a file into every bucket directory
+    // (tasks × buckets small files at scale); clustered, each bucket's
+    // rows land in few files
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("bucket", element_at(typedLit(cids),
         graft.functions.ArgMaxCosExpr(col("v"), matrix) + 1))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(ivfAssignedDir(outDir))
   }
@@ -191,6 +229,7 @@ object Similarity {
       .write.mode("overwrite").parquet(annMetaDir(outDir))
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+      .repartition(col("bucket")) // cluster the partitioned write (see ivfBuild)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(annAssignedDir(outDir))
   }

@@ -110,6 +110,46 @@ class SimilarityIndexSpec extends SparkFunSuite {
     assert(native.find(_._1 == 101L).get._2 == 0)
   }
 
+  test("k-means refinement: spherical objective non-decreasing; refined index still serves") {
+    // three well-separated direction clusters with noise
+    val dim = 6
+    def base(c: Int, d: Int): Float = (if ((c + d * 3) % 3 == 0) 1.0f else 0.05f)
+    val data: Seq[(Long, Seq[Float])] = (0L until 90L).map { i =>
+      val c = (i % 3).toInt
+      // i·37 mod 101 injective for i < 101 → no two vectors identical
+      (i, (0 until dim).map(d => base(c, d) + ((i * 37 + d * 11) % 101).toFloat / 1010f))
+    }
+    val df = data.toDF("vec_id", "embedding")
+
+    def avgCosTo(dir: String): Double = {
+      val cents = spark.read.parquet(Similarity.ivfCentroidsDir(dir))
+        .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      val m = cents.map(_._2.map(_.toFloat).toArray)
+      def cos(a: Seq[Float], b: Array[Float]): Double = {
+        var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+        while (i < b.length) {
+          dab += a(i).toDouble * b(i).toDouble
+          daa += a(i).toDouble * a(i).toDouble
+          dbb += b(i).toDouble * b(i).toDouble; i += 1
+        }
+        dab / (math.sqrt(daa) * math.sqrt(dbb))
+      }
+      data.map { case (_, v) => m.map(c => cos(v, c)).max }.sum / data.size
+    }
+
+    val dir0 = tmpDir("ivf-km0"); val dir2 = tmpDir("ivf-km2")
+    Similarity.ivfBuild(df, "vec_id", "embedding", dir0, numCentroids = 3, kmeansIters = 0)
+    Similarity.ivfBuild(df, "vec_id", "embedding", dir2, numCentroids = 3, kmeansIters = 3)
+    val (obj0, obj2) = (avgCosTo(dir0), avgCosTo(dir2))
+    assert(obj2 >= obj0 - 1e-12, s"objective regressed: $obj0 -> $obj2")
+
+    // the refined index still serves exact self-queries via its probe set
+    val q = data(41)._2.toArray
+    val got = Similarity.ivfQuery(spark, dir2, q, 3, nprobe = 1)
+      .as[(Long, Double)].collect()
+    assert(got.head._1 == 41L && math.abs(got.head._2 - 1.0) < 1e-9)
+  }
+
   test("ArgMaxCosExpr null semantics: dimension mismatch and null input") {
     val cents = Array(Array(1.0f, 0.0f, 0.0f))
     val df = Seq(
