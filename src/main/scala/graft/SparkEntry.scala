@@ -214,6 +214,19 @@ object SparkEntry {
         "[${lang}] ${source} has ${n_chars} chars")
       .select("doc_id", "summary")
 
+  /** FetchUrl plumbing over the deterministic stub kernel (no egress
+    * here): URL construction, host-partitioned fetch, status/body/
+    * error channels — all mirrored in plain SQL by the oracle. */
+  private def tFetchUrl(s: SparkSession, dir: String): DataFrame = {
+    val urls = tbl(s, dir, "documents").withColumn("url",
+      concat(lit("http://h"), pmod(col("doc_id"), lit(5)),
+        lit(".example/"), col("doc_id")))
+    Transforms.fetchUrl(urls, "url")
+      .select(col("doc_id"), col("url"),
+        col("http_status").cast("long").as("http_status"),
+        col("body").cast("string").as("body_str"), col("fetch_error"))
+  }
+
   private def sChildDocs(s: SparkSession, dir: String): DataFrame =
     ScanOps.childDocs(tbl(s, dir, "documents").filter(col("doc_id") < 40),
         "doc_id", split(col("text"), " "))
@@ -515,6 +528,7 @@ object SparkEntry {
     "t_readable_size" -> (tReadableSize _),
     "t_url_encode" -> (tUrlEncode _),
     "t_template" -> (tTemplate _),
+    "t_fetch_url" -> (tFetchUrl _),
     "s_child_docs" -> (sChildDocs _),
     "s_xml_extract" -> (sXmlExtract _),
     "r_route_by_field" -> (rRouteByField _),
@@ -712,6 +726,16 @@ object SparkEntry {
       "t_template" ->
         """SELECT doc_id, '[' || lang || '] ' || source || ' has ' ||
           | n_chars::VARCHAR || ' chars' AS summary FROM documents""".stripMargin,
+
+      "t_fetch_url" ->
+        """WITH u AS (SELECT doc_id,
+          |  'http://h' || (doc_id % 5)::VARCHAR || '.example/' || doc_id::VARCHAR AS url
+          | FROM documents)
+          |SELECT doc_id, url,
+          | (CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END)::BIGINT AS http_status,
+          | CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 'BODY:' || url END AS body_str,
+          | CASE WHEN doc_id % 17 = 0 THEN 'HTTP server responded 404' END AS fetch_error
+          |FROM u""".stripMargin,
 
       "s_child_docs" ->
         """SELECT doc_id::VARCHAR || '⇛' || child_no::VARCHAR AS child_id,

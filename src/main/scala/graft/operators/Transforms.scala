@@ -149,4 +149,87 @@ object Transforms {
   def logAndDrop(df: DataFrame, dropIf: Column): (DataFrame, DataFrame) =
     (df.filter(!dropIf),
       df.groupBy().agg(sum(dropIf.cast("long")).as("dropped_count")))
+
+  /** Result of one fetch: HTTP-ish status, body bytes (null on
+    * failure), error message (null on success). */
+  case class FetchResult(status: Int, body: Array[Byte], error: String)
+
+  /**
+   * `processors/FetchUrl.java:55-110` — fetch the URL in a field into
+   * raw bytes, with a PER-HOST throttle, an HTTP-status field, and an
+   * error field (failure keeps the row, `failOnError` rethrows — the
+   * reference's `failOnIOError`).
+   *
+   * Spark-native shape: rows are first repartitioned BY HOST, so one
+   * host's URLs land in one partition and the token-interval throttle
+   * is globally correct per host — the reference's per-JVM
+   * visited-site cache (`FetchUrl.java:61-74`) under-throttles as soon
+   * as there are two JVMs; here adding executors never multiplies the
+   * per-host rate. The fetch loop is `mapPartitions` (a per-row
+   * network side effect genuinely outside declarative Spark — the one
+   * §2.3 processor where that's the right tool).
+   *
+   * `fetcher` is the pluggable kernel. The default [[fakeFetch]] is a
+   * DETERMINISTIC STAND-IN (this environment has no egress): status,
+   * body, and error derive from the URL alone, so specs and the
+   * cross-engine oracle can pin the full plumbing — swap in a real
+   * `HttpURLConnection`-based function (connect/read timeouts, ≥400 →
+   * error, `FetchUrl.java:76-97`) for production.
+   */
+  def fetchUrl(df: DataFrame, urlCol: String,
+               fetcher: String => FetchResult = fakeFetch,
+               throttleMs: Long = 0L,
+               statusCol: String = "http_status",
+               bodyCol: String = "body",
+               errorCol: String = "fetch_error",
+               failOnError: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val hostOf = (u: String) =>
+      try new java.net.URI(u).getHost catch { case _: Exception => null }
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField(statusCol, IntegerType, nullable = true),
+      StructField(bodyCol, BinaryType, nullable = true),
+      StructField(errorCol, StringType, nullable = true)))
+    val urlIdx = df.schema.fieldIndex(urlCol)
+    // repartition on the HOST expression (derived column, not persisted)
+    val byHost = df.repartition(
+      expr(s"parse_url(cast($urlCol as string), 'HOST')"))
+    byHost.mapPartitions { it =>
+      val lastAccess = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { r =>
+        val url = r.getString(urlIdx)
+        val host = hostOf(url)
+        if (throttleMs > 0 && host != null) {
+          val now = System.currentTimeMillis()
+          lastAccess.get(host).foreach { last =>
+            val elapsed = now - last
+            if (elapsed < throttleMs) Thread.sleep(throttleMs - elapsed)
+          }
+          lastAccess(host) = System.currentTimeMillis()
+        }
+        val res =
+          try fetcher(url)
+          catch { case e: Exception => FetchResult(-1, null, e.getMessage) }
+        if (failOnError && res.error != null)
+          throw new RuntimeException(s"fetch failed for $url: ${res.error}")
+        Row.fromSeq(r.toSeq ++ Seq(
+          if (res.status < 0) null else res.status, res.body, res.error))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Deterministic stand-in fetch kernel (clearly marked; see
+    * [[fetchUrl]]): every 17th id-ish URL 404s with the reference's
+    * error message shape, the rest return 200 with body
+    * `"BODY:" + url` — all derivable in plain SQL, so the gate oracle
+    * mirrors the complete fetch plumbing. */
+  def fakeFetch(url: String): FetchResult = {
+    val tail = url.reverse.takeWhile(_.isDigit).reverse
+    val id = if (tail.isEmpty) 0L else tail.toLong
+    if (id % 17 == 0 && tail.nonEmpty)
+      FetchResult(404, null, "HTTP server responded 404")
+    else
+      FetchResult(200, ("BODY:" + url).getBytes("UTF-8"), null)
+  }
 }

@@ -126,6 +126,45 @@ class OperatorsSpec extends SparkFunSuite {
 
   // ---- ScanOps (§2.1) ----
 
+  test("fetchUrl: stub kernel plumbing — status/body/error columns, host partitioning, throttle, failOnError") {
+    val urls = (0L until 40L).map(i => (i, s"http://h${i % 3}.example/$i"))
+      .toDF("id", "url")
+    val got = Transforms.fetchUrl(urls, "url")
+      .select($"id", $"http_status", $"body".cast("string").as("b"), $"fetch_error")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        Option(r.getString(2)), Option(r.getString(3)))).sortBy(_._1)
+    got.foreach { case (id, status, body, err) =>
+      if (id % 17 == 0) {
+        assert(status == 404 && body.isEmpty && err.contains("HTTP server responded 404"))
+      } else {
+        assert(status == 200 && body.contains(s"BODY:http://h${id % 3}.example/$id") && err.isEmpty)
+      }
+    }
+    // one host → one partition (the per-host throttle is globally
+    // correct, unlike the reference's per-JVM visited-site cache)
+    val partsPerHost = Transforms.fetchUrl(urls, "url")
+      .select(expr("parse_url(url, 'HOST')").as("h"), spark_partition_id().as("p"))
+      .distinct().groupBy("h").count().as[(String, Long)].collect()
+    assert(partsPerHost.nonEmpty && partsPerHost.forall(_._2 == 1L), partsPerHost.toSeq)
+    // throttle: 4 same-host fetches spaced >= throttleMs (stamps land
+    // in a JVM-static holder — a closure-captured buffer would be a
+    // serialized copy on the task side)
+    val sameHost = (0 until 4).map(i => (i.toLong, s"http://only.example/p$i")).toDF("id", "url")
+    FetchStamps.times.clear()
+    Transforms.fetchUrl(sameHost.coalesce(1), "url",
+      fetcher = FetchStamps.stampingFetch, throttleMs = 60L).count()
+    val gaps = FetchStamps.toSeqTimes.sorted.sliding(2).map(w => w(1) - w(0)).toSeq
+    assert(gaps.size == 3 && gaps.forall(_ >= 55L), gaps)
+    // failOnError rethrows (the reference's failOnIOError)
+    val boom = intercept[org.apache.spark.SparkException] {
+      Transforms.fetchUrl(Seq((0L, "http://x.example/0")).toDF("id", "url"),
+        "url", failOnError = true).count()
+    }
+    assert(boom.getMessage.contains("fetch failed") ||
+      Option(boom.getCause).exists(_.getMessage.contains("fetch failed")))
+  }
+
   test("excludeSeen = scanner dedup memory (left_anti)") {
     val seen = Seq(0L, 2L).toDF("doc_id")
     val out = ScanOps.excludeSeen(docs, seen, "doc_id")
@@ -364,5 +403,18 @@ class AsOfSpec extends graft.SparkFunSuite {
     assert(out(1L).contains(2.2)) // tie at ts=100 → right included (<=)
     assert(out(2L).contains(1.1)) // latest prior at ts=40
     assert(out(3L).isEmpty)       // no right row at or before ts=10
+  }
+}
+
+/** JVM-static stamp collector for the fetchUrl throttle test (local
+  * mode: tasks share the JVM, so static state is visible; a
+  * closure-captured buffer would be a serialized task-side copy). */
+object FetchStamps {
+  val times = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  import scala.jdk.CollectionConverters._
+  def toSeqTimes: Seq[Long] = times.asScala.toSeq.map(_.longValue)
+  val stampingFetch: String => graft.operators.Transforms.FetchResult = u => {
+    times.add(System.currentTimeMillis())
+    graft.operators.Transforms.fakeFetch(u)
   }
 }
