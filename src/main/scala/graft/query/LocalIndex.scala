@@ -48,6 +48,26 @@ class LocalIndex private (stats: CorpusStats,
     Wand.topK(blocks, idfs, stats.avgdl, k)
   }
 
+  /** In-process metadata-filtered BM25 top-k: `allow` vetoes docIDs
+    * after cursor alignment, before the heap (the [[Wand.topK]]
+    * filter hook) — exact over the allowed set, like
+    * IndexReader.searchWhere with the predicate already resolved to a
+    * docID test (a serving node holds doc metadata in memory; the
+    * cluster path resolves a Column predicate against doc_stats). */
+  def searchWhere(query: String, allow: Long => Boolean,
+                  k: Int = 10): Vector[QueryHit] = {
+    val terms = analyzer.tokenize(query).distinct.sorted
+    if (terms.isEmpty || stats.n_docs == 0) return Vector.empty
+    val blocks = terms.iterator.flatMap { t =>
+      Option(byTerm.get(t)).map(t -> _)
+    }.toMap
+    if (blocks.isEmpty) return Vector.empty
+    val idfs = terms.flatMap { t =>
+      Option(dfs.get(t)).filter(_ != 0L).map(df => t -> BM25.idf(df, stats.n_docs))
+    }.toMap
+    Wand.topK(blocks, idfs, stats.avgdl, k, allow = allow)
+  }
+
   /** In-process boolean (AND/NOT) BM25 top-k; bit-identical to
     * IndexReader.searchBoolean. */
   def searchBoolean(mustQuery: String, notQuery: String = "",

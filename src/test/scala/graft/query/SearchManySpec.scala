@@ -89,6 +89,14 @@ class LocalIndexSpec extends graft.SparkFunSuite {
     val partial = LocalIndex.loadTerms(spark, dir, Seq("ba", "ce", "di"))
     assert(partial.search("ba ce di", 10).map(h => (h.doc_id, h.score)) ==
       dist.search("ba ce di", 10).map(h => (h.doc_id, h.score)))
+    // filtered serving: docID-predicate form equals the cluster path's
+    // Column-predicate form
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    Seq("assistant tool error", "ba ce di").foreach { q =>
+      assert(local.searchWhere(q, id => id % 3 == 0, 10).map(h => (h.doc_id, h.score)) ==
+        dist.searchWhere(q, pmod(col("doc_id"), lit(3)) === 0, 10).map(h => (h.doc_id, h.score)),
+        s"filtered query '$q'")
+    }
   }
 
   test("serving latency: in-process queries are sub-5ms after load") {
