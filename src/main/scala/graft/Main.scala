@@ -11,6 +11,8 @@ import org.apache.spark.sql.SparkSession
  *   graft.Main build <outDir> [nConvs] [seed]   build index over a synthetic transcript corpus
  *   graft.Main query <indexDir> <query...>      BM25 top-10 against a built index
  *   graft.Main serve <indexDir>                 serving-node REPL (LocalIndex, in-process WAND)
+ *   graft.Main sim-build <embParquet> <outDir> [k] [kmeansIters]   persisted IVF index
+ *   graft.Main sim-query <idxDir> <embParquet> <id> [k] [nprobe]   probe it by row id
  *   graft.Main entry [sfDir]                    flagship documents-corpus query (driver smoke)
  */
 object Main {
@@ -100,6 +102,29 @@ object Main {
           hits.foreach(h => println(f"${h.score}%12.6f  ${h.doc_id}"))
         }
       }
+      spark.stop()
+    case "sim-build" :: emb :: out :: rest =>
+      // persisted IVF index over an embeddings parquet (id, vector)
+      val spark = session()
+      val k = rest.headOption.map(_.toInt).getOrElse(64)
+      val iters = rest.drop(1).headOption.map(_.toInt).getOrElse(0)
+      val df = spark.read.parquet(emb)
+      val Seq(idCol, vecCol) = df.columns.take(2).toSeq
+      graft.operators.Similarity.ivfBuild(df, idCol, vecCol, out,
+        numCentroids = k, kmeansIters = iters)
+      println(s"sim-built: $out centroids=$k kmeansIters=$iters")
+      spark.stop()
+    case "sim-query" :: idx :: emb :: qid :: rest =>
+      // probe the persisted IVF index with the vector of row `qid`
+      val spark = session()
+      val k = rest.headOption.map(_.toInt).getOrElse(10)
+      val nprobe = rest.drop(1).headOption.map(_.toInt).getOrElse(3)
+      val df = spark.read.parquet(emb)
+      val Seq(idCol, vecCol) = df.columns.take(2).toSeq
+      val q = df.filter(org.apache.spark.sql.functions.col(idCol) === qid.toLong)
+        .select(vecCol).head().getSeq[Float](0).toArray
+      graft.operators.Similarity.ivfQuery(spark, idx, q, k, nprobe)
+        .collect().foreach(r => println(f"${r.getDouble(1)}%12.8f  ${r.getLong(0)}"))
       spark.stop()
     case "compact" :: dir :: Nil =>
       // fold incremental staging overlays back into the base table

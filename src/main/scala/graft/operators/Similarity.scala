@@ -185,6 +185,76 @@ object Similarity {
       .parquet(ivfAssignedDir(outDir))
   }
 
+  /**
+   * Incrementally maintain a persisted IVF index: upsert changed/new
+   * vectors and delete removed ids, rewriting ONLY the touched bucket
+   * partitions (dynamic partition overwrite — the IVF analog of the
+   * fulltext index's touched-segment overlays). Centroids stay fixed
+   * from the initial build (standard IVF practice: assignment is
+   * deterministic given centroids, so an upserted index equals a full
+   * re-assignment of the final corpus — IvfUpsertSpec pins the
+   * equality; re-train centroids by rebuilding when drift warrants).
+   *
+   * Scale shape: the new rows' assignment is one narrow map; the
+   * rewrite reads only the touched buckets (partition-pruned), not the
+   * corpus.
+   */
+  def ivfUpsert(upserts: DataFrame, idCol: String, vecCol: String,
+                dir: String, deleteIds: Seq[Long] = Seq.empty): Unit = {
+    val spark = upserts.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(ivfCentroidsDir(dir))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val cids = cents.map(_._1).toSeq
+    val matrix = cents.map(_._2.toArray)
+    val assigned = upserts
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", element_at(typedLit(cids),
+        graft.functions.ArgMaxCosExpr(col("v"), matrix) + 1))
+    // touched buckets: where upserted rows now land, plus wherever the
+    // upserted/deleted ids lived before (an update can MOVE a vector
+    // across buckets; its old copy must go)
+    val movedIds = assigned.select("id").as[Long].collect() ++ deleteIds
+    val old = spark.read.parquet(ivfAssignedDir(dir))
+    val oldHomes = old.filter(col("id").isInCollection(movedIds))
+      .select("bucket").distinct().as[Long].collect()
+    val newHomes = assigned.select("bucket").distinct().as[Long].collect()
+    val touched = (oldHomes ++ newHomes).distinct.toSeq
+    if (touched.isEmpty) return
+
+    val merged = old
+      .filter(col("bucket").isInCollection(touched)) // partition-pruned read
+      .filter(!col("id").isInCollection(movedIds))   // drop stale copies
+      .select("id", "v", "bucket")
+      .unionByName(assigned.select("id", "v", "bucket"))
+
+    // stage the merged touched-bucket rows OUT of the table first: the
+    // overwrite cannot read the path it rewrites (and a lazy re-read
+    // after the write would see the new state)
+    val tmp = s"$dir/_tmp_upsert"
+    merged.repartition(col("bucket"))
+      .write.mode("overwrite").parquet(tmp)
+    val staged = spark.read.parquet(tmp)
+    val remaining = staged.select("bucket").distinct().as[Long].collect().toSet
+
+    val sess = spark.newSession() // isolated conf for the dynamic overwrite
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    sess.read.parquet(tmp)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(ivfAssignedDir(dir))
+
+    // dynamic overwrite only rewrites partitions PRESENT in the output:
+    // a touched bucket left with zero rows (every vector deleted or
+    // moved away) must be cleared explicitly or its stale copies keep
+    // serving — the same ghost-rows mode the fulltext builder's
+    // zero-posting rebuild fix closed
+    touched.filterNot(remaining).foreach { b =>
+      graft.store.Manifest.deleteRecursively(
+        java.nio.file.Paths.get(ivfAssignedDir(dir), s"bucket=$b"))
+    }
+    graft.store.Manifest.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
   /** Query a persisted IVF index: probe the `nprobe` centroid lists
     * nearest to the query (partition-pruned read of the assigned
     * table), exact cosine re-rank inside. Returns (id, cosine),

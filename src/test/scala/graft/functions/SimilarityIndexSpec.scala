@@ -150,6 +150,56 @@ class SimilarityIndexSpec extends SparkFunSuite {
     assert(got.head._1 == 41L && math.abs(got.head._2 - 1.0) < 1e-9)
   }
 
+  test("ivfUpsert: update/insert/delete rewrite only touched buckets; equals fresh assignment; empty bucket cleared") {
+    val data = vecs(60, 6)
+    val df = data.toDF("vec_id", "embedding")
+    val dir = tmpDir("ivf-upsert")
+    Similarity.ivfBuild(df, "vec_id", "embedding", dir, numCentroids = 4)
+    val cents = spark.read.parquet(Similarity.ivfCentroidsDir(dir))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val matrix = cents.map(_._2.toArray)
+
+    // updates that MOVE across buckets (replace vec with a far-away
+    // one), plus brand-new ids, plus deletions
+    val updates = Seq(
+      (3L, data(40)._2), (7L, data(55)._2),
+      (100L, data(10)._2.map(x => -x)), (101L, data(20)._2))
+    val deletes = Seq(5L, 11L)
+    Similarity.ivfUpsert(updates.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, deleteIds = deletes)
+
+    // expected state: original minus deletes/updated, plus updates —
+    // assigned with the SAME persisted centroids
+    val finalCorpus = (data.filter(d => !deletes.contains(d._1) &&
+        !updates.exists(_._1 == d._1)) ++ updates).toDF("id", "v")
+    val expected = finalCorpus
+      .select($"id", element_at(typedLit(cents.map(_._1).toSeq),
+        ArgMaxCosExpr($"v", matrix) + 1).as("bucket"))
+      .as[(Long, Long)].collect().toSet
+    val got = spark.read.parquet(Similarity.ivfAssignedDir(dir))
+      .select("id", "bucket").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+
+    // queries serve the post-upsert corpus (moved vector found at its
+    // new home, deleted id gone)
+    val q = data(40)._2.toArray
+    val hits = Similarity.ivfQuery(spark, dir, q, 5, nprobe = 1)
+      .as[(Long, Double)].collect()
+    assert(hits.take(2).map(_._1).toSet == Set(3L, 40L)) // id 3 now equals vec 40
+    assert(!hits.map(_._1).contains(5L))
+
+    // empty-bucket clearing: delete every member of one bucket
+    val byBucket = got.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val (victim, members) = byBucket.minBy(_._2.size)
+    Similarity.ivfUpsert(Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, deleteIds = members)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(Similarity.ivfAssignedDir(dir), s"bucket=$victim")))
+    val after = spark.read.parquet(Similarity.ivfAssignedDir(dir))
+      .select("id").as[Long].collect().toSet
+    assert(after == expected.map(_._1) -- members)
+  }
+
   test("ArgMaxCosExpr null semantics: dimension mismatch and null input") {
     val cents = Array(Array(1.0f, 0.0f, 0.0f))
     val df = Seq(
