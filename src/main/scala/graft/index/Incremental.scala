@@ -210,6 +210,7 @@ object Incremental {
         "n_segments_effective" -> nSegEff2.toString,
         "content_hash" -> srcHash,
         "analyzer" -> cfg.analyzer.id,
+        "store_positions" -> cfg.storePositions.toString,
         "index_version" -> IndexFormat.Version.toString,
         "tokenizer_version" -> Tokenizer.Version.toString,
         "delta_of" -> m.getOrElse("content_hash", ""),

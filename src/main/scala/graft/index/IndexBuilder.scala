@@ -19,6 +19,7 @@ case class BuildConfig(outDir: String,
                        failAfterWaves: Int = -1, // test hook: simulated kill
                        poisonSegments: Set[Int] = Set.empty, // test hook: deterministic task failure
                        analyzer: Analyzer = Analyzer.V1,
+                       storePositions: Boolean = true, // false → no per-posting position lists (phrase queries unavailable; ~smaller index + cheaper encode — the Lucene IndexOptions.DOCS_AND_FREQS analog for analytics-only fields)
                        maxOpenTerms: Int = 1 << 19,        // encoder vocab cap
                        maxBufferedPostings: Long = 1L << 22) { // encoder memory cap (~64 MB arrays)
   /** Segment count targets CACHE-RESIDENT encoder term maps (~25k
@@ -237,6 +238,7 @@ object IndexBuilder {
     val compatible = cfg.resume && prior.exists(m =>
       m.get("status").contains(Manifest.Complete) &&
         m.get("analyzer").contains(cfg.analyzer.id) &&
+        m.get("store_positions").contains(cfg.storePositions.toString) &&
         m.get("index_version").contains(IndexFormat.Version.toString) &&
         Files.exists(Paths.get(stagingDir(cfg.outDir))))
     val phaseAValid = compatible && prior.exists(_.get("content_hash").contains(srcHash))
@@ -481,6 +483,7 @@ object IndexBuilder {
       "n_segments_effective" -> nSegEff.toString,
       "content_hash" -> (if (needHash) hashAcc.value.toString else srcHash),
       "analyzer" -> cfg.analyzer.id,
+      "store_positions" -> cfg.storePositions.toString,
       "index_version" -> IndexFormat.Version.toString,
       "tokenizer_version" -> Tokenizer.Version.toString,
       "wall_ms" -> (System.currentTimeMillis() - t0).toString))
@@ -585,7 +588,8 @@ object IndexBuilder {
             throw new RuntimeException(s"poisoned segment ${d._2} (test hook)")
           turnsAcc.add(d._2 -> 1L); tokensAcc.add(d._2 -> d._4.toLong); d
         }
-        encodeDocs(counted, az, cfg.maxOpenTerms, cfg.maxBufferedPostings).map { b =>
+        encodeDocs(counted, az, cfg.maxOpenTerms, cfg.maxBufferedPostings,
+          cfg.storePositions).map { b =>
           blocksAcc.add(b.segment -> 1L); b
         }
       }
@@ -691,7 +695,8 @@ object IndexBuilder {
   private[index] def encodeDocs(docs: Iterator[(Long, Int, String, Int)],
                                 az: Analyzer = Analyzer.V1,
                                 maxOpenTerms: Int = 1 << 19,
-                                maxBufferedPostings: Long = 1L << 22): Iterator[PostingBlockRow] =
+                                maxBufferedPostings: Long = 1L << 22,
+                                storePositions: Boolean = true): Iterator[PostingBlockRow] =
     new Iterator[PostingBlockRow] {
       private var bufs = new java.util.HashMap[String, TermBuf]()
       private var nBuffered = 0L
@@ -716,19 +721,22 @@ object IndexBuilder {
           i += 1
         }
         // positions: delta within each posting's run, first absolute
-        // (the buffered ints are absolute; runs delimited by tfs)
+        // (the buffered ints are absolute; runs delimited by tfs).
+        // storePositions=false buffers none → empty column
         val posDeltas = new Array[Long](b.pn)
-        var o = 0
-        i = 0
-        while (i < b.n) {
-          var j = 0
-          var prev = 0
-          while (j < tfs(i)) {
-            val p = b.pos(o)
-            posDeltas(o) = if (j == 0) p.toLong else (p - prev).toLong
-            prev = p; o += 1; j += 1
+        if (b.pn > 0) {
+          var o = 0
+          i = 0
+          while (i < b.n) {
+            var j = 0
+            var prev = 0
+            while (j < tfs(i)) {
+              val p = b.pos(o)
+              posDeltas(o) = if (j == 0) p.toLong else (p - prev).toLong
+              prev = p; o += 1; j += 1
+            }
+            i += 1
           }
-          i += 1
         }
         val row = PostingBlockRow(term, seg, b.blockId, b.n, ids(b.n - 1),
           maxTf, minDl,
@@ -757,21 +765,26 @@ object IndexBuilder {
 
       private def process(row: (Long, Int, String, Int)): Unit = {
         val (docId, seg, text, dl) = row
-        az.termPositions(text).foreach { case (term, posBuf) =>
-          val tf = posBuf.n
+        def add(term: String, tf: Int, posBuf: graft.analysis.Tokenizer.IntBuf): Unit = {
           var b = bufs.get(term)
           if (b == null) { b = new TermBuf; bufs.put(term, b) }
           if (b.n == b.ids.length) b.grow()
           b.ids(b.n) = docId; b.tfs(b.n) = tf; b.dls(b.n) = dl; b.n += 1
-          var j = 0
-          while (j < tf) { b.addPos(posBuf.a(j)); j += 1 }
+          if (posBuf != null) {
+            var j = 0
+            while (j < tf) { b.addPos(posBuf.a(j)); j += 1 }
+            nBufferedPos += tf
+          }
           nBuffered += 1
-          nBufferedPos += tf
           if (b.n == PostingCodec.BlockSize) {
             nBuffered -= b.n; nBufferedPos -= b.pn
             ready.addLast(encodeBlock(term, seg, b))
           }
         }
+        if (storePositions)
+          az.termPositions(text).foreach { case (t, pb) => add(t, pb.n, pb) }
+        else
+          az.termFreqs(text).foreach { case (t, tf) => add(t, tf, null) }
         // memory cap: pathological vocabulary (open-term count) OR raw
         // buffered-posting volume → flush every open buffer now (doc
         // boundary keeps block doc ranges disjoint). The posting-volume

@@ -57,6 +57,13 @@ class IndexReader(spark: SparkSession, dir: String,
     if (nSeg <= 0) 1 else math.max(1, (nSeg + tasks - 1) / tasks)
   }
 
+  /** Whether the index stored per-posting position lists
+    * (BuildConfig.storePositions; missing manifest key = older
+    * positional build → true). Phrase queries require them. */
+  lazy val positionsStored: Boolean = graft.store.Manifest
+    .read(graft.store.Manifest.phaseAPath(IndexBuilder.manifestDir(dir)))
+    .flatMap(_.get("store_positions")).forall(_ == "true")
+
   /** Global document frequencies for a term set (small collect). */
   def docFreqs(terms: Seq[String]): Map[String, Long] =
     dictionary.filter(col("term").isInCollection(terms))
@@ -269,6 +276,9 @@ class IndexReader(spark: SparkSession, dir: String,
    * over the phrase's terms in order (duplicates counted).
    */
   def searchPhrase(phrase: String, k: Int = 10): Vector[QueryHit] = {
+    require(positionsStored,
+      s"index at $dir was built with storePositions=false — phrase " +
+        "queries need position lists; rebuild with storePositions=true")
     val terms = analyzer.tokenize(phrase) // ordered, duplicates kept
     if (terms.isEmpty || stats.n_docs == 0) return Vector.empty
     if (terms.length == 1) return search(phrase, k)

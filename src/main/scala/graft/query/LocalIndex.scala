@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions.col
  */
 class LocalIndex private (stats: CorpusStats,
                           dfs: java.util.HashMap[String, Long],
-                          byTerm: java.util.HashMap[String, IndexedSeq[PostingBlockRow]]) {
+                          byTerm: java.util.HashMap[String, IndexedSeq[PostingBlockRow]],
+                          positionsStored: Boolean = true) {
 
   val analyzer: Analyzer = Analyzer.parse(stats.analyzer)
   def nDocs: Long = stats.n_docs
@@ -85,6 +86,8 @@ class LocalIndex private (stats: CorpusStats,
   /** In-process exact phrase top-k over the v3 positional postings;
     * bit-identical to IndexReader.searchPhrase. */
   def searchPhrase(phrase: String, k: Int = 10): Vector[QueryHit] = {
+    require(positionsStored, "index was built with storePositions=false — " +
+      "phrase queries need position lists; rebuild with storePositions=true")
     val terms = analyzer.tokenize(phrase)
     if (terms.isEmpty || stats.n_docs == 0) return Vector.empty
     if (terms.length == 1) return search(phrase, k)
@@ -107,6 +110,10 @@ object LocalIndex {
     graft.model.IndexFormat.check(s, dir)
     s
   }
+
+  private def positionsStored(dir: String): Boolean = graft.store.Manifest
+    .read(graft.store.Manifest.phaseAPath(IndexBuilder.manifestDir(dir)))
+    .flatMap(_.get("store_positions")).forall(_ == "true")
 
   def load(spark: SparkSession, dir: String): LocalIndex = {
     import spark.implicits._
@@ -167,7 +174,7 @@ object LocalIndex {
       // (max_doc_id) ascends across segment boundaries too
       byTerm.put(t, rows.sortBy(_.max_doc_id).toIndexedSeq)
     }
-    new LocalIndex(stats, dfs, byTerm)
+    new LocalIndex(stats, dfs, byTerm, positionsStored(dir))
   }
 
   /** Load only the blocks for a term subset (partial serving cache —
@@ -187,6 +194,6 @@ object LocalIndex {
       .as[PostingBlockRow].collect()
       .groupBy(_.term)
       .foreach { case (t, rows) => byTerm.put(t, rows.sortBy(_.max_doc_id).toIndexedSeq) }
-    new LocalIndex(stats, dfs, byTerm)
+    new LocalIndex(stats, dfs, byTerm, positionsStored(dir))
   }
 }

@@ -76,6 +76,53 @@ class EdgeCasesSpec extends SparkFunSuite {
       .map(h => (h.doc_id, h.score))
     assert(got == want)
   }
+
+  test("storePositions=false: smaller index, identical search/boolean, phrase guarded, flag flip rebuilds") {
+    val turns = graft.sources.SyntheticTranscripts.generate(spark, 42L, nConvs = 120)
+    val dirP = tmpDir("idx-pos"); val dirN = tmpDir("idx-nopos")
+    IndexBuilder.build(spark, turns, BuildConfig(dirP, nSegments = 4))
+    IndexBuilder.build(spark, turns,
+      BuildConfig(dirN, nSegments = 4, storePositions = false))
+
+    def postingBytes(dir: String): Long = {
+      val p = java.nio.file.Paths.get(IndexBuilder.postingsDir(dir))
+      val s = java.nio.file.Files.walk(p)
+      try {
+        var n = 0L
+        val it = s.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (java.nio.file.Files.isRegularFile(f)) n += java.nio.file.Files.size(f)
+        }
+        n
+      } finally s.close()
+    }
+    assert(postingBytes(dirN) < postingBytes(dirP),
+      s"no-positions index not smaller: ${postingBytes(dirN)} vs ${postingBytes(dirP)}")
+
+    // search and boolean paths read no positions → bit-identical
+    val rp = new graft.query.IndexReader(spark, dirP)
+    val rn = new graft.query.IndexReader(spark, dirN)
+    Seq("assistant tool error", "ba ce di", "user system").foreach { q =>
+      assert(rn.search(q, 10) == rp.search(q, 10), s"search '$q'")
+    }
+    assert(rn.searchBoolean("user assistant", "bash", 10) ==
+      rp.searchBoolean("user assistant", "bash", 10))
+
+    // phrase requires positions: clear error, not a wrong answer
+    val e = intercept[IllegalArgumentException](rn.searchPhrase("user bash", 10))
+    assert(e.getMessage.contains("storePositions"))
+    val localN = graft.query.LocalIndex.load(spark, dirN)
+    val e2 = intercept[IllegalArgumentException](localN.searchPhrase("user bash", 10))
+    assert(e2.getMessage.contains("storePositions"))
+    assert(rp.searchPhrase("user bash", 10).nonEmpty) // positional twin serves
+
+    // flipping the flag is a config change → clean full rebuild, not a
+    // resume into mixed blocks
+    val rep = IndexBuilder.build(spark, turns, BuildConfig(dirN, nSegments = 4))
+    assert(rep.segmentsBuilt == 4 && rep.segmentsSkipped == 0)
+    assert(new graft.query.IndexReader(spark, dirN).searchPhrase("user bash", 10).nonEmpty)
+  }
 }
 
 /** Encoder memory cap: absurdly tiny budget must only change block
