@@ -211,11 +211,34 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("bucket", element_at(typedLit(cids),
         graft.functions.ArgMaxCosExpr(col("v"), matrix) + 1))
+    upsertAssigned(spark, dir, ivfAssignedDir(dir), assigned, deleteIds)
+  }
+
+  /** [[ivfUpsert]] for the SRP index: same touched-bucket-only merge,
+    * bucket = the persisted plane count's hyperplane hash. */
+  def annUpsert(upserts: DataFrame, idCol: String, vecCol: String,
+                dir: String, deleteIds: Seq[Long] = Seq.empty): Unit = {
+    val spark = upserts.sparkSession
+    import spark.implicits._
+    val planes = spark.read.parquet(annMetaDir(dir)).as[Int].head()
+    val assigned = upserts
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+    upsertAssigned(spark, dir, annAssignedDir(dir), assigned, deleteIds)
+  }
+
+  /** Merge freshly-assigned rows (id, v, bucket) + deletions into a
+    * bucket-partitioned assignment table, rewriting only the touched
+    * bucket partitions (staged dynamic partition overwrite). */
+  private def upsertAssigned(spark: SparkSession, dir: String,
+                             assignedDir: String, assigned: DataFrame,
+                             deleteIds: Seq[Long]): Unit = {
+    import spark.implicits._
     // touched buckets: where upserted rows now land, plus wherever the
     // upserted/deleted ids lived before (an update can MOVE a vector
     // across buckets; its old copy must go)
     val movedIds = assigned.select("id").as[Long].collect() ++ deleteIds
-    val old = spark.read.parquet(ivfAssignedDir(dir))
+    val old = spark.read.parquet(assignedDir)
     val oldHomes = old.filter(col("id").isInCollection(movedIds))
       .select("bucket").distinct().as[Long].collect()
     val newHomes = assigned.select("bucket").distinct().as[Long].collect()
@@ -241,7 +264,7 @@ object Similarity {
     sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     sess.read.parquet(tmp)
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(ivfAssignedDir(dir))
+      .parquet(assignedDir)
 
     // dynamic overwrite only rewrites partitions PRESENT in the output:
     // a touched bucket left with zero rows (every vector deleted or
@@ -250,7 +273,7 @@ object Similarity {
     // zero-posting rebuild fix closed
     touched.filterNot(remaining).foreach { b =>
       graft.store.Manifest.deleteRecursively(
-        java.nio.file.Paths.get(ivfAssignedDir(dir), s"bucket=$b"))
+        java.nio.file.Paths.get(assignedDir, s"bucket=$b"))
     }
     graft.store.Manifest.deleteRecursively(java.nio.file.Paths.get(tmp))
   }

@@ -200,6 +200,23 @@ class SimilarityIndexSpec extends SparkFunSuite {
     assert(after == expected.map(_._1) -- members)
   }
 
+  test("annUpsert: equals a fresh annBuild of the final corpus") {
+    val data = vecs(50, 6)
+    val df = data.toDF("vec_id", "embedding")
+    val dir = tmpDir("ann-upsert"); val dirRef = tmpDir("ann-ref")
+    Similarity.annBuild(df, "vec_id", "embedding", dir, planes = 5)
+    val updates = Seq((4L, data(30)._2), (90L, data(12)._2.map(x => -x)))
+    val deletes = Seq(9L)
+    Similarity.annUpsert(updates.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, deleteIds = deletes)
+    val finalCorpus = (data.filter(d => !deletes.contains(d._1) &&
+      !updates.exists(_._1 == d._1)) ++ updates).toDF("vec_id", "embedding")
+    Similarity.annBuild(finalCorpus, "vec_id", "embedding", dirRef, planes = 5)
+    def state(d: String) = spark.read.parquet(Similarity.annAssignedDir(d))
+      .select("id", "bucket").as[(Long, Long)].collect().toSet
+    assert(state(dir) == state(dirRef))
+  }
+
   test("ArgMaxCosExpr null semantics: dimension mismatch and null input") {
     val cents = Array(Array(1.0f, 0.0f, 0.0f))
     val df = Seq(
