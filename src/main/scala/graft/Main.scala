@@ -92,11 +92,19 @@ object Main {
       val local = graft.query.LocalIndex.load(spark, dir)
       System.err.println(f"loaded ${local.nDocs} docs / ${local.nTerms} terms " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s; ready")
+      // query shapes: plain line = free text; "p: <phrase>" = exact
+      // phrase; "b: <must terms> ! <not terms>" = boolean AND/NOT
       scala.io.Source.stdin.getLines().foreach { line =>
         val q = line.trim
         if (q.nonEmpty) {
           val t1 = System.nanoTime()
-          val hits = local.search(q, 10)
+          val hits =
+            if (q.startsWith("p:")) local.searchPhrase(q.drop(2).trim, 10)
+            else if (q.startsWith("b:")) {
+              val parts = q.drop(2).split('!')
+              local.searchBoolean(parts(0).trim,
+                if (parts.length > 1) parts(1).trim else "", 10)
+            } else local.search(q, 10)
           val ms = (System.nanoTime() - t1) / 1e6
           println(f"# '$q' ${hits.size} hits in $ms%.2f ms")
           hits.foreach(h => println(f"${h.score}%12.6f  ${h.doc_id}"))

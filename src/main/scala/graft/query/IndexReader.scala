@@ -171,6 +171,124 @@ class IndexReader(spark: SparkSession, dir: String,
   }
 
   /**
+   * Mixed-shape batched serving: free-text, boolean (AND/NOT), and
+   * phrase queries answered together in ONE Spark job — one postings
+   * scan pruned to the union of every query's terms, per-task θ-shared
+   * evaluation per query, driver merge per query. Results are
+   * identical to calling [[search]]/[[searchBoolean]]/[[searchPhrase]]
+   * per query (same summation order, tie-break, and θ semantics —
+   * SearchManyMixedSpec pins the parity).
+   *
+   * @param queries (query_id, spec)
+   * @return (query_id, rank, doc_id, score), rank 1..k
+   */
+  def searchManyMixed(queries: Seq[(String, QuerySpec)],
+                      k: Int = 10): Seq[(String, Int, Long, Double)] = {
+    if (stats.n_docs == 0) return Seq.empty
+    val needPos = queries.exists(_._2.isInstanceOf[QuerySpec.Phrase])
+    require(!needPos || positionsStored,
+      s"index at $dir was built with storePositions=false — phrase " +
+        "queries need position lists; rebuild with storePositions=true")
+    // compile each query driver-side: the terms whose blocks it needs
+    // plus its scoring constants (idfs / idf sum)
+    sealed trait C extends Serializable { def id: String }
+    case class CFree(id: String, terms: Seq[String],
+                     idfs: Map[String, Double]) extends C
+    case class CBool(id: String, must: Seq[String], not: Seq[String],
+                     idfs: Map[String, Double]) extends C
+    case class CPhrase(id: String, seq: IndexedSeq[String],
+                       idfSum: Double) extends C
+
+    val allTerms = queries.flatMap { case (_, q) => q match {
+      case QuerySpec.Free(t) => analyzer.tokenize(t)
+      case QuerySpec.Boolean(m, n) => analyzer.tokenize(m) ++ analyzer.tokenize(n)
+      case QuerySpec.Phrase(t) => analyzer.tokenize(t)
+    }}.distinct.sorted
+    if (allTerms.isEmpty) return Seq.empty
+    val dfs = docFreqs(allTerms)
+    def idfOf(ts: Seq[String]) =
+      ts.flatMap(t => dfs.get(t).map(df => t -> BM25.idf(df, stats.n_docs))).toMap
+
+    val compiled: Seq[C] = queries.flatMap { case (id, q) => q match {
+      case QuerySpec.Free(t) =>
+        val terms = analyzer.tokenize(t).distinct.sorted
+        val idfs = idfOf(terms)
+        if (idfs.isEmpty) None else Some(CFree(id, terms, idfs))
+      case QuerySpec.Boolean(m, n) =>
+        val must = analyzer.tokenize(m).distinct.sorted
+        val not = analyzer.tokenize(n).distinct.sorted.filterNot(must.contains)
+        if (must.isEmpty || must.exists(!dfs.contains(_))) None
+        else Some(CBool(id, must, not, idfOf(must)))
+      case QuerySpec.Phrase(t) =>
+        val terms = analyzer.tokenize(t)
+        if (terms.isEmpty || terms.distinct.exists(!dfs.contains(_))) None
+        else if (terms.length == 1)
+          Some(CFree(id, terms, idfOf(terms))) // 1-term phrase = term query
+        else Some(CPhrase(id, terms.toIndexedSeq,
+          terms.foldLeft(0.0)((s, x) => s + BM25.idf(dfs(x), stats.n_docs))))
+    }}
+    if (compiled.isEmpty) return Seq.empty
+    val avgdl = stats.avgdl
+    val kk = k
+    val g = groupSize
+    val qB = spark.sparkContext.broadcast(compiled)
+
+    val perTask =
+      try {
+        postings
+          .filter(col("term").isInCollection(allTerms))
+          .as[PostingBlockRow]
+          .groupByKey(_.segment / g)
+          .flatMapGroups { (_, rows) =>
+            val mergers = scala.collection.mutable.LinkedHashMap
+              .empty[String, Wand.TopKMerger]
+            def m(id: String) = mergers.getOrElseUpdate(id, new Wand.TopKMerger(kk))
+            Wand.bySegment(rows).foreach { case (_, byTerm) =>
+              qB.value.foreach {
+                case CFree(id, terms, idfs) =>
+                  val qb = terms.iterator.flatMap(t => byTerm.get(t).map(t -> _)).toMap
+                  if (qb.nonEmpty) {
+                    val mm = m(id)
+                    mm.offerAll(Wand.topK(qb, idfs, avgdl, kk,
+                      initialThreshold = mm.threshold))
+                  }
+                case CBool(id, must, not, idfs) =>
+                  val mb = must.iterator.flatMap(t => byTerm.get(t).map(t -> _)).toMap
+                  val nb = not.iterator.flatMap(t => byTerm.get(t).map(t -> _)).toMap
+                  if (mb.nonEmpty) {
+                    val mm = m(id)
+                    mm.offerAll(Wand.topKConjunctive(mb, nb, idfs, avgdl, kk, must,
+                      initialThreshold = mm.threshold))
+                  }
+                case CPhrase(id, seq, idfSum) =>
+                  val qb = seq.distinct.iterator
+                    .flatMap(t => byTerm.get(t).map(t -> _)).toMap
+                  if (qb.nonEmpty) {
+                    val mm = m(id)
+                    mm.offerAll(Wand.topKPhrase(qb, seq, idfSum, avgdl, kk,
+                      initialThreshold = mm.threshold))
+                  }
+              }
+            }
+            mergers.iterator.flatMap { case (id, mm) =>
+              mm.result.iterator.map(h => (id, h.doc_id, h.score))
+            }
+          }
+          .collect()
+      } finally qB.unpersist(blocking = false)
+
+    perTask.groupBy(_._1).toSeq.flatMap { case (qid, hits) =>
+      hits.map(h => (h._2, h._3))
+        .sorted(new Ordering[(Long, Double)] {
+          override def compare(a: (Long, Double), b: (Long, Double)): Int =
+            BM25.hitOrdering.compare(a, b)
+        })
+        .take(k).zipWithIndex
+        .map { case ((doc, score), i) => (qid, i + 1, doc, score) }
+    }
+  }
+
+  /**
    * Metadata-filtered top-k: BM25 over only the documents matching a
    * predicate on the doc table (staging columns: conv_id, turn_idx,
    * role, tool, text, dl, segment). Distributed and broadcast-free:
@@ -331,4 +449,16 @@ class IndexReader(spark: SparkSession, dir: String,
     spark.createDataFrame(rows)
       .toDF("rank", "doc_id", "score", "conv_id", "turn_idx")
   }
+}
+
+/** Query shapes for [[IndexReader.searchManyMixed]] — the Solr/Lucene
+  * query-type family the reference's sinks serve. */
+sealed trait QuerySpec extends Serializable
+object QuerySpec {
+  /** Free-text disjunctive BM25 (the [[IndexReader.search]] shape). */
+  case class Free(text: String) extends QuerySpec
+  /** Every must-term required, any not-term excluding. */
+  case class Boolean(must: String, not: String = "") extends QuerySpec
+  /** Ordered-adjacency phrase (Lucene PhraseQuery scoring). */
+  case class Phrase(text: String) extends QuerySpec
 }

@@ -26,6 +26,35 @@ class SearchManySpec extends SparkFunSuite {
       assert(batched.getOrElse(qid, Seq.empty) == single, s"query $qid '$q'")
     }
   }
+
+  test("searchManyMixed: free + boolean + phrase in ONE job == individual calls") {
+    val dir = tmpDir("idx-mixed")
+    val turns = SyntheticTranscripts.generate(spark, 42L, nConvs = 400)
+    IndexBuilder.build(spark, turns, BuildConfig(dir, nSegments = 6))
+    val rdr = new IndexReader(spark, dir)
+    val specs: Seq[(String, QuerySpec)] = Seq(
+      "f0" -> QuerySpec.Free("assistant tool error"),
+      "f1" -> QuerySpec.Free("ba ce di"),
+      "b0" -> QuerySpec.Boolean("user la", "bash"),
+      "b1" -> QuerySpec.Boolean("la ma", ""),
+      "p0" -> QuerySpec.Phrase("user bash"),
+      "p1" -> QuerySpec.Phrase("assistant search"),
+      "p2" -> QuerySpec.Phrase("user"), // 1-term phrase = term query
+      "x0" -> QuerySpec.Free("nosuchtermanywhere"),
+      "x1" -> QuerySpec.Boolean("user nosuchtermanywhere", ""))
+    val got = rdr.searchManyMixed(specs, 10)
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4))).toMap
+    def hits(v: Vector[graft.model.QueryHit]) = v.map(h => (h.doc_id, h.score))
+    assert(got.getOrElse("f0", Nil) == hits(rdr.search("assistant tool error", 10)))
+    assert(got.getOrElse("f1", Nil) == hits(rdr.search("ba ce di", 10)))
+    assert(got.getOrElse("b0", Nil) == hits(rdr.searchBoolean("user la", "bash", 10)))
+    assert(got.getOrElse("b1", Nil) == hits(rdr.searchBoolean("la ma", "", 10)))
+    assert(got.getOrElse("p0", Nil) == hits(rdr.searchPhrase("user bash", 10)))
+    assert(got.getOrElse("p1", Nil) == hits(rdr.searchPhrase("assistant search", 10)))
+    assert(got.getOrElse("p2", Nil) == hits(rdr.searchPhrase("user", 10)))
+    assert(got.getOrElse("x0", Nil).isEmpty && got.getOrElse("x1", Nil).isEmpty)
+    assert(got("b0").nonEmpty && got("b1").nonEmpty && got("p0").nonEmpty) // non-trivial shapes actually hit
+  }
 }
 
 /** Filtered retrieval: exact top-k under a metadata predicate. */
