@@ -103,7 +103,7 @@ class EdgeCasesSpec extends SparkFunSuite {
     // search and boolean paths read no positions → bit-identical
     val rp = new graft.query.IndexReader(spark, dirP)
     val rn = new graft.query.IndexReader(spark, dirN)
-    Seq("assistant tool error", "ba ce di", "user system").foreach { q =>
+    Seq("assistant tool error", "la ma na", "user system").foreach { q =>
       assert(rn.search(q, 10) == rp.search(q, 10), s"search '$q'")
     }
     assert(rn.searchBoolean("user assistant", "bash", 10) ==
@@ -139,8 +139,8 @@ class MemoryCapSpec extends graft.SparkFunSuite {
     val blocksB = spark.read.parquet(graft.index.IndexBuilder.postingsDir(b)).count()
     assert(blocksB > blocksA) // under-full blocks from constant flushes
     val ra = new IndexReader(spark, a); val rb = new IndexReader(spark, b)
-    Seq("assistant tool error", "ba ce di", "user assistant system tool",
-      "fo gu", "browser").foreach { q =>
+    Seq("assistant tool error", "la ma na", "user assistant system tool",
+      "ra sa", "browser").foreach { q =>
       assert(ra.search(q, 10).map(h => (h.doc_id, h.score)) ==
         rb.search(q, 10).map(h => (h.doc_id, h.score)), s"query '$q'")
     }

@@ -55,7 +55,7 @@ class IncrementalSpec extends SparkFunSuite {
 
   private def queriesEqual(a: IndexReader, b: IndexReader): Unit = {
     for (q <- Seq("assistant tool error", "user assistant", "zebraword",
-      "ba ce di", "browser", "quaggaword", "timeout error")) {
+      "la ma na", "browser", "quaggaword", "timeout error")) {
       // k >> hits so tie-breaks at the k boundary can't differ (inc and
       // full builds assign different docIDs; identity is conv/turn)
       val ha = a.searchRanked(q, 10000).map(h => (h.conv_id, h.turn_idx, h.score)).toSet

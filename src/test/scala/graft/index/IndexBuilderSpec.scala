@@ -43,11 +43,11 @@ class IndexBuilderSpec extends SparkFunSuite {
     val rare = corpus.flatMap(t => Tokenizer.tokenize(t.text).find(_.startsWith("rare"))).take(3)
     Seq(
       "assistant tool error", "user", "assistant", "system tool",
-      "ba ce di", "fo gu", "timeout error retrying tool",
-      "ba", "ce", "user assistant system tool",
+      "la ma na", "ra sa", "timeout error retrying tool",
+      "la", "ma", "user assistant system tool",
       "nosuchtermanywhere", "ba nosuchtermanywhere",
-      "bash search editor", "browser", "fo fo fo ba",
-      "gu hi ja ka", "di hi", "ba ce di fo gu hi ja ka"
+      "bash search editor", "browser", "ra ra ra la",
+      "sa ta va wa", "na ta", "la ma na pa qa ra sa ta"
     ) ++ rare
   }
 
@@ -73,7 +73,7 @@ class IndexBuilderSpec extends SparkFunSuite {
     IndexBuilder.build(spark, turns, BuildConfig(dir, nSegments = 8, waveSize = 8))
     val rdr = new IndexReader(spark, dir)
     val cases = Seq(("assistant tool", "error"), ("user assistant", ""),
-      ("ba ce", "di"), ("timeout error", "user"), ("nosuchterm user", ""))
+      ("la ma", "di"), ("timeout error", "user"), ("nosuchterm user", ""))
     cases.foreach { case (mq, nq) =>
       val must = Tokenizer.tokenize(mq).distinct.sorted
       val not = Tokenizer.tokenize(nq).distinct.sorted

@@ -15,10 +15,10 @@ class SearchManySpec extends SparkFunSuite {
     val queries = Seq(
       "q0" -> "assistant tool error",
       "q1" -> "user",
-      "q2" -> "ba ce di",
+      "q2" -> "la ma na",
       "q3" -> "nosuchtermanywhere",
       "q4" -> "user assistant system tool",
-      "q5" -> "fo fo fo ba")
+      "q5" -> "ra ra ra la")
     val batched = rdr.searchMany(queries, 10)
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4))).toMap
     queries.foreach { case (qid, q) =>
@@ -34,7 +34,7 @@ class SearchManySpec extends SparkFunSuite {
     val rdr = new IndexReader(spark, dir)
     val specs: Seq[(String, QuerySpec)] = Seq(
       "f0" -> QuerySpec.Free("assistant tool error"),
-      "f1" -> QuerySpec.Free("ba ce di"),
+      "f1" -> QuerySpec.Free("la ma na"),
       "b0" -> QuerySpec.Boolean("user la", "bash"),
       "b1" -> QuerySpec.Boolean("la ma", ""),
       "p0" -> QuerySpec.Phrase("user bash"),
@@ -46,7 +46,7 @@ class SearchManySpec extends SparkFunSuite {
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4))).toMap
     def hits(v: Vector[graft.model.QueryHit]) = v.map(h => (h.doc_id, h.score))
     assert(got.getOrElse("f0", Nil) == hits(rdr.search("assistant tool error", 10)))
-    assert(got.getOrElse("f1", Nil) == hits(rdr.search("ba ce di", 10)))
+    assert(got.getOrElse("f1", Nil) == hits(rdr.search("la ma na", 10)))
     assert(got.getOrElse("b0", Nil) == hits(rdr.searchBoolean("user la", "bash", 10)))
     assert(got.getOrElse("b1", Nil) == hits(rdr.searchBoolean("la ma", "", 10)))
     assert(got.getOrElse("p0", Nil) == hits(rdr.searchPhrase("user bash", 10)))
@@ -86,7 +86,7 @@ class SearchWhereSpec extends graft.SparkFunSuite {
         org.apache.spark.sql.functions.lit(2)) === 0,
         (i: Long) => i % 2 == 0)
     ).foreach { case (pred, oraclePred) =>
-      Seq("assistant tool error", "ba ce di", "user").foreach { q =>
+      Seq("assistant tool error", "la ma na", "user").foreach { q =>
         val got = rdr.searchWhere(q, pred, 10).map(h => (h.doc_id, h.score))
         // oracle: score all docs, keep allowed, same global df/avgdl
         val terms = graft.analysis.Tokenizer.tokenize(q).distinct.sorted
@@ -109,19 +109,19 @@ class LocalIndexSpec extends graft.SparkFunSuite {
     val dist = new IndexReader(spark, dir)
     val local = LocalIndex.load(spark, dir)
     assert(local.nDocs == dist.stats.n_docs)
-    Seq("assistant tool error", "user", "ba ce di", "nosuchterm",
-      "user assistant system tool", "fo fo fo ba", "gu hi ja ka").foreach { q =>
+    Seq("assistant tool error", "user", "la ma na", "nosuchterm",
+      "user assistant system tool", "ra ra ra la", "sa ta va wa").foreach { q =>
       assert(local.search(q, 10).map(h => (h.doc_id, h.score)) ==
         dist.search(q, 10).map(h => (h.doc_id, h.score)), s"query '$q'")
     }
     // partial cache: terms of one query suffice for that query
-    val partial = LocalIndex.loadTerms(spark, dir, Seq("ba", "ce", "di"))
-    assert(partial.search("ba ce di", 10).map(h => (h.doc_id, h.score)) ==
-      dist.search("ba ce di", 10).map(h => (h.doc_id, h.score)))
+    val partial = LocalIndex.loadTerms(spark, dir, Seq("la", "ma", "na"))
+    assert(partial.search("la ma na", 10).map(h => (h.doc_id, h.score)) ==
+      dist.search("la ma na", 10).map(h => (h.doc_id, h.score)))
     // filtered serving: docID-predicate form equals the cluster path's
     // Column-predicate form
     import org.apache.spark.sql.functions.{col, pmod, lit}
-    Seq("assistant tool error", "ba ce di").foreach { q =>
+    Seq("assistant tool error", "la ma na").foreach { q =>
       assert(local.searchWhere(q, id => id % 3 == 0, 10).map(h => (h.doc_id, h.score)) ==
         dist.searchWhere(q, pmod(col("doc_id"), lit(3)) === 0, 10).map(h => (h.doc_id, h.score)),
         s"filtered query '$q'")
@@ -134,7 +134,7 @@ class LocalIndexSpec extends graft.SparkFunSuite {
     graft.index.IndexBuilder.build(spark, turns,
       graft.index.BuildConfig(dir, nSegments = 6))
     val local = LocalIndex.load(spark, dir)
-    val qs = Seq("assistant tool", "ba ce", "user system", "di fo gu")
+    val qs = Seq("assistant tool", "la ma", "user system", "na ra sa")
     qs.foreach(q => local.search(q, 10)) // warm
     val t0 = System.nanoTime()
     val n = 200
