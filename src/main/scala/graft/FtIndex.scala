@@ -136,6 +136,33 @@ object FtIndex {
     out
   }
 
+  // ---- full text_en-analog chain (v1+stop+stem) gate fixture ----
+  // Same corpus, indexed under the stopword-removing + Porter-stemming
+  // chain — the complete analog of the reference's text_en field type
+  // (StandardTokenizer → Stop → LowerCase → PorterStem,
+  // `preanalyze/conf/schema.xml:39-60`). The query side re-parses the
+  // persisted chain id, so query terms are stemmed identically; the
+  // DuckDB oracle maps corpus tokens through the engine's (token →
+  // stem) vocabulary map (SparkEntry.StemCaseSql).
+
+  private val builtStem = scala.collection.mutable.Set[String]()
+
+  def stemIndexDir(sfDir: String): String = {
+    val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"/tmp/graft_ftstem_v$CacheVersion/$name"
+  }
+
+  def ensureStem(spark: SparkSession, sfDir: String): String = synchronized {
+    val out = stemIndexDir(sfDir)
+    if (!builtStem.contains(out)) {
+      IndexBuilder.build(spark, docsAsTurns(spark, sfDir),
+        BuildConfig(out, nSegments = 8, waveSize = 8,
+          analyzer = graft.analysis.Analyzer.TextEn))
+      builtStem += out
+    }
+    out
+  }
+
   /** Original doc_id parsed back out of the engine conv_id
     * ("doc-%010d" → the zero-padded digits; safe for doc_id 0). */
   def origId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -78,6 +78,35 @@ object SparkEntry {
   val FtQueryInc = "merge vector stream"
   private val FtQueryIncTerms = Seq("merge", "stream", "vector") // sorted
 
+  /** Query for the stemmed-chain entry: every term CHANGES under
+    * Porter stemming (query → queri, merge → merg, value → valu), so a
+    * build that silently skipped the stem stage has df = 0 for every
+    * query-side stem and cannot match the oracle. */
+  val FtQueryStem = "query merge value"
+
+  /** The documents generator's closed 31-token vocabulary (identical at
+    * every scale factor — verified against sf0.001/0.01/0.1). The
+    * stemmed-chain oracle needs corpus tokens mapped through the SAME
+    * (token → stem) function the engine applies; with a closed vocab
+    * that map is this finite table, computed here by the engine's own
+    * [[graft.analysis.PorterStemmer]] and embedded in the SQL — the
+    * "persisted token→stem map the oracle joins through". */
+  private val DocVocab = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window")
+
+  /** Stemmed chain mirror: v1 → stopword filter → per-token stem CASE
+    * over the closed vocabulary (tokens whose stem differs). */
+  private lazy val StemToksSql = {
+    val whens = DocVocab
+      .map(t => t -> graft.analysis.PorterStemmer.stem(t))
+      .collect { case (t, s) if s != t => s"WHEN t = '$t' THEN '$s'" }
+      .mkString(" ")
+    s"list_transform($StopToksSql, t -> CASE $whens ELSE t END)"
+  }
+
   // ---------- flagship ----------
   /** Flagship: build the inverted index over sf0.001 documents and run
     * a BM25 top-10 query (driver smoke-checks rows > 0). */
@@ -317,7 +346,7 @@ object SparkEntry {
   // the gate queries run against the bucket-partitioned tables, so the
   // query-side plan is a partition-pruned scan — SimilarityIndexSpec
   // pins the pruning) ----
-  private val SimCacheVersion = 2 // v2: clustered writes, k-means-capable build
+  private val SimCacheVersion = 3 // v3: gate IVF path runs a deterministic k-means iteration
   private val builtSim = scala.collection.mutable.Set[String]()
 
   private def ensureSimIndex(kind: String, sfDir: String)
@@ -335,24 +364,32 @@ object SparkEntry {
     out
   }
 
+  /** Rank the ≤ k probed hits. partitionBy(lit(0)) is semantically the
+    * empty partition spec (all rows in one partition — they already
+    * are: only k rows survive the limit) but keeps WindowExec's
+    * "No Partition Defined" warning out of the logs, so a REAL
+    * unpartitioned-window regression stands out. */
+  private def rankTopK(df: DataFrame): DataFrame =
+    df.withColumn("rank", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("cosine").desc, col("id").asc)).cast("long"))
+      .select("rank", "id", "cosine")
+
   private def simAnnTopk(s: SparkSession, dir: String): DataFrame = {
     val idx = ensureSimIndex("ann", dir)(out =>
       Similarity.annBuild(tbl(s, dir, "embeddings"), "vec_id", "embedding", out,
         planes = 6))
-    Similarity.annQuery(s, idx, queryVec(s, dir), 20)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cosine").desc, col("id").asc)).cast("long"))
-      .select("rank", "id", "cosine")
+    rankTopK(Similarity.annQuery(s, idx, queryVec(s, dir), 20))
   }
 
+  /** IVF through the REFINED path: one deterministic spherical k-means
+    * iteration, so the gate covers the training step end-to-end (the
+    * oracle recomputes the identical centroids — the recenter fold is
+    * order-fixed on both engines). */
   private def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val idx = ensureSimIndex("ivf", dir)(out =>
       Similarity.ivfBuild(tbl(s, dir, "embeddings"), "vec_id", "embedding", out,
-        numCentroids = 64))
-    Similarity.ivfQuery(s, idx, queryVec(s, dir), 20, nprobe = 3)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cosine").desc, col("id").asc)).cast("long"))
-      .select("rank", "id", "cosine")
+        numCentroids = 64, kmeansIters = 1))
+    rankTopK(Similarity.ivfQuery(s, idx, queryVec(s, dir), 20, nprobe = 3))
   }
 
   private def taLangId(s: SparkSession, dir: String): DataFrame =
@@ -506,6 +543,44 @@ object SparkEntry {
     bm25Top20DF(s, new graft.query.IndexReader(s, idx), FtQuery)
   }
 
+  /** BM25 over an index built with the FULL text_en-analog chain
+    * (v1+stop+stem — the reference's `preanalyze/conf/schema.xml:39-60`
+    * fieldType). Every query term changes under stemming, so the
+    * entry proves the stem stage ran on BOTH the build and query
+    * sides; the oracle maps corpus tokens through the engine's
+    * (token → stem) vocabulary map. */
+  private def ftBm25Stem(s: SparkSession, dir: String): DataFrame = {
+    val idx = FtIndex.ensureStem(s, dir)
+    bm25Top20DF(s, new graft.query.IndexReader(s, idx), FtQueryStem)
+  }
+
+  /** Mixed-shape batched serving through ONE Spark job
+    * ([[graft.query.IndexReader.searchManyMixed]]): a free-text, a
+    * boolean, and a phrase query answered together — the gate entry
+    * for the batching/θ-bookkeeping layer itself (the per-shape
+    * entries cover the kernels). k is oracle-exhaustive; per query the
+    * rounded re-rank keeps the top 20, exactly like the per-shape
+    * entries, and the oracle is their UNION ALL tagged by query_id. */
+  private def ftBm25Mixed(s: SparkSession, dir: String): DataFrame = {
+    import graft.query.QuerySpec
+    import s.implicits._
+    val rdr = FtIndex.reader(s, dir)
+    val batch = Seq(
+      "free" -> QuerySpec.Free(FtQuery),
+      "bool" -> QuerySpec.Boolean("batch window", "dup"),
+      "phrase" -> QuerySpec.Phrase("batch window"))
+    rdr.searchManyMixed(batch, 1000000)
+      .groupBy(_._1).toSeq.flatMap { case (qid, hits) =>
+        hits.map { case (_, _, id, sc) =>
+          (id, BigDecimal(sc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+          .sortBy { case (id, sc) => (-sc, id) }
+          .take(20).zipWithIndex
+          .map { case ((id, sc), i) => (qid, (i + 1).toLong, id, sc) }
+      }
+      .toDF("query_id", "rank", "doc_id", "score")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -560,6 +635,8 @@ object SparkEntry {
     "ft_bm25_boolean" -> (ftBm25Boolean _),
     "ft_bm25_phrase" -> (ftBm25Phrase _),
     "ft_bm25_stop" -> (ftBm25Stop _),
+    "ft_bm25_stem" -> (ftBm25Stem _),
+    "ft_bm25_mixed" -> (ftBm25Mixed _),
     "ft_incremental" -> (ftIncremental _)
   )
 
@@ -608,6 +685,70 @@ object SparkEntry {
 
     val ftTermsIn = inList(FtQueryTerms)
     val ftIncTermsIn = inList(FtQueryIncTerms)
+    // the stemmed query's terms, stemmed by the engine's own chain
+    val ftStemTermsIn = inList(
+      graft.analysis.Analyzer.TextEn.tokenize(FtQueryStem).distinct.sorted)
+
+    val ftTopkSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftTermsIn GROUP BY 1),
+         |scores AS (
+         | SELECT tf.doc_id,
+         |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+         | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         | GROUP BY tf.doc_id)
+         |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+         | doc_id, round(s, 4) AS score
+         |FROM scores ORDER BY rank LIMIT 20""".stripMargin
+
+    // boolean: both must-terms required, the not-term excluding;
+    // scores over must terms only
+    val ftBooleanSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ('batch', 'window') GROUP BY 1),
+         |m AS (SELECT doc_id FROM tf WHERE term IN ('batch', 'window')
+         |      GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+         |x AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'),
+         |scores AS (
+         | SELECT tf.doc_id,
+         |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+         | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         | WHERE tf.doc_id IN (SELECT doc_id FROM m)
+         |   AND tf.doc_id NOT IN (SELECT doc_id FROM x)
+         | GROUP BY tf.doc_id)
+         |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+         | doc_id, round(s, 4) AS score
+         |FROM scores ORDER BY rank LIMIT 20""".stripMargin
+
+    // phrase: ordered adjacency count = tf; idf = idf(batch)+idf(window)
+    // summed in phrase order (explicit left-to-right addition)
+    val ftPhraseSql =
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+         |  len(list_filter(range(1, len(toks)), i -> toks[i] = 'batch' AND toks[i+1] = 'window'))::BIGINT AS pf
+         | FROM t),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM p) / (SELECT count(*) FROM documents) AS avgdl),
+         |tf AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf
+         |        WHERE term IN ('batch', 'window') GROUP BY 1),
+         |scores AS (
+         | SELECT p.doc_id,
+         |  ((SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5)) FROM dfs WHERE term = 'batch')
+         |   + (SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5)) FROM dfs WHERE term = 'window'))
+         |  * (pf / (pf + 1.2 * (1 - 0.75 + 0.75 * p.dl / stats.avgdl))) AS s
+         | FROM p CROSS JOIN stats WHERE pf > 0)
+         |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+         | doc_id, round(s, 4) AS score
+         |FROM scores ORDER BY rank LIMIT 20""".stripMargin
 
     Map(
       "q1_agg" ->
@@ -829,20 +970,40 @@ object SparkEntry {
            |SELECT row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank, id, cosine
            |FROM c ORDER BY rank LIMIT 20""".stripMargin,
 
-      // IVF oracle: same fixed-64 hash-ordered sampled centroids,
-      // argmax-cosine assignment (ties → lowest centroid id), nprobe
-      // nearest lists, exact re-rank — mirrors the PERSISTED index's
-      // build+probe arithmetic step for step
+      // IVF oracle through the REFINED path, mirrored step for step:
+      // fixed-64 hash-ordered sampled centroids (matrix index = rank
+      // by sampled id) → one deterministic spherical k-means iteration
+      // (assign by argmax-cosine with ties → lowest index; recenter on
+      // the id-ORDERED fold of unit-vector components, cast FLOAT —
+      // exactly the engine's order-fixed recenter, so the refined
+      // centroids are bit-identical) → nprobe nearest refined lists →
+      // exact re-rank
       "sim_ivf_topk" ->
-        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-           |           ORDER BY (vec_id * 2654435761) % 1000000007 ASC, vec_id ASC LIMIT 64),
+        s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+           |c0 AS (SELECT row_number() OVER (ORDER BY cid ASC) - 1 AS idx, cv FROM (
+           |        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           |        ORDER BY (vec_id * 2654435761) % 1000000007 ASC, vec_id ASC LIMIT 64)),
+           |a0 AS (SELECT e.id, e.v,
+           |  (SELECT idx FROM c0 ORDER BY ${cosSql("e.v", "cv")} DESC, idx ASC LIMIT 1) AS b
+           | FROM e),
+           |ctr AS (SELECT id, b, generate_subscripts(v, 1) AS pos, unnest(v) AS x,
+           |         sqrt(${dotSql("v", "v")}) AS nrm FROM a0),
+           |sums AS (SELECT b, pos,
+           |  list_reduce(list_concat([0.0::DOUBLE], list(x::DOUBLE / nrm ORDER BY id)),
+           |              (acc, y) -> acc + y) AS sx,
+           |  count(*) AS n
+           | FROM ctr GROUP BY b, pos),
+           |c1 AS (SELECT c0.idx, coalesce(s.cv1, c0.cv) AS cv
+           |       FROM c0 LEFT JOIN (
+           |         SELECT b AS idx, list(CAST(sx / n AS FLOAT) ORDER BY pos) AS cv1
+           |         FROM sums GROUP BY b) s USING (idx)),
            |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
-           |pr AS (SELECT cid FROM c, q ORDER BY ${cosSql("cv", "qv")} DESC, cid ASC LIMIT 3),
-           |a AS (SELECT e.vec_id AS id, e.embedding AS v,
-           |  (SELECT cid FROM c ORDER BY ${cosSql("e.embedding", "cv")} DESC, cid ASC LIMIT 1) AS bucket
-           | FROM embeddings e),
+           |pr AS (SELECT idx FROM c1, q ORDER BY ${cosSql("cv", "qv")} DESC, idx ASC LIMIT 3),
+           |a1 AS (SELECT e.id, e.v,
+           |  (SELECT idx FROM c1 ORDER BY ${cosSql("e.v", "cv")} DESC, idx ASC LIMIT 1) AS bucket
+           | FROM e),
            |cand AS (SELECT id, ${cosSql("v", "qv")} AS cosine
-           |         FROM a, q WHERE bucket IN (SELECT cid FROM pr))
+           |         FROM a1, q WHERE bucket IN (SELECT idx FROM pr))
            |SELECT row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank, id, cosine
            |FROM cand ORDER BY rank LIMIT 20""".stripMargin,
 
@@ -935,21 +1096,7 @@ object SparkEntry {
            | round((SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents), 6) AS avgdl,
            | (SELECT count(DISTINCT term) FROM toks)::BIGINT AS n_terms""".stripMargin,
 
-      "ft_bm25_topk" ->
-        s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
-           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-           |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
-           |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
-           |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
-           |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftTermsIn GROUP BY 1),
-           |scores AS (
-           | SELECT tf.doc_id,
-           |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
-           | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-           | GROUP BY tf.doc_id)
-           |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
-           | doc_id, round(s, 4) AS score
-           |FROM scores ORDER BY rank LIMIT 20""".stripMargin,
+      "ft_bm25_topk" -> ftTopkSql,
 
       "ft_bm25_filtered" ->
         s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
@@ -968,47 +1115,35 @@ object SparkEntry {
            | doc_id, round(s, 4) AS score
            |FROM scores ORDER BY rank LIMIT 20""".stripMargin,
 
-      // boolean: both must-terms required, the not-term excluding;
-      // scores over must terms only
-      "ft_bm25_boolean" ->
-        s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+      "ft_bm25_boolean" -> ftBooleanSql,
+
+      "ft_bm25_phrase" -> ftPhraseSql,
+
+      // the one-job mixed batch = the three per-shape oracles tagged
+      // by query_id (searchManyMixed must equal per-shape serving)
+      "ft_bm25_mixed" ->
+        s"""SELECT 'free' AS query_id, rank, doc_id, score FROM ($ftTopkSql)
+           |UNION ALL
+           |SELECT 'bool' AS query_id, rank, doc_id, score FROM ($ftBooleanSql)
+           |UNION ALL
+           |SELECT 'phrase' AS query_id, rank, doc_id, score FROM ($ftPhraseSql)""".stripMargin,
+
+      // the full text_en-analog chain: v1 → stop filter → Porter stem.
+      // dl is the STOP-chain length (stemming is length-preserving);
+      // terms go through the engine-computed (token → stem) map over
+      // the generator's closed vocabulary (StemToksSql)
+      "ft_bm25_stem" ->
+        s"""WITH toks AS (SELECT doc_id, unnest($StemToksSql) AS term FROM documents),
            |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
            |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
            |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
            |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
-           |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ('batch', 'window') GROUP BY 1),
-           |m AS (SELECT doc_id FROM tf WHERE term IN ('batch', 'window')
-           |      GROUP BY doc_id HAVING count(DISTINCT term) = 2),
-           |x AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'),
+           |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftStemTermsIn GROUP BY 1),
            |scores AS (
            | SELECT tf.doc_id,
            |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
            | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-           | WHERE tf.doc_id IN (SELECT doc_id FROM m)
-           |   AND tf.doc_id NOT IN (SELECT doc_id FROM x)
            | GROUP BY tf.doc_id)
-           |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
-           | doc_id, round(s, 4) AS score
-           |FROM scores ORDER BY rank LIMIT 20""".stripMargin,
-
-      // phrase: ordered adjacency count = tf; idf = idf(batch)+idf(window)
-      // summed in phrase order (explicit left-to-right addition)
-      "ft_bm25_phrase" ->
-        s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-           |p AS (SELECT doc_id, len(toks)::BIGINT AS dl,
-           |  len(list_filter(range(1, len(toks)), i -> toks[i] = 'batch' AND toks[i+1] = 'window'))::BIGINT AS pf
-           | FROM t),
-           |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
-           |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM p) / (SELECT count(*) FROM documents) AS avgdl),
-           |tf AS (SELECT doc_id, unnest(toks) AS term FROM t),
-           |dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf
-           |        WHERE term IN ('batch', 'window') GROUP BY 1),
-           |scores AS (
-           | SELECT p.doc_id,
-           |  ((SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5)) FROM dfs WHERE term = 'batch')
-           |   + (SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5)) FROM dfs WHERE term = 'window'))
-           |  * (pf / (pf + 1.2 * (1 - 0.75 + 0.75 * p.dl / stats.avgdl))) AS s
-           | FROM p CROSS JOIN stats WHERE pf > 0)
            |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
            | doc_id, round(s, 4) AS score
            |FROM scores ORDER BY rank LIMIT 20""".stripMargin,

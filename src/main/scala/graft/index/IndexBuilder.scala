@@ -21,7 +21,8 @@ case class BuildConfig(outDir: String,
                        analyzer: Analyzer = Analyzer.V1,
                        storePositions: Boolean = true, // false → no per-posting position lists (phrase queries unavailable; ~smaller index + cheaper encode — the Lucene IndexOptions.DOCS_AND_FREQS analog for analytics-only fields)
                        maxOpenTerms: Int = 1 << 19,        // encoder vocab cap
-                       maxBufferedPostings: Long = 1L << 22) { // encoder memory cap (~64 MB arrays)
+                       maxBufferedPostings: Long = 1L << 22, // encoder memory cap (~64 MB arrays)
+                       autoCompactFraction: Double = 0.5) { // fold staging overlays back into the base once they cover > this fraction of segments (<= 0 disables)
   /** Segment count targets CACHE-RESIDENT encoder term maps (~25k
     * docs/segment → sub-MB per-task vocab): profiling showed the
     * encode stage goes DRAM-latency-bound once the per-segment term
@@ -372,6 +373,19 @@ object IndexBuilder {
     // Manifest.quarantinedSegments(manifestDir)
     val quarantined = pending.count(s => finalStates.get(s)
       .exists(_.get("status").contains(Manifest.Quarantined)))
+
+    // auto-compaction: a long-lived delta deployment (ContinuousIndexer)
+    // otherwise accumulates one overlay dir per segment ever touched,
+    // and readStaging's NOT-IN mask grows with them until an operator
+    // intervenes. Content-preserving (the staging view is identical),
+    // runs AFTER the index is fully published, so queries are unchanged.
+    if (cfg.autoCompactFraction > 0) {
+      val over = overlaidSegments(cfg.outDir)
+      if (over.nonEmpty && nSegEff > 0 &&
+          over.size.toDouble > cfg.autoCompactFraction * nSegEff)
+        Incremental.compact(spark, cfg.outDir)
+    }
+
     BuildReport(nDocs, avgdl, nTerms, built, complete.size,
       System.currentTimeMillis() - t0, quarantined)
   }

@@ -47,12 +47,16 @@ object Similarity {
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Array[Float], k: Int): DataFrame = {
     val q = typedLit(query.toSeq)
+    // rank window runs over the ≤ k surviving rows only; the lit(0)
+    // partition key is semantically the empty spec but keeps the false
+    // "No Partition Defined" WindowExec warning out of the logs, so a
+    // real whole-table window regression stands out
     df.select(col(idCol).as("id"), cosine(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .orderBy(col("cosine").desc, col("id").asc)))
+          .partitionBy(lit(0)).orderBy(col("cosine").desc, col("id").asc)))
       .select(col("rank"), col("id"), col("cosine"))
   }
 
@@ -71,8 +75,18 @@ object Similarity {
   /** Random-hyperplane bucket id (Charikar '02 SRP-LSH): bit j = sign
     * of <v, r_j> with deterministic pseudo-random plane r_j derived
     * from (j, dim) by arithmetic — no stored plane matrix, identical
-    * on every executor (and in the cross-engine oracle). */
-  def hyperplaneBucket(v: Column, planes: Int): Column = {
+    * on every executor (and in the cross-engine oracle). Native
+    * one-fused-loop kernel ([[graft.functions.SrpBucketExpr]]);
+    * [[hyperplaneBucketDecl]] is the declarative reference form it
+    * must match bit-for-bit (SimilarityIndexSpec pins the parity). */
+  def hyperplaneBucket(v: Column, planes: Int): Column =
+    graft.functions.SrpBucketExpr(v, planes)
+
+  /** Declarative (pure functions._) reference implementation of
+    * [[hyperplaneBucket]]: one `zip_with`+`aggregate` sub-tree per
+    * plane — interpreted HOFs, kept only as the spec'd parity oracle
+    * for the native kernel. */
+  def hyperplaneBucketDecl(v: Column, planes: Int): Column = {
     val bits = (0 until planes).map { j =>
       val prods = zip_with(v, sequence(lit(0), size(v) - 1),
         (x, i) => x.cast("double") * planeComponent(j, i))
@@ -81,6 +95,16 @@ object Similarity {
     }
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
+
+  /** Fail fast on degenerate vectors (zero vector, NaN element,
+    * dimension mismatch): [[graft.functions.ArgMaxCosExpr]] returns
+    * null for them, and a null bucket would be written to the parquet
+    * default partition — permanently invisible to the partition-pruned
+    * probes, i.e. silent data loss. */
+  private def requireBucket(bucket: Column, id: Column, op: String): Column =
+    when(bucket.isNull, raise_error(concat(
+      lit(s"$op: degenerate vector (zero/NaN/dimension mismatch) at id="),
+      id.cast("string")))).otherwise(bucket)
 
   // ------------------------------------------------------------------
   // Driver-side probe arithmetic: the SAME left-fold double dot the
@@ -136,29 +160,55 @@ object Similarity {
         .as[(Long, Seq[Float])].collect().sortBy(_._1)
     require(sampled.nonEmpty, "ivfBuild: empty corpus")
 
-    // Optional spherical k-means refinement (Lloyd iterations): assign
-    // to argmax-cosine centroid, recenter each centroid on the MEAN of
-    // its bucket (cosine is scale-invariant in the centroid, so the
-    // unnormalized mean maximizes Σ cos for a fixed assignment — the
-    // objective is monotone non-decreasing per iteration,
-    // SimilarityIndexSpec pins it). Each iteration is one narrow
-    // assignment map + one (bucket, pos)-grouped aggregation; the
-    // k·dim partial sums collected to the driver are tiny. Empty
-    // buckets keep their previous centroid. kmeansIters = 0 keeps the
-    // raw sample — the gate path, mirrored exactly by the DuckDB
-    // oracle (k-means centroids are training artifacts an external
-    // engine reproduces from the PERSISTED centroids table instead).
+    // Optional SPHERICAL k-means refinement (Lloyd iterations): assign
+    // to argmax-cosine centroid, recenter each centroid on the mean of
+    // its bucket's UNIT vectors — sum(v/‖v‖) is the direction that
+    // maximizes Σ cos(v, c) for a fixed assignment (the plain mean
+    // only coincides when all norms are equal), so the objective is
+    // monotone non-decreasing per iteration (SimilarityIndexSpec pins
+    // it). Each iteration is one narrow assignment map + one
+    // (bucket, pos)-keyed streaming fold; the k·dim partial sums
+    // collected to the driver are tiny. The fold is DETERMINISTIC at
+    // any parallelism: contributions are shuffled to their (bucket,
+    // pos) group, sorted by doc id, and summed in that order — so the
+    // trained centroids are bit-reproducible run-to-run (and by the
+    // DuckDB oracle's `list(c ORDER BY id)` fold), unlike a plain
+    // floating `sum` whose partial-merge order varies. Empty buckets
+    // keep their previous centroid. kmeansIters = 0 keeps the raw
+    // hash-sampled centroids.
     var matrix = sampled.map(_._2.toArray)
     val cids: Seq[Long] =
       if (kmeansIters == 0) sampled.map(_._1).toSeq
       else {
         for (_ <- 1 to kmeansIters) {
-          val sums = df
-            .select(graft.functions.ArgMaxCosExpr(col(vecCol), matrix).as("b"),
-              posexplode(col(vecCol)).as(Seq("pos", "x")))
-            .groupBy("b", "pos")
-            .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
-            .as[(Int, Int, Double, Long)].collect()
+          val m = matrix
+          val contrib = df
+            .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+            .withColumn("b", requireBucket(
+              graft.functions.ArgMaxCosExpr(col("v"), m), col("id"), "ivfBuild"))
+            .withColumn("nrm", norm(col("v")))
+            .select(col("b"), posexplode(col("v")).as(Seq("pos", "x")),
+              col("id"), col("nrm"))
+            .select(col("b"), col("pos"), col("id"),
+              (col("x").cast("double") / col("nrm")).as("c"))
+            .as[(Int, Int, Long, Double)]
+          val sums = contrib
+            .repartition(col("b"), col("pos"))
+            .sortWithinPartitions("b", "pos", "id")
+            .mapPartitions { it =>
+              // streaming per-(b, pos) fold in ascending id order — no
+              // per-group array, spills via the sort, deterministic
+              val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double, Long)]
+              var curB = -1; var curP = -1; var sx = 0.0; var n = 0L
+              def flush(): Unit = if (n > 0) out += ((curB, curP, sx, n))
+              it.foreach { case (b, p, _, c) =>
+                if (b != curB || p != curP) { flush(); curB = b; curP = p; sx = 0.0; n = 0L }
+                sx += c; n += 1
+              }
+              flush()
+              out.iterator
+            }
+            .collect()
           val next = matrix.map(_.clone())
           sums.groupBy(_._1).foreach { case (b, rows) =>
             val dim = matrix(b).length
@@ -178,8 +228,8 @@ object Similarity {
     // (tasks × buckets small files at scale); clustered, each bucket's
     // rows land in few files
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", element_at(typedLit(cids),
-        graft.functions.ArgMaxCosExpr(col("v"), matrix) + 1))
+      .withColumn("bucket", requireBucket(element_at(typedLit(cids),
+        graft.functions.ArgMaxCosExpr(col("v"), matrix) + 1), col("id"), "ivfBuild"))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(ivfAssignedDir(outDir))
@@ -209,8 +259,8 @@ object Similarity {
     val matrix = cents.map(_._2.toArray)
     val assigned = upserts
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", element_at(typedLit(cids),
-        graft.functions.ArgMaxCosExpr(col("v"), matrix) + 1))
+      .withColumn("bucket", requireBucket(element_at(typedLit(cids),
+        graft.functions.ArgMaxCosExpr(col("v"), matrix) + 1), col("id"), "ivfUpsert"))
     upsertAssigned(spark, dir, ivfAssignedDir(dir), assigned, deleteIds)
   }
 
@@ -227,55 +277,112 @@ object Similarity {
     upsertAssigned(spark, dir, annAssignedDir(dir), assigned, deleteIds)
   }
 
-  /** Merge freshly-assigned rows (id, v, bucket) + deletions into a
-    * bucket-partitioned assignment table, rewriting only the touched
-    * bucket partitions (staged dynamic partition overwrite). */
-  private def upsertAssigned(spark: SparkSession, dir: String,
-                             assignedDir: String, assigned: DataFrame,
-                             deleteIds: Seq[Long]): Unit = {
+  /** The merged touched-bucket view an upsert writes, plus the touched
+    * bucket ids. ALL id-set logic is joins — the upsert batch never
+    * touches the driver (a bulk backfill of 10^8 vectors must not
+    * collect its ids or compile them into an IN-list literal); the only
+    * driver-resident state is the touched-bucket list, bounded by the
+    * BUCKET count. Package-visible so the spec can pin the plan shape
+    * (joins, no `In(id, [...])`). */
+  private[graft] def upsertMergedView(spark: SparkSession,
+                                          assignedDir: String,
+                                          assigned: DataFrame,
+                                          deleteIds: Seq[Long]): (DataFrame, Seq[Long]) = {
     import spark.implicits._
-    // touched buckets: where upserted rows now land, plus wherever the
-    // upserted/deleted ids lived before (an update can MOVE a vector
-    // across buckets; its old copy must go)
-    val movedIds = assigned.select("id").as[Long].collect() ++ deleteIds
+    // moved ids: upserted rows (which may MOVE across buckets — their
+    // old copy must go) plus explicit deletions
+    val movedIds = assigned.select("id")
+      .unionByName(spark.createDataset(deleteIds).toDF("id"))
+      .distinct()
     val old = spark.read.parquet(assignedDir)
-    val oldHomes = old.filter(col("id").isInCollection(movedIds))
+    val oldHomes = old.join(movedIds, Seq("id"), "left_semi")
       .select("bucket").distinct().as[Long].collect()
     val newHomes = assigned.select("bucket").distinct().as[Long].collect()
     val touched = (oldHomes ++ newHomes).distinct.toSeq
-    if (touched.isEmpty) return
-
     val merged = old
-      .filter(col("bucket").isInCollection(touched)) // partition-pruned read
-      .filter(!col("id").isInCollection(movedIds))   // drop stale copies
+      .filter(col("bucket").isInCollection(touched)) // partition-pruned read (bucket list, bounded)
+      .join(movedIds, Seq("id"), "left_anti")        // drop stale copies
       .select("id", "v", "bucket")
       .unionByName(assigned.select("id", "v", "bucket"))
+    (merged, touched)
+  }
 
-    // stage the merged touched-bucket rows OUT of the table first: the
-    // overwrite cannot read the path it rewrites (and a lazy re-read
-    // after the write would see the new state)
+  private def upsertJournalPath(dir: String) =
+    java.nio.file.Paths.get(dir, "_upsert_journal")
+
+  /** Finish (or discard) an interrupted upsert before reading the
+    * table: the journal records the touched and expected-empty buckets
+    * and is written only after the staged merge is complete, so replay
+    * = redo the overwrite from the staging dir, clear the emptied
+    * buckets, clean up. Without it, a crash between the dynamic
+    * overwrite and the empty-bucket deletes leaves stale copies
+    * serving from emptied buckets. */
+  private def recoverUpsert(spark: SparkSession, dir: String,
+                            assignedDir: String): Unit = {
+    val journal = upsertJournalPath(dir)
+    val tmp = java.nio.file.Paths.get(dir, "_tmp_upsert")
+    graft.store.Manifest.read(journal).foreach { j =>
+      if (java.nio.file.Files.exists(tmp.resolve("_SUCCESS"))) {
+        applyStagedUpsert(spark, dir, assignedDir,
+          emptied = j.get("empty").toSeq.flatMap(_.split(',')).filter(_.nonEmpty).map(_.toLong))
+      } else // journal without a complete stage cannot happen in order;
+        java.nio.file.Files.deleteIfExists(journal) // treat as aborted
+    }
+    // a stale stage without a journal is a pre-journal crash: discard
+    graft.store.Manifest.deleteRecursively(tmp)
+  }
+
+  /** Steps 2..4 of the upsert commit sequence: dynamic-overwrite the
+    * touched buckets from the staged merge, clear buckets the upsert
+    * emptied, then remove stage + journal (the journal LAST — it is
+    * the replay marker). Idempotent: safe to replay after any crash. */
+  private def applyStagedUpsert(spark: SparkSession, dir: String,
+                                assignedDir: String, emptied: Seq[Long]): Unit = {
     val tmp = s"$dir/_tmp_upsert"
-    merged.repartition(col("bucket"))
-      .write.mode("overwrite").parquet(tmp)
-    val staged = spark.read.parquet(tmp)
-    val remaining = staged.select("bucket").distinct().as[Long].collect().toSet
-
     val sess = spark.newSession() // isolated conf for the dynamic overwrite
     sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     sess.read.parquet(tmp)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(assignedDir)
-
     // dynamic overwrite only rewrites partitions PRESENT in the output:
     // a touched bucket left with zero rows (every vector deleted or
     // moved away) must be cleared explicitly or its stale copies keep
     // serving — the same ghost-rows mode the fulltext builder's
     // zero-posting rebuild fix closed
-    touched.filterNot(remaining).foreach { b =>
+    emptied.foreach { b =>
       graft.store.Manifest.deleteRecursively(
         java.nio.file.Paths.get(assignedDir, s"bucket=$b"))
     }
-    graft.store.Manifest.deleteRecursively(java.nio.file.Paths.get(tmp))
+    graft.store.Manifest.deleteRecursively(java.nio.file.Paths.get(dir, "_tmp_upsert"))
+    java.nio.file.Files.deleteIfExists(upsertJournalPath(dir))
+  }
+
+  /** Merge freshly-assigned rows (id, v, bucket) + deletions into a
+    * bucket-partitioned assignment table, rewriting only the touched
+    * bucket partitions. Commit sequence (crash-safe, journaled):
+    * stage the merged view OUT of the table (the overwrite cannot read
+    * the path it rewrites) → journal {touched, expected-empty} →
+    * dynamic partition overwrite → clear emptied buckets → drop stage
+    * → drop journal. A rerun after a crash anywhere replays from the
+    * journal ([[recoverUpsert]]) and converges. */
+  private def upsertAssigned(spark: SparkSession, dir: String,
+                             assignedDir: String, assigned: DataFrame,
+                             deleteIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    recoverUpsert(spark, dir, assignedDir)
+    val (merged, touched) = upsertMergedView(spark, assignedDir, assigned, deleteIds)
+    if (touched.isEmpty) return
+
+    val tmp = s"$dir/_tmp_upsert"
+    merged.repartition(col("bucket"))
+      .write.mode("overwrite").parquet(tmp)
+    val remaining = spark.read.parquet(tmp)
+      .select("bucket").distinct().as[Long].collect().toSet
+    graft.store.Manifest.writeAtomic(upsertJournalPath(dir), Map(
+      "touched" -> touched.sorted.mkString(","),
+      "empty" -> touched.filterNot(remaining).sorted.mkString(",")))
+    applyStagedUpsert(spark, dir, assignedDir,
+      emptied = touched.filterNot(remaining))
   }
 
   /** Query a persisted IVF index: probe the `nprobe` centroid lists

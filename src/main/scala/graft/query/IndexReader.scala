@@ -185,7 +185,13 @@ class IndexReader(spark: SparkSession, dir: String,
   def searchManyMixed(queries: Seq[(String, QuerySpec)],
                       k: Int = 10): Seq[(String, Int, Long, Double)] = {
     if (stats.n_docs == 0) return Seq.empty
-    val needPos = queries.exists(_._2.isInstanceOf[QuerySpec.Phrase])
+    // only multi-token phrases read positions — the compile step below
+    // downgrades a 1-term phrase to a plain term query, so a
+    // positions-free index can still serve it
+    val needPos = queries.exists {
+      case (_, QuerySpec.Phrase(t)) => analyzer.tokenize(t).length >= 2
+      case _ => false
+    }
     require(!needPos || positionsStored,
       s"index at $dir was built with storePositions=false — phrase " +
         "queries need position lists; rebuild with storePositions=true")
@@ -322,20 +328,28 @@ class IndexReader(spark: SparkSession, dir: String,
       val segs = Wand.bySegment(rows)
       if (segs.isEmpty) Iterator.empty
       else {
-        // per-segment allowed sets (bounded by the task's share of the
-        // filtered docs); absent segment → nothing allowed there
-        val okBySeg = new java.util.HashMap[Int, java.util.HashSet[java.lang.Long]]()
+        // per-segment allowed sets as SORTED primitive long arrays +
+        // binary search (~8 B/doc — no boxing, no HashSet node
+        // overhead): memory stays proportional to predicate
+        // selectivity but at the representation floor, so even a
+        // permissive predicate (≈ every doc allowed) costs segSize
+        // longs per segment, not a multi-GB boxed hash set. Absent
+        // segment → nothing allowed there.
+        val okBySeg = new java.util.HashMap[Int, LongBuf]()
         allowRows.foreach { case (s, id) =>
-          var set = okBySeg.get(s)
-          if (set == null) { set = new java.util.HashSet[java.lang.Long](); okBySeg.put(s, set) }
-          set.add(id)
+          var buf = okBySeg.get(s)
+          if (buf == null) { buf = new LongBuf(); okBySeg.put(s, buf) }
+          buf.add(id)
         }
         val merger = new Wand.TopKMerger(kk)
         segs.foreach { case (seg, byTerm) =>
-          val ok = okBySeg.get(seg)
-          if (ok != null && !ok.isEmpty)
+          val buf = okBySeg.get(seg)
+          if (buf != null && buf.nonEmpty) {
+            val arr = buf.sortedArray
             merger.offerAll(Wand.topK(byTerm, idfs, avgdl, kk,
-              initialThreshold = merger.threshold, allow = ok.contains(_)))
+              initialThreshold = merger.threshold,
+              allow = id => java.util.Arrays.binarySearch(arr, id) >= 0))
+          }
         }
         merger.result.iterator
       }
@@ -448,6 +462,23 @@ class IndexReader(spark: SparkSession, dir: String,
     }
     spark.createDataFrame(rows)
       .toDF("rank", "doc_id", "score", "conv_id", "turn_idx")
+  }
+}
+
+/** Growable primitive long buffer → sorted array (the searchWhere
+  * allowed-set representation: 8 B/doc, binary-search membership). */
+private[query] final class LongBuf {
+  private var a = new Array[Long](16)
+  private var n = 0
+  def add(v: Long): Unit = {
+    if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
+    a(n) = v; n += 1
+  }
+  def nonEmpty: Boolean = n > 0
+  def sortedArray: Array[Long] = {
+    val out = java.util.Arrays.copyOf(a, n)
+    java.util.Arrays.sort(out)
+    out
   }
 }
 

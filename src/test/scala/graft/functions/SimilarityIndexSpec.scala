@@ -217,6 +217,148 @@ class SimilarityIndexSpec extends SparkFunSuite {
     assert(state(dir) == state(dirRef))
   }
 
+  test("SrpBucketExpr: bit-parity with the declarative per-plane form") {
+    val base = vecs(120, 7).toDF("id", "v")
+    // crafted edge rows: a null element (poisons every plane → bucket
+    // 0 in the declarative form) and an empty vector
+    val crafted = Seq(1000L, 1001L).toDF("id")
+      .withColumn("v",
+        when($"id" === 1000L, array(lit(1.0f), lit(null).cast("float"), lit(2.0f)))
+          .otherwise(array().cast("array<float>")))
+    val df = base.unionByName(crafted)
+    for (planes <- Seq(1, 6, 12)) {
+      val native = df.select($"id", Similarity.hyperplaneBucket($"v", planes).as("b"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val decl = df.select($"id", Similarity.hyperplaneBucketDecl($"v", planes).as("b"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(native == decl, s"planes=$planes")
+      // non-degenerate: the hash genuinely spreads the corpus (the
+      // lattice-generated vectors cluster, so the bar is modest)
+      if (planes >= 6) assert(native.map(_._2).distinct.size > 2)
+      assert(native.find(_._1 == 1000L).get._2 == 0L)
+      assert(native.find(_._1 == 1001L).get._2 == 0L)
+    }
+    // null input → null (both forms)
+    val nullRow = Seq(1L).toDF("id")
+      .withColumn("v", lit(null).cast("array<float>"))
+    assert(nullRow.select(Similarity.hyperplaneBucket($"v", 5)).head().isNullAt(0))
+  }
+
+  test("upsert id-set logic is joins, never literal IN-lists; bulk batch equals fresh assignment") {
+    val data = vecs(80, 6)
+    val dir = tmpDir("ivf-bulk")
+    Similarity.ivfBuild(data.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, numCentroids = 4)
+    val cents = spark.read.parquet(Similarity.ivfCentroidsDir(dir))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val matrix = cents.map(_._2.toArray)
+
+    // plan shape: the merged view a BULK upsert writes must reach the
+    // old table through joins — a literal id IN-list (the round-3
+    // shape) compiles the whole batch into the plan and collects it to
+    // the driver first. Bucket pruning (bounded by bucket count) is
+    // the only IN-list allowed.
+    val batch = (1000L until 1300L).map(i => (i, data((i % 80).toInt)._2))
+    val assigned = batch.toDF("id", "v")
+      .withColumn("bucket", element_at(typedLit(cents.map(_._1).toSeq),
+        ArgMaxCosExpr($"v", matrix) + 1))
+    val (merged, touched) = Similarity.upsertMergedView(
+      spark, Similarity.ivfAssignedDir(dir), assigned, Seq(5L))
+    assert(touched.nonEmpty)
+    val plan = merged.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Join"), s"expected joins in the upsert plan:\n$plan")
+    assert(!"""\bid#\d+L? IN """.r.findFirstIn(plan).isDefined,
+      s"id IN-list leaked into the upsert plan:\n$plan")
+
+    // end-to-end bulk equality: a 3000-row batch (vs the 80-row table)
+    // upserts to exactly the fresh assignment of the final corpus
+    val bulk = (2000L until 5000L).map(i => (i, data((i % 80).toInt)._2))
+    Similarity.ivfUpsert(bulk.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, deleteIds = Seq(3L, 7L))
+    val finalCorpus = (data.filterNot(d => Seq(3L, 7L).contains(d._1)) ++ bulk)
+      .toDF("id", "v")
+    val expected = finalCorpus
+      .select($"id", element_at(typedLit(cents.map(_._1).toSeq),
+        ArgMaxCosExpr($"v", matrix) + 1).as("bucket"))
+      .as[(Long, Long)].collect().toSet
+    val got = spark.read.parquet(Similarity.ivfAssignedDir(dir))
+      .select("id", "bucket").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("interrupted upsert: the journal replays the emptied-bucket clear on the next call") {
+    val data = vecs(40, 6)
+    val dir = tmpDir("ivf-journal")
+    Similarity.ivfBuild(data.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, numCentroids = 4)
+    val assignedDir = Similarity.ivfAssignedDir(dir)
+    val byBucket = spark.read.parquet(assignedDir)
+      .select("id", "bucket").as[(Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val (victim, members) = byBucket.minBy(_._2.size)
+
+    // legitimately empty the victim bucket, then SIMULATE the crash
+    // window (overwrite done, empty-bucket delete not): restore a
+    // stale copy of the bucket dir, restore the journal + completed
+    // stage exactly as the crashed process left them
+    Similarity.ivfUpsert(Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, deleteIds = members)
+    val bucketPath = java.nio.file.Paths.get(assignedDir, s"bucket=$victim")
+    assert(!java.nio.file.Files.exists(bucketPath))
+    members.toDF("id")
+      .withColumn("v", array(lit(1.0f)))
+      .write.parquet(bucketPath.toString) // stale ghost rows
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType))))
+      .write.mode("overwrite").parquet(s"$dir/_tmp_upsert")
+    graft.store.Manifest.writeAtomic(
+      java.nio.file.Paths.get(dir, "_upsert_journal"),
+      Map("touched" -> victim.toString, "empty" -> victim.toString))
+
+    // next upsert call recovers FIRST: ghost ids gone before any read
+    // (had the merged view read the ghost dir, the members — never
+    // deleted in THIS upsert — would survive into the rewrite)
+    Similarity.ivfUpsert(Seq((9999L, data(0)._2)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_upsert_journal")))
+    val rows = spark.read.parquet(assignedDir)
+      .select("id", "bucket").as[(Long, Long)].collect()
+    val ids = rows.map(_._1).toSet
+    assert(members.forall(!ids.contains(_)), s"ghost rows survived: $rows")
+    assert(ids.contains(9999L))
+    // the stale dir itself is gone unless the NEW row legitimately
+    // re-created that bucket
+    if (java.nio.file.Files.exists(bucketPath))
+      assert(rows.filter(_._2 == victim).map(_._1).toSeq == Seq(9999L))
+  }
+
+  test("k-means refinement is deterministic: identical centroids at any input partitioning") {
+    val data = vecs(90, 6)
+    val dirA = tmpDir("ivf-det-a"); val dirB = tmpDir("ivf-det-b")
+    Similarity.ivfBuild(data.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dirA, numCentroids = 5, kmeansIters = 2)
+    Similarity.ivfBuild(data.toDF("vec_id", "embedding").repartition(13),
+      "vec_id", "embedding", dirB, numCentroids = 5, kmeansIters = 2)
+    def cents(d: String) = spark.read.parquet(Similarity.ivfCentroidsDir(d))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(cents(dirA) == cents(dirB)) // bit-exact float equality
+  }
+
+  test("degenerate vectors fail the build fast instead of vanishing into a null bucket") {
+    val data = vecs(20, 4) :+ (999L, Seq(0.0f, 0.0f, 0.0f, 0.0f)) // zero vector
+    val err = intercept[Exception] {
+      Similarity.ivfBuild(data.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", tmpDir("ivf-degen"), numCentroids = 4)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("degenerate")), s"got: ${messages(err)}")
+  }
+
   test("ArgMaxCosExpr null semantics: dimension mismatch and null input") {
     val cents = Array(Array(1.0f, 0.0f, 0.0f))
     val df = Seq(

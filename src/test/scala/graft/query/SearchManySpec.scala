@@ -55,6 +55,27 @@ class SearchManySpec extends SparkFunSuite {
     assert(got.getOrElse("x0", Nil).isEmpty && got.getOrElse("x1", Nil).isEmpty)
     assert(got("b0").nonEmpty && got("b1").nonEmpty && got("p0").nonEmpty) // non-trivial shapes actually hit
   }
+
+  test("a positions-free index serves a batch whose only phrases are 1-term (no false needPos)") {
+    val dir = tmpDir("idx-mixed-nopos")
+    val turns = SyntheticTranscripts.generate(spark, 42L, nConvs = 120)
+    IndexBuilder.build(spark, turns,
+      BuildConfig(dir, nSegments = 4, storePositions = false))
+    val rdr = new IndexReader(spark, dir)
+    // a 1-term phrase compiles to a plain term query and never reads
+    // positions — the batch must be accepted...
+    val got = rdr.searchManyMixed(Seq(
+      "p" -> QuerySpec.Phrase("user"),
+      "f" -> QuerySpec.Free("assistant tool")), 10)
+    assert(got.exists(_._1 == "p") && got.exists(_._1 == "f"))
+    assert(got.filter(_._1 == "p").sortBy(_._2).map(r => (r._3, r._4)) ==
+      rdr.search("user", 10).map(h => (h.doc_id, h.score)))
+    // ...while a REAL multi-token phrase still fails fast
+    val err = intercept[IllegalArgumentException] {
+      rdr.searchManyMixed(Seq("p2" -> QuerySpec.Phrase("user bash")), 10)
+    }
+    assert(err.getMessage.contains("storePositions"))
+  }
 }
 
 /** Filtered retrieval: exact top-k under a metadata predicate. */
@@ -94,6 +115,16 @@ class SearchWhereSpec extends graft.SparkFunSuite {
           docTfs.filter(d => oraclePred(d._1)), dfs, corpus.length, avgdl, 10)
         assert(got == want, s"query '$q'")
       }
+    }
+
+    // permissive predicate (every doc allowed): the sorted-long-array
+    // allowed sets hold the WHOLE corpus (the representation-floor
+    // worst case, 8 B/doc) and must equal the unfiltered search
+    Seq("assistant tool error", "la ma na").foreach { q =>
+      val got = rdr.searchWhere(q,
+        org.apache.spark.sql.functions.lit(true), 10).map(h => (h.doc_id, h.score))
+      val want = rdr.search(q, 10).map(h => (h.doc_id, h.score))
+      assert(got == want, s"permissive query '$q'")
     }
   }
 }

@@ -56,4 +56,46 @@ class ContinuousIndexerSpec extends SparkFunSuite {
     assert(inc == full, s"incremental $inc != full $full")
     assert(inc.nonEmpty)
   }
+
+  test("auto-compaction: overlays folded once they cross the segment-fraction threshold; queries unchanged") {
+    val spool = tmpDir("ci-ac-spool"); val ckpt = tmpDir("ci-ac-ckpt")
+    val idx = tmpDir("ci-ac-idx")
+    // threshold low enough that a couple of delta cycles cross it;
+    // compaction is content-preserving, so the only observable change
+    // is the overlay dirs folding away
+    val cfg = BuildConfig(idx, nSegments = 6, waveSize = 6,
+      autoCompactFraction = 0.25)
+
+    val mem = MemoryStream[Turn]
+    mem.addData((0 until 36).map(i => SyntheticTranscripts.makeTurn(5L, i % 6, i / 6)))
+    ContinuousIndexer.cycle(spark, mem.toDS(), None, spool, ckpt, cfg)
+    assert(IndexBuilder.overlaidSegments(idx).isEmpty) // full build: no overlays
+
+    // delta cycles keep appending; each touches the tail segments and
+    // would leave overlay dirs behind — the threshold folds them
+    var cycles = 0
+    var sawOverlayFold = false
+    for (w <- 1 to 3) {
+      mem.addData((0 until 12).map(i =>
+        SyntheticTranscripts.makeTurn(5L, 6 + w * 4 + i % 4, i / 4)))
+      ContinuousIndexer.cycle(spark, mem.toDS(), None, spool, ckpt, cfg)
+      cycles += 1
+      val over = IndexBuilder.overlaidSegments(idx)
+      // with fraction 0.25 of 6+ segments, at most 1-2 overlays may
+      // linger below threshold; crossing it must fold them away
+      if (over.isEmpty && cycles >= 1) sawOverlayFold = true
+      assert(over.size <= math.max(1, (0.25 * 12).toInt + 1),
+        s"overlays accumulated past the threshold: $over")
+    }
+    assert(sawOverlayFold, "auto-compaction never triggered across 3 delta cycles")
+
+    // content preserved: equals a from-scratch rebuild of the same corpus
+    val idxFull = tmpDir("ci-ac-full")
+    IndexBuilder.build(spark, StreamingIngest.readSpool(spark, spool),
+      BuildConfig(idxFull, nSegments = 6, waveSize = 6))
+    val q = "user assistant bash"
+    val inc = new IndexReader(spark, idx).search(q, 20)
+    val full = new IndexReader(spark, idxFull).search(q, 20)
+    assert(inc == full && inc.nonEmpty)
+  }
 }
