@@ -70,20 +70,34 @@ object Dedup {
       (1 to numHashes).map(i => element_at(col("sig"), i).as(s"s$i")): _*)
   }
 
+  /** SimHash fingerprint of a token-hash array: all bit votes in one
+    * native pass ([[graft.functions.SimHashExpr]]); null input (null
+    * text → null token array) degrades to fingerprint 0, exactly like
+    * the declarative form it replaced ([[simHashDecl]], kept as the
+    * spec'd parity reference). */
+  def simHashBits(tokenHashes: Column, bits: Int): Column =
+    coalesce(graft.functions.SimHashExpr(tokenHashes, bits), lit(0L))
+
+  /** Declarative (pure functions._) reference implementation: one
+    * interpreted `aggregate` fold per bit — kept only as the parity
+    * oracle for the native kernel (OperatorsSpec pins the equality). */
+  def simHashDecl(tokenHashes: Column, bits: Int): Column = {
+    val bitCols = (0 until bits).map { j =>
+      val votes = aggregate(tokenHashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
   /** Oracle-checkable SimHash over `bits` low bits of the polynomial
     * token hash (production [[simHash]] uses 64-bit xxhash64). */
   def simHashPoly(df: DataFrame, idCol: String, textCol: String,
                   bits: Int = 16): DataFrame = {
     val th = transform(array_distinct(tokens(col(textCol))),
       t => Hashing.polyHash(t))
-    val bitCols = (0 until bits).map { j =>
-      val votes = aggregate(th, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L))
-          .otherwise(lit(-1L)))
-      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    df.select(col(idCol).as("doc_id"),
-      bitCols.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+    df.select(col(idCol).as("doc_id"), simHashBits(th, bits).as("simhash"))
   }
 
   /**
@@ -171,17 +185,11 @@ object Dedup {
     // same token definition as the engine analyzer and the oracle twin
     // ([[simHashPoly]]): Dedup.tokens — prod and oracle variants differ
     // ONLY in the hash function, so the oracle validates tokenization.
+    // All 64 bit votes advance in one native pass (SimHashExpr); the
+    // old form folded the token-hash array once PER BIT, interpreted.
     val toks = array_distinct(tokens(col(textCol)))
     val th = transform(toks, t => xxhash64(t))
-    // per bit j: sum of (bit set ? 1 : -1) over token hashes; bit j of
-    // fingerprint = (sum > 0)
-    val bitCols = (0 until 64).map { j =>
-      val votes = aggregate(th, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    df.select(col(idCol).as("id"),
-      bitCols.reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a.bitwiseOR(b)).as("simhash"))
+    df.select(col(idCol).as("id"), simHashBits(th, 64).as("simhash"))
   }
 
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,

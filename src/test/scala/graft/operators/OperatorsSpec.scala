@@ -256,6 +256,22 @@ class OperatorsSpec extends SparkFunSuite {
     assert(nd.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
   }
 
+  test("SimHashExpr: bit-parity with the declarative per-bit fold (16 and 64 bits; null text → 0)") {
+    val withNull = docs.select($"doc_id", $"text")
+      .unionByName(Seq((9999L, null: String)).toDF("doc_id", "text"))
+    for (bits <- Seq(16, 64)) {
+      val th = transform(array_distinct(Dedup.tokens($"text")),
+        t => if (bits == 16) graft.operators.Hashing.polyHash(t) else xxhash64(t))
+      val native = withNull.select($"doc_id", Dedup.simHashBits(th, bits).as("h"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val decl = withNull.select($"doc_id", Dedup.simHashDecl(th, bits).as("h"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(native == decl, s"bits=$bits")
+      assert(native.find(_._1 == 9999L).get._2 == 0L) // null text degrades to 0
+      assert(native.map(_._2).distinct.size > 2)       // genuinely spreads
+    }
+  }
+
   test("ngramJaccard: dup pair = 1.0, overlapping pair in (0,1)") {
     val pairs = Seq((0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, "doc_id", "text", pairs)
