@@ -24,40 +24,59 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
     "de" -> Seq("der", "die", "das", "und", "von", "zu", "den", "mit", "ist", "ein"))
 
-  /** Per-language stopword hit count over the token array. */
+  /** Per-language stopword hit count over the token array — the
+    * declarative (interpreted-HOF) reference form; the production
+    * operators below get every language's count from ONE native scan
+    * ([[graft.functions.TokenStatsExpr]]). OperatorsSpec pins the
+    * parity. */
   def stopwordHits(text: Column, lang: String): Column = {
     val stops = StopwordLists(lang)
     size(filter(tokensCol(text), t => t.isInCollection(stops)))
   }
 
+  private val Langs: Seq[String] = StopwordLists.keys.toSeq.sorted
+
+  /** One-native-scan token statistics: struct(n_tokens, len_sum,
+    * hits[lang in sorted order]). Materialized into a column so the
+    * scan runs once per row however many signals read it. */
+  private def tokenStats(text: Column): Column =
+    graft.functions.TokenStatsExpr(lower(text), Langs.map(StopwordLists(_)))
+
   /** N-gram-heuristic language ID: the language whose stopword list
     * hits most tokens wins; ties broken by language code order;
-    * no hits → 'und' (undetermined). */
+    * no hits → 'und' (undetermined). All four languages' hit counts
+    * come from one native pass (the old form re-derived the token
+    * array through interpreted filter/split HOFs per language). */
   def languageId(df: DataFrame, textCol: String, into: String = "lang_pred"): DataFrame = {
-    val langs = StopwordLists.keys.toSeq.sorted
-    val hitCols = langs.map(l => stopwordHits(col(textCol), l))
+    val tmp = "__graft_token_stats"
+    val hitCols = Langs.indices.map(i => element_at(col(tmp)("hits"), i + 1))
     val best = greatest(hitCols: _*)
     // right-fold so the earliest language in sorted order wins ties
-    val pred = langs.zip(hitCols).foldRight(lit("und"): Column) {
+    val pred = Langs.zip(hitCols).foldRight(lit("und"): Column) {
       case ((l, h), acc) => when(h === best && best > 0, lit(l)).otherwise(acc)
     }
-    df.withColumn(into, pred)
+    df.withColumn(tmp, tokenStats(col(textCol)))
+      .withColumn(into, pred)
+      .drop(tmp)
   }
 
   /** Quality signals: token count, mean token length, punctuation
-    * ratio, stopword ratio, uppercase ratio — the standard cheap
-    * quality-filter features (Gopher/C4-style rules, public). */
+    * ratio, stopword ratio — the standard cheap quality-filter
+    * features (Gopher/C4-style rules, public). Token-derived signals
+    * come from one native pass; the punctuation count stays a
+    * codegen'd regexp over the raw text. */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = tokensCol(t)
-    val nTok = size(toks)
+    val tmp = "__graft_token_stats"
+    val nTok = col(tmp)("n_tokens")
+    val lenSum = col(tmp)("len_sum")
+    val stops = element_at(col(tmp)("hits"), Langs.indexOf("en") + 1)
     val nChar = length(t)
     val punct = nChar - length(regexp_replace(t, "[\\.,;:!\\?]", ""))
-    val stops = stopwordHits(t, "en")
-    df.withColumn("n_tokens", nTok)
+    df.withColumn(tmp, tokenStats(t))
+      .withColumn("n_tokens", nTok)
       .withColumn("mean_token_len",
-        when(nTok > 0, aggregate(toks, lit(0L), (a, x) => a + length(x))
-          .cast("double") / nTok).otherwise(lit(0.0)))
+        when(nTok > 0, lenSum.cast("double") / nTok).otherwise(lit(0.0)))
       .withColumn("punct_ratio",
         when(nChar > 0, punct.cast("double") / nChar).otherwise(lit(0.0)))
       .withColumn("stopword_ratio",
@@ -65,6 +84,7 @@ object TextAnalysis {
       .withColumn("quality_ok",
         nTok >= 5 && col("mean_token_len") >= 2 && col("mean_token_len") <= 12 &&
           col("stopword_ratio") >= 0.0)
+      .drop(tmp)
   }
 
   /** Token counts: whitespace-split words and a BPE-ish regex count

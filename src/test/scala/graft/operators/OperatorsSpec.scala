@@ -300,6 +300,47 @@ class OperatorsSpec extends SparkFunSuite {
     assert(!r5.getAs[Boolean]("quality_ok"))
   }
 
+  test("TokenStatsExpr: one-pass stats match the declarative HOF forms on edge cases") {
+    // mixed case, digits, unicode (multi-byte must not split or join
+    // ASCII runs), punctuation-only, empty, and null text
+    val rows = Seq(
+      (0L, "The quick brown fox and the dog"),
+      (1L, "el la de que y en un relámpago über straße"),
+      (2L, "a1b2 c3  --  x9"),
+      (3L, "!!! ,,, ???"),
+      (4L, ""),
+      (5L, "DER und von ZU den"),
+      (6L, null: String))
+    val df = rows.toDF("id", "text")
+    // declarative twins built from the spec'd reference forms
+    val toks = TextAnalysis.tokensCol($"text")
+    val declared = df.select($"id",
+        size(toks).as("n"),
+        aggregate(toks, lit(0L), (a, x) => a + length(x)).as("ls"),
+        TextAnalysis.stopwordHits($"text", "de").as("hde"),
+        TextAnalysis.stopwordHits($"text", "en").as("hen"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4)))))
+      .toMap
+    val langs = Seq("de", "en", "es", "fr")
+    val lists = Seq(
+      Seq("der", "die", "das", "und", "von", "zu", "den", "mit", "ist", "ein"),
+      Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+      Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+      Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"))
+    val native = df.select($"id",
+        graft.functions.TokenStatsExpr(lower($"text"), lists).as("st"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else {
+        val st = r.getStruct(1)
+        val hits = st.getSeq[Int](2)
+        Some((st.getInt(0), st.getLong(1), hits(langs.indexOf("de")), hits(langs.indexOf("en"))))
+      })).toMap
+    rows.foreach { case (id, text) =>
+      assert(native(id) == declared(id), s"id=$id text='$text'")
+    }
+    assert(native(6L).isEmpty) // null text → null struct, like the HOF chain
+  }
+
   test("tokenCounts: ws vs bpe-ish") {
     val df = Seq((1, "ab cd-ef, 12 x")).toDF("id", "text")
     val r = TextAnalysis.tokenCounts(df, "text").head()
