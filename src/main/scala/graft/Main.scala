@@ -116,11 +116,12 @@ object Main {
       val spark = session()
       val k = rest.headOption.map(_.toInt).getOrElse(64)
       val iters = rest.drop(1).headOption.map(_.toInt).getOrElse(0)
+      val trainLimit = rest.drop(2).headOption.map(_.toInt).getOrElse(0)
       val df = spark.read.parquet(emb)
       val Seq(idCol, vecCol) = df.columns.take(2).toSeq
       graft.operators.Similarity.ivfBuild(df, idCol, vecCol, out,
-        numCentroids = k, kmeansIters = iters)
-      println(s"sim-built: $out centroids=$k kmeansIters=$iters")
+        numCentroids = k, kmeansIters = iters, kmeansTrainLimit = trainLimit)
+      println(s"sim-built: $out centroids=$k kmeansIters=$iters trainLimit=$trainLimit")
       spark.stop()
     case "sim-query" :: idx :: emb :: qid :: rest =>
       // probe the persisted IVF index with the vector of row `qid`

@@ -148,8 +148,18 @@ object Similarity {
    * One narrow map pass over the corpus; queries then read `nprobe`
    * bucket partitions — never the full corpus.
    */
+  /** @param kmeansTrainLimit 0 trains the refinement on the FULL
+    *   corpus (each iteration shuffles n·dim contribution rows — the
+    *   deterministic id-ordered fold forgoes map-side combine, so this
+    *   is the small/medium-corpus setting and the gate path); > 0
+    *   trains on that many rows chosen by the same deterministic hash
+    *   order as the centroid sample — the 100 TB setting: centroid
+    *   TRAINING sees a bounded sample, the full corpus pays only the
+    *   one narrow final-assignment map. SQL-mirrorable either way
+    *   (ORDER BY hash LIMIT n). */
   def ivfBuild(df: DataFrame, idCol: String, vecCol: String, outDir: String,
-               numCentroids: Int = 64, kmeansIters: Int = 0): Unit = {
+               numCentroids: Int = 64, kmeansIters: Int = 0,
+               kmeansTrainLimit: Int = 0): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     val sampled: Array[(Long, Seq[Float])] =
@@ -159,6 +169,15 @@ object Similarity {
         .limit(numCentroids)
         .as[(Long, Seq[Float])].collect().sortBy(_._1)
     require(sampled.nonEmpty, "ivfBuild: empty corpus")
+
+    val trainBase = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val train =
+      if (kmeansTrainLimit <= 0 || kmeansIters == 0) trainBase
+      else trainBase
+        .orderBy(pmod(col("id") * lit(2654435761L), lit(Hashing.P)).asc,
+          col("id").asc)
+        .limit(kmeansTrainLimit)
+        .persist()
 
     // Optional SPHERICAL k-means refinement (Lloyd iterations): assign
     // to argmax-cosine centroid, recenter each centroid on the mean of
@@ -182,8 +201,7 @@ object Similarity {
       else {
         for (_ <- 1 to kmeansIters) {
           val m = matrix
-          val contrib = df
-            .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+          val contrib = train
             .withColumn("b", requireBucket(
               graft.functions.ArgMaxCosExpr(col("v"), m), col("id"), "ivfBuild"))
             .withColumn("nrm", norm(col("v")))
@@ -218,6 +236,7 @@ object Similarity {
           }
           matrix = next
         }
+        if (kmeansTrainLimit > 0) train.unpersist()
         matrix.indices.map(_.toLong)
       }
     cids.zip(matrix.map(_.toSeq)).toDF("cid", "cv").coalesce(1)

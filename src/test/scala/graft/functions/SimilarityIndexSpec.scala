@@ -348,6 +348,28 @@ class SimilarityIndexSpec extends SparkFunSuite {
     assert(cents(dirA) == cents(dirB)) // bit-exact float equality
   }
 
+  test("sampled k-means training (the 100 TB path): deterministic, differs from the raw sample, serves") {
+    val data = vecs(90, 6)
+    val dirA = tmpDir("ivf-lim-a"); val dirB = tmpDir("ivf-lim-b")
+    val dir0 = tmpDir("ivf-lim-0")
+    Similarity.ivfBuild(data.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dirA, numCentroids = 5, kmeansIters = 2,
+      kmeansTrainLimit = 30)
+    Similarity.ivfBuild(data.toDF("vec_id", "embedding").repartition(11),
+      "vec_id", "embedding", dirB, numCentroids = 5, kmeansIters = 2,
+      kmeansTrainLimit = 30)
+    Similarity.ivfBuild(data.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir0, numCentroids = 5, kmeansIters = 0)
+    def cents(d: String) = spark.read.parquet(Similarity.ivfCentroidsDir(d))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(cents(dirA) == cents(dirB))        // deterministic at any partitioning
+    assert(cents(dirA).map(_._2) != cents(dir0).map(_._2)) // refinement happened
+    val q = data(17)._2.toArray
+    val got = Similarity.ivfQuery(spark, dirA, q, 3, nprobe = 2)
+      .as[(Long, Double)].collect()
+    assert(got.head._1 == 17L && math.abs(got.head._2 - 1.0) < 1e-9)
+  }
+
   test("degenerate vectors fail the build fast instead of vanishing into a null bucket") {
     val data = vecs(20, 4) :+ (999L, Seq(0.0f, 0.0f, 0.0f, 0.0f)) // zero vector
     val err = intercept[Exception] {
