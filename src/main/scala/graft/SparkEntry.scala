@@ -364,14 +364,17 @@ object SparkEntry {
     out
   }
 
-  /** Rank the ≤ k probed hits. partitionBy(lit(0)) is semantically the
-    * empty partition spec (all rows in one partition — they already
-    * are: only k rows survive the limit) but keeps WindowExec's
-    * "No Partition Defined" warning out of the logs, so a REAL
-    * unpartitioned-window regression stands out. */
+  /** Rank the ≤ k probed hits. The constant-zero NON-FOLDABLE
+    * partition key (id·0 — a plain lit(0) is stripped by Spark 4's
+    * EliminateWindowPartitions) is semantically the empty spec (all
+    * rows in one partition — they already are: only k rows survive
+    * the limit) but keeps WindowExec's "No Partition Defined" warning
+    * out of the logs, so a REAL unpartitioned-window regression
+    * stands out. */
   private def rankTopK(df: DataFrame): DataFrame =
     df.withColumn("rank", row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("cosine").desc, col("id").asc)).cast("long"))
+        Window.partitionBy(col("id") * lit(0L))
+          .orderBy(col("cosine").desc, col("id").asc)).cast("long"))
       .select("rank", "id", "cosine")
 
   private def simAnnTopk(s: SparkSession, dir: String): DataFrame = {

@@ -47,16 +47,18 @@ object Similarity {
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Array[Float], k: Int): DataFrame = {
     val q = typedLit(query.toSeq)
-    // rank window runs over the ≤ k surviving rows only; the lit(0)
-    // partition key is semantically the empty spec but keeps the false
-    // "No Partition Defined" WindowExec warning out of the logs, so a
-    // real whole-table window regression stands out
+    // rank window runs over the ≤ k surviving rows only; the
+    // constant-zero NON-FOLDABLE partition key (id·0 — a plain lit(0)
+    // is stripped by Spark 4's EliminateWindowPartitions) keeps the
+    // false "No Partition Defined" WindowExec warning out of the logs,
+    // so a real whole-table window regression stands out
     df.select(col(idCol).as("id"), cosine(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(0)).orderBy(col("cosine").desc, col("id").asc)))
+          .partitionBy(col("id") * lit(0L))
+          .orderBy(col("cosine").desc, col("id").asc)))
       .select(col("rank"), col("id"), col("cosine"))
   }
 
