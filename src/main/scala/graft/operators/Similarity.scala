@@ -271,7 +271,15 @@ object Similarity {
    * corpus.
    */
   def ivfUpsert(upserts: DataFrame, idCol: String, vecCol: String,
-                dir: String, deleteIds: Seq[Long] = Seq.empty): Unit = {
+                dir: String, deleteIds: Seq[Long] = Seq.empty): Unit =
+    ivfUpsertDF(upserts, idCol, vecCol, dir,
+      seqToIdDF(upserts.sparkSession, deleteIds))
+
+  /** [[ivfUpsert]] with the deletions as a DataFrame (single `id`
+    * column expected after selection of its first column): the bulk
+    * path — a backfill's deletion set never lands on the driver. */
+  def ivfUpsertDF(upserts: DataFrame, idCol: String, vecCol: String,
+                  dir: String, deletes: DataFrame): Unit = {
     val spark = upserts.sparkSession
     import spark.implicits._
     val cents = spark.read.parquet(ivfCentroidsDir(dir))
@@ -282,20 +290,31 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("bucket", requireBucket(element_at(typedLit(cids),
         graft.functions.ArgMaxCosExpr(col("v"), matrix) + 1), col("id"), "ivfUpsert"))
-    upsertAssigned(spark, dir, ivfAssignedDir(dir), assigned, deleteIds)
+    upsertAssigned(spark, dir, ivfAssignedDir(dir), assigned, deletes)
   }
 
   /** [[ivfUpsert]] for the SRP index: same touched-bucket-only merge,
     * bucket = the persisted plane count's hyperplane hash. */
   def annUpsert(upserts: DataFrame, idCol: String, vecCol: String,
-                dir: String, deleteIds: Seq[Long] = Seq.empty): Unit = {
+                dir: String, deleteIds: Seq[Long] = Seq.empty): Unit =
+    annUpsertDF(upserts, idCol, vecCol, dir,
+      seqToIdDF(upserts.sparkSession, deleteIds))
+
+  /** [[annUpsert]] with the deletions as a DataFrame (bulk path). */
+  def annUpsertDF(upserts: DataFrame, idCol: String, vecCol: String,
+                  dir: String, deletes: DataFrame): Unit = {
     val spark = upserts.sparkSession
     import spark.implicits._
     val planes = spark.read.parquet(annMetaDir(dir)).as[Int].head()
     val assigned = upserts
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), planes))
-    upsertAssigned(spark, dir, annAssignedDir(dir), assigned, deleteIds)
+    upsertAssigned(spark, dir, annAssignedDir(dir), assigned, deletes)
+  }
+
+  private def seqToIdDF(spark: SparkSession, ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(ids).toDF("id")
   }
 
   /** The merged touched-bucket view an upsert writes, plus the touched
@@ -308,12 +327,12 @@ object Similarity {
   private[graft] def upsertMergedView(spark: SparkSession,
                                           assignedDir: String,
                                           assigned: DataFrame,
-                                          deleteIds: Seq[Long]): (DataFrame, Seq[Long]) = {
+                                          deletes: DataFrame): (DataFrame, Seq[Long]) = {
     import spark.implicits._
     // moved ids: upserted rows (which may MOVE across buckets — their
     // old copy must go) plus explicit deletions
     val movedIds = assigned.select("id")
-      .unionByName(spark.createDataset(deleteIds).toDF("id"))
+      .unionByName(deletes.select(col(deletes.columns.head).cast("long").as("id")))
       .distinct()
     val old = spark.read.parquet(assignedDir)
     val oldHomes = old.join(movedIds, Seq("id"), "left_semi")
@@ -388,10 +407,10 @@ object Similarity {
     * journal ([[recoverUpsert]]) and converges. */
   private def upsertAssigned(spark: SparkSession, dir: String,
                              assignedDir: String, assigned: DataFrame,
-                             deleteIds: Seq[Long]): Unit = {
+                             deletes: DataFrame): Unit = {
     import spark.implicits._
     recoverUpsert(spark, dir, assignedDir)
-    val (merged, touched) = upsertMergedView(spark, assignedDir, assigned, deleteIds)
+    val (merged, touched) = upsertMergedView(spark, assignedDir, assigned, deletes)
     if (touched.isEmpty) return
 
     val tmp = s"$dir/_tmp_upsert"

@@ -207,8 +207,9 @@ class SimilarityIndexSpec extends SparkFunSuite {
     Similarity.annBuild(df, "vec_id", "embedding", dir, planes = 5)
     val updates = Seq((4L, data(30)._2), (90L, data(12)._2.map(x => -x)))
     val deletes = Seq(9L)
-    Similarity.annUpsert(updates.toDF("vec_id", "embedding"),
-      "vec_id", "embedding", dir, deleteIds = deletes)
+    // the DataFrame-deletes overload (the bulk path) — same semantics
+    Similarity.annUpsertDF(updates.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, deletes = deletes.toDF("id"))
     val finalCorpus = (data.filter(d => !deletes.contains(d._1) &&
       !updates.exists(_._1 == d._1)) ++ updates).toDF("vec_id", "embedding")
     Similarity.annBuild(finalCorpus, "vec_id", "embedding", dirRef, planes = 5)
@@ -263,7 +264,7 @@ class SimilarityIndexSpec extends SparkFunSuite {
       .withColumn("bucket", element_at(typedLit(cents.map(_._1).toSeq),
         ArgMaxCosExpr($"v", matrix) + 1))
     val (merged, touched) = Similarity.upsertMergedView(
-      spark, Similarity.ivfAssignedDir(dir), assigned, Seq(5L))
+      spark, Similarity.ivfAssignedDir(dir), assigned, Seq(5L).toDF("id"))
     assert(touched.nonEmpty)
     val plan = merged.queryExecution.optimizedPlan.toString
     assert(plan.contains("Join"), s"expected joins in the upsert plan:\n$plan")
