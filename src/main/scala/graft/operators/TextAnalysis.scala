@@ -87,11 +87,24 @@ object TextAnalysis {
       .drop(tmp)
   }
 
-  /** Token counts: whitespace-split words and a BPE-ish regex count
-    * (letter runs + single digits + punctuation marks as single
-    * tokens) — the usual cheap proxy for tokenizer budget accounting.
-    * Both are pure regex matches, reproducible by any PCRE engine. */
+  /** Token counts: whitespace-split words and a BPE-ish count (letter
+    * runs + single digits + punctuation marks as single tokens) — the
+    * usual cheap proxy for tokenizer budget accounting. Semantics are
+    * defined by (and [[tokenCountsDecl]] still implements) the regexes
+    * `\s+`-split and `[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]`, reproducible by
+    * any PCRE engine; the production path is one native code-point
+    * scan ([[graft.functions.TokenCountsExpr]], parity spec'd). */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val tmp = "__graft_token_counts"
+    df.withColumn(tmp, graft.functions.TokenCountsExpr(col(textCol)))
+      .withColumn("ws_tokens", col(tmp)("ws_tokens"))
+      .withColumn("bpeish_tokens", col(tmp)("bpeish_tokens"))
+      .drop(tmp)
+  }
+
+  /** Declarative regex reference form of [[tokenCounts]], kept as the
+    * spec'd parity oracle for the native scan. */
+  def tokenCountsDecl(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val ws = size(filter(split(t, "\\s+"), x => length(x) > 0)).cast("long")
     val bpeish = size(regexp_extract_all(t,

@@ -349,6 +349,30 @@ class OperatorsSpec extends SparkFunSuite {
     assert(r.getAs[Long]("bpeish_tokens") == 8L)
   }
 
+  test("TokenCountsExpr: one-scan counts match the regex forms on edge cases") {
+    val rows = Seq(
+      (0L, "ab cd-ef, 12 x"),
+      (1L, "héllo wörld — naïve café 99"),
+      (2L, "a😀b emoji😀 end"), // surrogate pair counts once
+      (3L, " \t\n\f\r "),                      // every \s class char
+      (4L, ""),
+      (5L, "trailing space "),
+      (6L, null: String))
+    val df = rows.toDF("id", "text")
+    def shape(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id", $"ws_tokens", $"bpeish_tokens").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))).toMap
+    val native = shape(TextAnalysis.tokenCounts(df, "text"))
+    val decl = shape(TextAnalysis.tokenCountsDecl(df, "text"))
+    rows.foreach { case (id, text) =>
+      assert(native(id) == decl(id), s"id=$id text='$text'")
+    }
+    assert(native(0L).contains((4L, 8L)))
+    assert(native(2L).contains((3L, 6L))) // a|😀|b = 3 bpeish + emoji|end runs
+    assert(native(6L).isEmpty)
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val df = Seq((1, "A  B\tC"), (2, "a b c")).toDF("id", "text")
     val fps = TextAnalysis.fingerprint(df, "text")
