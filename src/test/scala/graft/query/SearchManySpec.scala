@@ -127,6 +127,23 @@ class SearchWhereSpec extends graft.SparkFunSuite {
       assert(got == want, s"permissive query '$q'")
     }
   }
+
+  test("searchWhere permissive predicate at a forced high segment count (64 segments, 1 task)") {
+    // many segments per task → many per-segment allowed arrays alive in
+    // one task at once — the memory shape a permissive predicate
+    // stresses; results must stay bit-identical to unfiltered search
+    val dir = tmpDir("idx-where-hiseg")
+    val turns = graft.sources.SyntheticTranscripts.generate(spark, 42L, nConvs = 300)
+    graft.index.IndexBuilder.build(spark, turns,
+      graft.index.BuildConfig(dir, nSegments = 64, waveSize = 64))
+    val rdr = new IndexReader(spark, dir, queryTasks = 1)
+    Seq("assistant tool error", "la ma na", "user").foreach { q =>
+      val got = rdr.searchWhere(q,
+        org.apache.spark.sql.functions.lit(true), 10).map(h => (h.doc_id, h.score))
+      val want = rdr.search(q, 10).map(h => (h.doc_id, h.score))
+      assert(got == want, s"permissive hi-seg query '$q'")
+    }
+  }
 }
 
 /** Serving mode: in-process WAND must be bit-identical to the
