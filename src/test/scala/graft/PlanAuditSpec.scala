@@ -100,6 +100,32 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!plan.contains("SortMergeJoin")) // pairs come from in-bucket lists, not a join
   }
 
+  test("native kernels stay in the production plans (no silent fallback to interpreted HOFs)") {
+    // spark.range inputs: a local Seq collapses to a pre-evaluated
+    // LocalTableScan and the expressions would vanish from the plan
+    val docs = spark.range(0, 4).select(col("id").as("doc_id"),
+      concat(lit("the quick fox la "), col("id").cast("string")).as("text"))
+    // each operator's plan must contain its fused native expression —
+    // a refactor that quietly reverts to the declarative form would
+    // re-introduce per-row interpreted higher-order functions
+    assert(planOf(graft.operators.Dedup.simHash(docs, "doc_id", "text"))
+      .contains("graft_simhash"))
+    assert(planOf(graft.operators.TextAnalysis.languageId(docs, "text"))
+      .contains("graft_token_stats"))
+    assert(planOf(graft.operators.TextAnalysis.qualityScore(docs, "text"))
+      .contains("graft_token_stats"))
+    assert(planOf(graft.operators.TextAnalysis.tokenCounts(docs, "text"))
+      .contains("graft_token_counts"))
+    val vecs = spark.range(0, 8).select(col("id"),
+      transform(sequence(lit(0), lit(2)),
+        d => (col("id") + d.cast("long")).cast("float")).as("v"))
+    assert(planOf(vecs.select(
+        graft.operators.Similarity.hyperplaneBucket(col("v"), 6)))
+      .contains("graft_srp_bucket"))
+    assert(planOf(vecs.select(graft.operators.Similarity.dot(col("v"), col("v"))))
+      .contains("graft_dot"))
+  }
+
   test("ivf probe: partition-pruned scan of the persisted index, no join, heap top-k") {
     val vecs = (0L until 30L).map(i =>
       (i, (0 until 4).map(d => ((i * 31 + d * 13) % 101 - 50).toFloat / 50f)))
