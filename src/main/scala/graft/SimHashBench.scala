@@ -38,9 +38,13 @@ object SimHashBench {
     }
     var ok = true
     for (round <- Seq("warm", "a", "b")) {
+      // fused: tokenize → dedupe → hash → vote in ONE scan, no token array
+      val sf = time(s"fused_$round", Dedup.simHashText(col("text"), bits, poly = false))
+      // native votes, but the distinct-token-hash array still built
+      // through interpreted transform/filter (the round-4 mid state)
       val sn = time(s"native_$round", Dedup.simHashBits(th, bits))
       val sd = time(s"decl_$round", Dedup.simHashDecl(th, bits))
-      ok &= sn == sd
+      ok &= sn == sd && sf == sd
     }
     println(s"parity: ${if (ok) "OK" else "MISMATCH"}")
     spark.stop()

@@ -91,14 +91,18 @@ object Dedup {
     bitCols.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
+  /** Fully fused SimHash over raw text: tokenize → dedupe → hash →
+    * vote in one scan ([[graft.functions.SimHashTextExpr]]); null
+    * text degrades to fingerprint 0 like the declarative chain. */
+  def simHashText(textCol: Column, bits: Int, poly: Boolean): Column =
+    coalesce(graft.functions.SimHashTextExpr(lower(textCol), bits, poly), lit(0L))
+
   /** Oracle-checkable SimHash over `bits` low bits of the polynomial
     * token hash (production [[simHash]] uses 64-bit xxhash64). */
   def simHashPoly(df: DataFrame, idCol: String, textCol: String,
-                  bits: Int = 16): DataFrame = {
-    val th = transform(array_distinct(tokens(col(textCol))),
-      t => Hashing.polyHash(t))
-    df.select(col(idCol).as("doc_id"), simHashBits(th, bits).as("simhash"))
-  }
+                  bits: Int = 16): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      simHashText(col(textCol), bits, poly = true).as("simhash"))
 
   /**
    * MinHash signatures + LSH banding (Broder '97 / Leskovec-Rajaraman-
@@ -181,16 +185,16 @@ object Dedup {
    * chunk banding (Manku et al. WWW'07): dups within Hamming ≤ 3 share
    * at least one exact chunk.
    */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     // same token definition as the engine analyzer and the oracle twin
-    // ([[simHashPoly]]): Dedup.tokens — prod and oracle variants differ
-    // ONLY in the hash function, so the oracle validates tokenization.
-    // All 64 bit votes advance in one native pass (SimHashExpr); the
-    // old form folded the token-hash array once PER BIT, interpreted.
-    val toks = array_distinct(tokens(col(textCol)))
-    val th = transform(toks, t => xxhash64(t))
-    df.select(col(idCol).as("id"), simHashBits(th, 64).as("simhash"))
-  }
+    // ([[simHashPoly]]): prod and oracle variants differ ONLY in the
+    // hash function, so the oracle validates tokenization. Fully fused:
+    // tokenize → dedupe → xxhash64 → all 64 bit votes in ONE scan (the
+    // round-3 form folded the token-hash array once per bit through
+    // interpreted HOFs, and even the native-vote form still built the
+    // distinct token array through interpreted transform/filter).
+    df.select(col(idCol).as("id"),
+      simHashText(col(textCol), 64, poly = false).as("simhash"))
 
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHammingDistance: Int = 3): DataFrame = {

@@ -109,7 +109,7 @@ class PlanAuditSpec extends SparkFunSuite {
     // a refactor that quietly reverts to the declarative form would
     // re-introduce per-row interpreted higher-order functions
     assert(planOf(graft.operators.Dedup.simHash(docs, "doc_id", "text"))
-      .contains("graft_simhash"))
+      .contains("graft_simhash_text"))
     assert(planOf(graft.operators.TextAnalysis.languageId(docs, "text"))
       .contains("graft_token_stats"))
     assert(planOf(graft.operators.TextAnalysis.qualityScore(docs, "text"))

@@ -260,13 +260,20 @@ class OperatorsSpec extends SparkFunSuite {
     val withNull = docs.select($"doc_id", $"text")
       .unionByName(Seq((9999L, null: String)).toDF("doc_id", "text"))
     for (bits <- Seq(16, 64)) {
+      val poly = bits == 16
       val th = transform(array_distinct(Dedup.tokens($"text")),
-        t => if (bits == 16) graft.operators.Hashing.polyHash(t) else xxhash64(t))
+        t => if (poly) graft.operators.Hashing.polyHash(t) else xxhash64(t))
       val native = withNull.select($"doc_id", Dedup.simHashBits(th, bits).as("h"))
         .as[(Long, Long)].collect().sortBy(_._1).toSeq
       val decl = withNull.select($"doc_id", Dedup.simHashDecl(th, bits).as("h"))
         .as[(Long, Long)].collect().sortBy(_._1).toSeq
       assert(native == decl, s"bits=$bits")
+      // the FULLY fused text-level form (tokenize → dedupe → hash →
+      // vote in one scan) equals both
+      val fused = withNull.select($"doc_id",
+          Dedup.simHashText($"text", bits, poly).as("h"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(fused == decl, s"fused bits=$bits")
       assert(native.find(_._1 == 9999L).get._2 == 0L) // null text degrades to 0
       assert(native.map(_._2).distinct.size > 2)       // genuinely spreads
     }
