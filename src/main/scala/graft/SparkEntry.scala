@@ -314,6 +314,22 @@ object SparkEntry {
   private def dSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPoly(tbl(s, dir, "documents"), "doc_id", "text")
 
+  /** SimHash near-dup PAIRS through the production chunk-banding join
+    * (Manku-style: Hamming ≤ 3 ⇒ one of four 8-bit chunks matches
+    * exactly), over oracle-mirrorable 32-bit polynomial fingerprints —
+    * gates the banding/join construction itself, which `d_simhash`
+    * (fingerprints only) does not reach. Doc subset keeps the
+    * candidate set bounded (the 31-word synthetic vocabulary makes
+    * many fingerprints collide corpus-wide). */
+  private def dSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = Dedup.simHashPoly(
+        tbl(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text",
+        bits = 32)
+      .withColumnRenamed("doc_id", "id")
+    Dedup.simHashNearDupsFrom(fp, bits = 32, nChunks = 4, maxHammingDistance = 3)
+      .select("id_a", "id_b", "hamming")
+  }
+
   private def dNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     val pairs = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
@@ -616,6 +632,7 @@ object SparkEntry {
     "d_minhash_sig" -> (dMinhashSig _),
     "d_minhash_pairs" -> (dMinhashPairs _),
     "d_simhash" -> (dSimhash _),
+    "d_simhash_pairs" -> (dSimhashPairs _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_embedding_neardup" -> (dEmbeddingNeardup _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
@@ -681,10 +698,11 @@ object SparkEntry {
     val annProbes = (Seq("qb") ++ (0 until 6).map(j => s"xor(qb, ${1L << j})"))
       .map(e => s"SELECT $e AS pb FROM q").mkString(" UNION ALL ")
 
-    val simhashBits = (0 until 16).map { j =>
+    def simhashBitsSql(bits: Int) = (0 until bits).map { j =>
       s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $j) & 1 = 1 " +
         s"THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+    val simhashBits = simhashBitsSql(16)
 
     val ftTermsIn = inList(FtQueryTerms)
     val ftIncTermsIn = inList(FtQueryIncTerms)
@@ -950,6 +968,19 @@ object SparkEntry {
         s"""WITH base AS (SELECT doc_id, $ToksSql AS toks FROM documents),
            |h AS (SELECT doc_id, list_transform(list_distinct(toks), t -> ${polySql("t")}) AS th FROM base)
            |SELECT doc_id, ($simhashBits)::BIGINT AS simhash FROM h""".stripMargin,
+
+      // the chunk-banding near-dup join: any pair within Hamming 3 of
+      // the 32-bit fingerprint shares one of four exact 8-bit chunks
+      "d_simhash_pairs" ->
+        s"""WITH base AS (SELECT doc_id, $ToksSql AS toks FROM documents WHERE doc_id < 200),
+           |h AS (SELECT doc_id, list_transform(list_distinct(toks), t -> ${polySql("t")}) AS th FROM base),
+           |f AS (SELECT doc_id AS id, (${simhashBitsSql(32)})::BIGINT AS fp FROM h),
+           |b AS (SELECT id, fp, c.range AS chunk, (fp >> (c.range * 8)) & 255 AS cv
+           |      FROM f CROSS JOIN range(0, 4) c),
+           |p AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+           |       bit_count(xor(a.fp, b2.fp))::BIGINT AS hamming
+           |      FROM b a JOIN b b2 ON a.chunk = b2.chunk AND a.cv = b2.cv AND a.id < b2.id)
+           |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3""".stripMargin,
 
       "d_ngram_jaccard" ->
         s"""WITH base AS (SELECT doc_id, $ToksSql AS toks FROM documents),

@@ -197,12 +197,24 @@ object Dedup {
       simHashText(col(textCol), 64, poly = false).as("simhash"))
 
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHammingDistance: Int = 3): DataFrame = {
-    val fp = simHash(df, idCol, textCol)
-    // band on 4 x 16-bit chunks
+                      maxHammingDistance: Int = 3): DataFrame =
+    simHashNearDupsFrom(simHash(df, idCol, textCol), bits = 64,
+      nChunks = 4, maxHammingDistance = maxHammingDistance)
+
+  /** Chunk-banding near-dup pairs over an existing `(id, simhash)`
+    * fingerprint table (Manku et al. WWW'07: fingerprints within
+    * Hamming ≤ nChunks − 1 share at least one exact chunk). Split out
+    * so the oracle-checkable polynomial fingerprints go through the
+    * SAME banding/join construction as the production 64-bit path —
+    * the `d_simhash_pairs` gate entry validates it end-to-end. */
+  def simHashNearDupsFrom(fp: DataFrame, bits: Int, nChunks: Int,
+                          maxHammingDistance: Int): DataFrame = {
+    require(bits % nChunks == 0, "nChunks must divide bits")
+    val chunkBits = bits / nChunks
+    val mask = (1L << chunkBits) - 1
     val banded = fp.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      posexplode(array((0 until nChunks).map(c =>
+        shiftrightunsigned(col("simhash"), c * chunkBits).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
     val a = banded.select(col("chunk"), col("chunk_val"),
       col("id").as("id_a"), col("simhash").as("h_a"))
@@ -211,7 +223,7 @@ object Dedup {
     a.join(b, Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHammingDistance)
   }

@@ -252,8 +252,8 @@ class OperatorsSpec extends SparkFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(fps(0L) == fps(1L))
     val nd = Dedup.simHashNearDups(docs.filter($"doc_id" < 3), "doc_id", "text")
-      .as[(Long, Long, Int)].collect()
-    assert(nd.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+      .as[(Long, Long, Long)].collect()
+    assert(nd.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
   }
 
   test("SimHashExpr: bit-parity with the declarative per-bit fold (16 and 64 bits; null text → 0)") {
