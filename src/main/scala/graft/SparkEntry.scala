@@ -348,6 +348,19 @@ object SparkEntry {
       .filter(col("cosine") >= 0.25)
   }
 
+  /** The PRODUCTION embedding near-dup path — SRP-bucketed candidate
+    * join, never all-pairs ([[Dedup.embeddingNearDups]]); the oracle
+    * reproduces the hyperplane buckets arithmetically and joins inside
+    * them, so the bucketed-join construction itself is gate-verified
+    * (d_embedding_neardup keeps the all-pairs oracle as the recall
+    * baseline on the same subset). */
+  private def dEmbeddingNeardupLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings").filter(col("vec_id") < 300)
+    Dedup.embeddingNearDups(e, "vec_id", "embedding",
+        threshold = 0.25, planes = 6)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
   private def queryVec(s: SparkSession, dir: String): Array[Float] =
     tbl(s, dir, "embeddings").filter(col("vec_id") === 7)
       .select("embedding").head().getSeq[Float](0).toArray
@@ -635,6 +648,7 @@ object SparkEntry {
     "d_simhash_pairs" -> (dSimhashPairs _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_embedding_neardup" -> (dEmbeddingNeardup _),
+    "d_embedding_neardup_lsh" -> (dEmbeddingNeardupLsh _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_ann_topk" -> (simAnnTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
@@ -997,6 +1011,15 @@ object SparkEntry {
            |  round(${cosSql("a.v", "b.v")}, 4) AS cosine
            | FROM e a JOIN e b ON a.vec_id < b.vec_id)
            |WHERE cosine >= 0.25""".stripMargin,
+
+      // the SRP-bucketed production near-dup join: buckets reproduced
+      // arithmetically, pairs only within a bucket
+      "d_embedding_neardup_lsh" ->
+        s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 300),
+           |b AS (SELECT id, v, ${bucketSql("v", 6)} AS bucket FROM e),
+           |p AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b, ${cosSql("a.v", "c.v")} AS cosine
+           |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id)
+           |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= 0.25""".stripMargin,
 
       "sim_bruteforce_topk" ->
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
