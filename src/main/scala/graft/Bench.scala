@@ -234,7 +234,7 @@ object Bench {
     locally {
       val idxDir = s"$idxRoot/c32"
       val rdr = new IndexReader(s, idxDir)
-      import org.apache.spark.sql.functions.{col, length, lit, row_number}
+      import org.apache.spark.sql.functions.{coalesce, col, length, lit, row_number}
       import org.apache.spark.sql.expressions.Window
       def p95Of(lat: Seq[Double]): Double = {
         val sorted = lat.sorted
@@ -260,7 +260,7 @@ object Bench {
       // stand out
       val byRank = dictDf
         .withColumn("rn", row_number().over(
-          Window.partitionBy(length(col("term")) * lit(0))
+          Window.partitionBy(coalesce(length(col("term")), lit(0)) * lit(0))
             .orderBy(col("df").desc, col("term"))).cast("long"))
         .filter(col("rn").isInCollection(ranks))
         .select("rn", "term").collect()

@@ -43,16 +43,34 @@ object FtIndex {
       .as[Turn]
   }
 
-  /** Build (or resume — content-hash-checked) the index; idempotent
-    * and memoized per JVM. Returns the index directory. */
-  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
-    val out = indexDir(sfDir)
-    if (!built.contains(out)) {
-      IndexBuilder.build(spark, docsAsTurns(spark, sfDir),
-        BuildConfig(out, nSegments = 8, waveSize = 8))
-      built += out
+  /** Memoize `build(out)` per JVM AND per cache dir: a `_ft_done`
+    * marker written after the build completes lets every later JVM
+    * skip the build entirely (no corpus re-scan), and — unlike the
+    * bare IndexBuilder resume check — guarantees a concurrent reader
+    * in another process can never observe the cache mid-build (the
+    * sf corpora are immutable, so a marked dir is final; the marker
+    * lives under the CacheVersion'd path, so layout bumps invalidate
+    * it with the rest of the cache). */
+  private def ensureMarked(memo: scala.collection.mutable.Set[String],
+                           out: String)(build: => Unit): String = {
+    if (!memo.contains(out)) {
+      val marker = java.nio.file.Paths.get(out, "_ft_done")
+      if (!java.nio.file.Files.exists(marker)) {
+        build
+        java.nio.file.Files.createFile(marker)
+      }
+      memo += out
     }
     out
+  }
+
+  /** Build (or resume — content-hash-checked) the index; idempotent
+    * and memoized per JVM + on disk. Returns the index directory. */
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    ensureMarked(built, indexDir(sfDir)) {
+      IndexBuilder.build(spark, docsAsTurns(spark, sfDir),
+        BuildConfig(indexDir(sfDir), nSegments = 8, waveSize = 8))
+    }
   }
 
   def reader(spark: SparkSession, sfDir: String): IndexReader =
@@ -126,14 +144,11 @@ object FtIndex {
   }
 
   def ensureStop(spark: SparkSession, sfDir: String): String = synchronized {
-    val out = stopIndexDir(sfDir)
-    if (!builtStop.contains(out)) {
+    ensureMarked(builtStop, stopIndexDir(sfDir)) {
       IndexBuilder.build(spark, docsAsTurns(spark, sfDir),
-        BuildConfig(out, nSegments = 8, waveSize = 8,
+        BuildConfig(stopIndexDir(sfDir), nSegments = 8, waveSize = 8,
           analyzer = graft.analysis.Analyzer(stop = true)))
-      builtStop += out
     }
-    out
   }
 
   // ---- full text_en-analog chain (v1+stop+stem) gate fixture ----
@@ -153,14 +168,11 @@ object FtIndex {
   }
 
   def ensureStem(spark: SparkSession, sfDir: String): String = synchronized {
-    val out = stemIndexDir(sfDir)
-    if (!builtStem.contains(out)) {
+    ensureMarked(builtStem, stemIndexDir(sfDir)) {
       IndexBuilder.build(spark, docsAsTurns(spark, sfDir),
-        BuildConfig(out, nSegments = 8, waveSize = 8,
+        BuildConfig(stemIndexDir(sfDir), nSegments = 8, waveSize = 8,
           analyzer = graft.analysis.Analyzer.TextEn))
-      builtStem += out
     }
-    out
   }
 
   /** Original doc_id parsed back out of the engine conv_id

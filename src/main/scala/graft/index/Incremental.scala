@@ -230,12 +230,15 @@ object Incremental {
    *
    * Sequencing: the merged view is written aside, the old base is
    * renamed away, the new base renamed in, then old base + overlays
-   * are deleted. The only non-crash-safe instant is between the two
-   * renames (base absent, both copies on disk) — a deliberate
-   * single-filesystem compromise documented here; under a real object
-   * store this becomes a catalog swap.
+   * are deleted. A crash between the two renames (base absent, both
+   * copies on disk) is repaired by [[recoverCompact]] — run at the
+   * next compact, build, or staging read — which completes the swap
+   * from the finished merged copy (or restores the pre-compact base);
+   * under a real object store the whole sequence becomes a catalog
+   * swap.
    */
   def compact(spark: SparkSession, outDir: String): Int = {
+    recoverCompact(outDir)
     val over = IndexBuilder.overlaidSegments(outDir)
     if (over.isEmpty) return 0
     val p = spark.sparkContext.defaultParallelism
@@ -253,5 +256,45 @@ object Incremental {
     Manifest.deleteRecursively(old)
     Manifest.deleteRecursively(Paths.get(IndexBuilder.overlayDir(outDir)))
     over.size
+  }
+
+  /**
+   * Repair a crash inside [[compact]]: auto-compaction runs after
+   * every delta-heavy build, so the two-rename window must have an
+   * automated restore path — without one, a crash there leaves
+   * `readStaging` broken (base absent) with only `docs_precompact` on
+   * disk. Idempotent; called from [[compact]], [[IndexBuilder.build]],
+   * and the missing-base path of [[IndexBuilder.readStaging]]:
+   *
+   *  - base absent + complete merged copy (`_SUCCESS`) → finish the
+   *    swap (the merged copy already folds the overlays in);
+   *  - base absent + incomplete merged copy (defensive — the merge is
+   *    fully written before the first rename) → restore the
+   *    pre-compact base and discard the partial merge;
+   *  - base present + `docs_precompact` present (crash after the
+   *    second rename, before cleanup) → the new base is live and
+   *    content-complete; drop the stale copies but KEEP the overlay
+   *    dir: its crash-time entries are content-masked duplicates of
+   *    the compacted base (harmless — the next compact folds them),
+   *    while any entries a later delta added are live data.
+   */
+  def recoverCompact(outDir: String): Unit = {
+    val base = Paths.get(IndexBuilder.stagingDir(outDir))
+    val old = Paths.get(outDir, "_staging", "docs_precompact")
+    val tmp = Paths.get(outDir, "_tmp_compact")
+    if (!Files.exists(old)) return
+    if (!Files.exists(base)) {
+      if (Files.exists(tmp.resolve("_SUCCESS"))) {
+        Files.move(tmp, base, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Manifest.deleteRecursively(old)
+        Manifest.deleteRecursively(Paths.get(IndexBuilder.overlayDir(outDir)))
+      } else {
+        Files.move(old, base, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Manifest.deleteRecursively(tmp)
+      }
+    } else {
+      Manifest.deleteRecursively(old)
+      Manifest.deleteRecursively(tmp)
+    }
   }
 }

@@ -140,6 +140,8 @@ object IndexBuilder {
    * touched segment; a periodic full rebuild compacts them away.
    */
   def readStaging(spark: SparkSession, outDir: String): DataFrame = {
+    if (!Files.exists(Paths.get(stagingDir(outDir))))
+      Incremental.recoverCompact(outDir) // crash inside compact's rename window
     val base = spark.read.schema(StagingSchema).parquet(stagingDir(outDir))
     val over = overlaidSegments(outDir)
     if (over.isEmpty) base
@@ -215,6 +217,11 @@ object IndexBuilder {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
     val mdir = manifestDir(cfg.outDir)
+    // a staging base lost to a crash inside compact's rename window
+    // must be restored BEFORE the compatibility check — without it the
+    // missing base would route a perfectly resumable index into a full
+    // rebuild
+    Incremental.recoverCompact(cfg.outDir)
 
     val phaseAPath = Manifest.phaseAPath(mdir)
     val prior = Manifest.read(phaseAPath)

@@ -48,8 +48,10 @@ object Similarity {
                      query: Array[Float], k: Int): DataFrame = {
     val q = typedLit(query.toSeq)
     // rank window runs over the ≤ k surviving rows only; the
-    // constant-zero NON-FOLDABLE partition key (id·0 — a plain lit(0)
-    // is stripped by Spark 4's EliminateWindowPartitions) keeps the
+    // constant-zero NON-FOLDABLE partition key (coalesce(id, 0)·0 — a
+    // plain lit(0) is stripped by Spark 4's EliminateWindowPartitions,
+    // and a bare id·0 would map a NULL id to a NULL key, silently
+    // splitting the window in two and duplicating ranks) keeps the
     // false "No Partition Defined" WindowExec warning out of the logs,
     // so a real whole-table window regression stands out
     df.select(col(idCol).as("id"), cosine(col(vecCol), q).as("cosine"))
@@ -57,7 +59,7 @@ object Similarity {
       .limit(k)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id") * lit(0L))
+          .partitionBy(coalesce(col("id"), lit(0L)) * lit(0L))
           .orderBy(col("cosine").desc, col("id").asc)))
       .select(col("rank"), col("id"), col("cosine"))
   }
@@ -322,8 +324,13 @@ object Similarity {
     * touches the driver (a bulk backfill of 10^8 vectors must not
     * collect its ids or compile them into an IN-list literal); the only
     * driver-resident state is the touched-bucket list, bounded by the
-    * BUCKET count. Package-visible so the spec can pin the plan shape
-    * (joins, no `In(id, [...])`). */
+    * BUCKET count. Contract: `assigned`/`deletes` must be DETERMINISTIC
+    * frames (the commit path stages both to parquet first — this view
+    * is evaluated in several separate actions, and a nondeterministic
+    * source could make the collected touched list disagree with the
+    * staged merge rows, turning an emptied-bucket delete into data
+    * loss). Package-visible so the spec can pin the plan shape (joins,
+    * no `In(id, [...])`). */
   private[graft] def upsertMergedView(spark: SparkSession,
                                           assignedDir: String,
                                           assigned: DataFrame,
@@ -368,8 +375,11 @@ object Similarity {
       } else // journal without a complete stage cannot happen in order;
         java.nio.file.Files.deleteIfExists(journal) // treat as aborted
     }
-    // a stale stage without a journal is a pre-journal crash: discard
+    // a stale stage (or staged inputs) without a journal is a
+    // pre-journal crash: discard
     graft.store.Manifest.deleteRecursively(tmp)
+    graft.store.Manifest.deleteRecursively(
+      java.nio.file.Paths.get(dir, "_tmp_upsert_in"))
   }
 
   /** Steps 2..4 of the upsert commit sequence: dynamic-overwrite the
@@ -394,24 +404,37 @@ object Similarity {
         java.nio.file.Paths.get(assignedDir, s"bucket=$b"))
     }
     graft.store.Manifest.deleteRecursively(java.nio.file.Paths.get(dir, "_tmp_upsert"))
+    graft.store.Manifest.deleteRecursively(java.nio.file.Paths.get(dir, "_tmp_upsert_in"))
     java.nio.file.Files.deleteIfExists(upsertJournalPath(dir))
   }
 
   /** Merge freshly-assigned rows (id, v, bucket) + deletions into a
     * bucket-partitioned assignment table, rewriting only the touched
     * bucket partitions. Commit sequence (crash-safe, journaled):
-    * stage the merged view OUT of the table (the overwrite cannot read
-    * the path it rewrites) → journal {touched, expected-empty} →
-    * dynamic partition overwrite → clear emptied buckets → drop stage
-    * → drop journal. A rerun after a crash anywhere replays from the
-    * journal ([[recoverUpsert]]) and converges. */
+    * stage the upsert INPUTS (so every later action sees one
+    * materialized, deterministic copy — see [[upsertMergedView]]'s
+    * contract) → stage the merged view OUT of the table (the overwrite
+    * cannot read the path it rewrites) → journal {touched,
+    * expected-empty} → dynamic partition overwrite → clear emptied
+    * buckets → drop stages → drop journal. A rerun after a crash
+    * anywhere replays from the journal ([[recoverUpsert]]) and
+    * converges. */
   private def upsertAssigned(spark: SparkSession, dir: String,
                              assignedDir: String, assigned: DataFrame,
                              deletes: DataFrame): Unit = {
     import spark.implicits._
     recoverUpsert(spark, dir, assignedDir)
-    val (merged, touched) = upsertMergedView(spark, assignedDir, assigned, deletes)
-    if (touched.isEmpty) return
+    val inDir = s"$dir/_tmp_upsert_in"
+    assigned.write.mode("overwrite").parquet(s"$inDir/assigned")
+    deletes.select(col(deletes.columns.head).cast("long").as("id"))
+      .write.mode("overwrite").parquet(s"$inDir/deletes")
+    val (merged, touched) = upsertMergedView(spark, assignedDir,
+      spark.read.parquet(s"$inDir/assigned"),
+      spark.read.parquet(s"$inDir/deletes"))
+    if (touched.isEmpty) {
+      graft.store.Manifest.deleteRecursively(java.nio.file.Paths.get(inDir))
+      return
+    }
 
     val tmp = s"$dir/_tmp_upsert"
     merged.repartition(col("bucket"))

@@ -216,6 +216,56 @@ class IncrementalSpec extends SparkFunSuite {
     queriesEqual(ri, rf)
   }
 
+  test("recoverCompact repairs a crash inside compact's rename window") {
+    val dir = tmpDir("inc-compact-crash")
+    val cfg = BuildConfig(dir, nSegments = 8, waveSize = 8)
+    IndexBuilder.build(spark, v1, cfg)
+    IndexBuilder.build(spark, v2, cfg)
+    assert(IndexBuilder.overlaidSegments(dir).nonEmpty)
+    val base = Paths.get(IndexBuilder.stagingDir(dir))
+    val old = Paths.get(dir, "_staging", "docs_precompact")
+    val tmp = Paths.get(dir, "_tmp_compact")
+
+    // --- crash state A: merged copy complete, base renamed away, new
+    // base not yet renamed in (the exact instant between the two
+    // ATOMIC_MOVEs) ---
+    IndexBuilder.readStaging(spark, dir)
+      .repartitionByRange(4, col("segment"), col("doc_id"))
+      .sortWithinPartitions("segment", "doc_id")
+      .write.parquet(tmp.toString)
+    Files.move(base, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    assert(!Files.exists(base))
+    // the next staging read (build and queries route through it) must
+    // finish the swap from the complete merged copy
+    assert(IndexBuilder.readStaging(spark, dir).count() == v2.count())
+    assert(Files.exists(base) && !Files.exists(old) && !Files.exists(tmp))
+    assert(IndexBuilder.overlaidSegments(dir).isEmpty) // folded in
+    assert(IndexBuilder.verifyIngestion(spark, dir, v2) == 0L)
+
+    // --- crash state B: base renamed away but the merged copy is
+    // incomplete (no _SUCCESS) → restore the pre-compact base; the
+    // overlays are still live and the view is unchanged ---
+    IndexBuilder.build(spark, v3, cfg) // fresh overlays on the compacted base
+    assert(IndexBuilder.overlaidSegments(dir).nonEmpty)
+    Files.createDirectories(tmp) // partial merge, no _SUCCESS
+    Files.move(base, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    assert(IndexBuilder.readStaging(spark, dir).count() == v3.count())
+    assert(Files.exists(base) && !Files.exists(old) && !Files.exists(tmp))
+    assert(IndexBuilder.overlaidSegments(dir).nonEmpty) // kept
+    assert(IndexBuilder.verifyIngestion(spark, dir, v3) == 0L)
+
+    // --- crash state C: both renames done, cleanup not (base live,
+    // precompact copy and overlays still on disk) → a later build/
+    // compact drops the stale copy but keeps the overlay dir (its
+    // entries may include LIVE post-crash deltas) ---
+    Incremental.compact(spark, dir)
+    Files.createDirectories(old.resolve("leftover"))
+    val rep = IndexBuilder.build(spark, v3, cfg) // triggers recovery
+    assert(!Files.exists(old))
+    assert(rep.nDocs == v3.count())
+    assert(IndexBuilder.verifyIngestion(spark, dir, v3) == 0L)
+  }
+
   test("delta from an empty index = initial load; rerun of same source is a no-op") {
     val dir = tmpDir("inc-empty")
     val cfg = BuildConfig(dir, nSegments = 4, waveSize = 4)

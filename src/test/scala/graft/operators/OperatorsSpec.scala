@@ -407,6 +407,20 @@ class OperatorsSpec extends SparkFunSuite {
     assert(top(0)._3 == 1.0 && math.abs(top(2)._3 - math.sqrt(0.5)) < 1e-12)
   }
 
+  test("bruteForceTopK: a null id cannot split the rank window (ranks stay unique)") {
+    // the warning-suppressing constant partition key must be null-proof:
+    // a bare id·0 maps a NULL id to a NULL key, silently splitting the
+    // window into two partitions and emitting duplicate rank values
+    val e = Seq(
+      (java.lang.Long.valueOf(0L), Seq(1.0f, 0.0f)),
+      (null.asInstanceOf[java.lang.Long], Seq(0.9f, 0.1f)),
+      (java.lang.Long.valueOf(2L), Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      Array(1.0f, 0.0f), 3).select("rank").as[Long].collect().toSeq
+    assert(top.sorted == Seq(1L, 2L, 3L), s"ranks were $top")
+  }
+
   test("ann persisted index: exact-match vector found via its own bucket") {
     val e = (0L until 50L).map(i => (i, Seq.tabulate(8)(d =>
       math.sin(i * 31 + d).toFloat))).toDF("vec_id", "embedding")
