@@ -985,16 +985,21 @@ object SparkEntry {
            |SELECT doc_id, ($simhashBits)::BIGINT AS simhash FROM h""".stripMargin,
 
       // the chunk-banding near-dup join: any pair within Hamming 3 of
-      // the 32-bit fingerprint shares one of four exact 8-bit chunks
+      // the 32-bit fingerprint shares one of four exact 8-bit chunks;
+      // buckets capped at 64 lowest ids (mirrors maxBucketSize)
       "d_simhash_pairs" ->
         s"""WITH base AS (SELECT doc_id, $ToksSql AS toks FROM documents WHERE doc_id < 200),
            |h AS (SELECT doc_id, list_transform(list_distinct(toks), t -> ${polySql("t")}) AS th FROM base),
            |f AS (SELECT doc_id AS id, (${simhashBitsSql(32)})::BIGINT AS fp FROM h),
            |b AS (SELECT id, fp, c.range AS chunk, (fp >> (c.range * 8)) & 255 AS cv
            |      FROM f CROSS JOIN range(0, 4) c),
+           |bc AS (SELECT id, fp, chunk, cv FROM (
+           |  SELECT id, fp, chunk, cv,
+           |   row_number() OVER (PARTITION BY chunk, cv ORDER BY id) AS rn FROM b)
+           | WHERE rn <= 64),
            |p AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
            |       bit_count(xor(a.fp, b2.fp))::BIGINT AS hamming
-           |      FROM b a JOIN b b2 ON a.chunk = b2.chunk AND a.cv = b2.cv AND a.id < b2.id)
+           |      FROM bc a JOIN bc b2 ON a.chunk = b2.chunk AND a.cv = b2.cv AND a.id < b2.id)
            |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3""".stripMargin,
 
       "d_ngram_jaccard" ->
@@ -1014,12 +1019,17 @@ object SparkEntry {
            |WHERE cosine >= 0.25""".stripMargin,
 
       // the SRP-bucketed production near-dup join: buckets reproduced
-      // arithmetically, pairs only within a bucket
+      // arithmetically, pairs only within a bucket, buckets capped at
+      // the 64 lowest ids (mirrors maxBucketSize)
       "d_embedding_neardup_lsh" ->
         s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 300),
            |b AS (SELECT id, v, ${bucketSql("v", 6)} AS bucket FROM e),
+           |bc AS (SELECT id, v, bucket FROM (
+           |  SELECT id, v, bucket,
+           |   row_number() OVER (PARTITION BY bucket ORDER BY id) AS rn FROM b)
+           | WHERE rn <= 64),
            |p AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b, ${cosSql("a.v", "c.v")} AS cosine
-           |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id)
+           |      FROM bc a JOIN bc c ON a.bucket = c.bucket AND a.id < c.id)
            |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= 0.25""".stripMargin,
 
       "sim_bruteforce_topk" ->

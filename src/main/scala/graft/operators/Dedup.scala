@@ -197,18 +197,31 @@ object Dedup {
       simHashText(col(textCol), 64, poly = false).as("simhash"))
 
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHammingDistance: Int = 3): DataFrame =
+                      maxHammingDistance: Int = 3,
+                      maxBucketSize: Int = 64): DataFrame =
     simHashNearDupsFrom(simHash(df, idCol, textCol), bits = 64,
-      nChunks = 4, maxHammingDistance = maxHammingDistance)
+      nChunks = 4, maxHammingDistance = maxHammingDistance,
+      maxBucketSize = maxBucketSize)
 
   /** Chunk-banding near-dup pairs over an existing `(id, simhash)`
     * fingerprint table (Manku et al. WWW'07: fingerprints within
     * Hamming ≤ nChunks − 1 share at least one exact chunk). Split out
     * so the oracle-checkable polynomial fingerprints go through the
     * SAME banding/join construction as the production 64-bit path —
-    * the `d_simhash_pairs` gate entry validates it end-to-end. */
+    * the `d_simhash_pairs` gate entry validates it end-to-end.
+    *
+    * Same single-shuffle shape as [[minHashCandidates]]: banded rows
+    * group on (chunk, chunk_val) and each bucket's pairs are emitted
+    * from ONE id-sorted member list, with `maxBucketSize` capping
+    * pathological buckets (a boilerplate-heavy corpus can share one
+    * hot chunk value across thousands of docs — uncapped, that bucket
+    * emits O(m²) pairs, the exact skew mode AQE caps on joins). The
+    * cap keeps both aggregator memory and pair fan-out bounded;
+    * capped members are the lowest `maxBucketSize` ids (deterministic
+    * at any parallelism). */
   def simHashNearDupsFrom(fp: DataFrame, bits: Int, nChunks: Int,
-                          maxHammingDistance: Int): DataFrame = {
+                          maxHammingDistance: Int,
+                          maxBucketSize: Int = 64): DataFrame = {
     require(bits % nChunks == 0, "nChunks must divide bits")
     val chunkBits = bits / nChunks
     val mask = (1L << chunkBits) - 1
@@ -216,14 +229,21 @@ object Dedup {
       posexplode(array((0 until nChunks).map(c =>
         shiftrightunsigned(col("simhash"), c * chunkBits).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-    val a = banded.select(col("chunk"), col("chunk_val"),
-      col("id").as("id_a"), col("simhash").as("h_a"))
-    val b = banded.select(col("chunk"), col("chunk_val"),
-      col("id").as("id_b"), col("simhash").as("h_b"))
-    a.join(b, Seq("chunk", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+    val w = Window.partitionBy("chunk", "chunk_val").orderBy("id")
+    val capped = banded.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBucketSize).drop("rn")
+    val buckets = capped.groupBy("chunk", "chunk_val")
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("m"))
+      .filter(size(col("m")) >= 2)
+    val pairs = flatten(transform(sequence(lit(0), size(col("m")) - 2), i =>
+      transform(sequence(i + 1, size(col("m")) - 1), j =>
+        struct(
+          col("m")(i).getField("id").as("id_a"),
+          col("m")(j).getField("id").as("id_b"),
+          bit_count(col("m")(i).getField("simhash")
+            .bitwiseXOR(col("m")(j).getField("simhash"))).cast("long").as("hamming")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
       .filter(col("hamming") <= maxHammingDistance)
   }
@@ -241,16 +261,33 @@ object Dedup {
   }
 
   /** Embedding near-dup: cosine ≥ threshold among LSH-bucketed
-    * candidates (random-hyperplane LSH; see Similarity.cosineLsh). */
+    * candidates (random-hyperplane LSH; see Similarity.cosineLsh).
+    * Single-shuffle + capped, exactly like [[simHashNearDupsFrom]]:
+    * a near-dup-heavy corpus can pile thousands of vectors into one
+    * SRP bucket, and uncapped that bucket emits O(m²) pairs;
+    * `maxBucketSize` bounds both the per-bucket member list
+    * (aggregator memory: ≤ cap vectors) and the pair fan-out, keeping
+    * the lowest ids (deterministic at any parallelism). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.95, planes: Int = 16): DataFrame = {
+                        threshold: Double = 0.95, planes: Int = 16,
+                        maxBucketSize: Int = 64): DataFrame = {
     val withKey = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), planes))
-    val a = withKey.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withKey.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+    val w = Window.partitionBy("bucket").orderBy("id")
+    val capped = withKey.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBucketSize).drop("rn")
+    val buckets = capped.groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("m"))
+      .filter(size(col("m")) >= 2)
+    val pairs = flatten(transform(sequence(lit(0), size(col("m")) - 2), i =>
+      transform(sequence(i + 1, size(col("m")) - 1), j =>
+        struct(
+          col("m")(i).getField("id").as("id_a"),
+          col("m")(j).getField("id").as("id_b"),
+          Similarity.cosine(col("m")(i).getField("v"),
+            col("m")(j).getField("v")).as("cosine")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.cosine"))
       .distinct()
       .filter(col("cosine") >= threshold)
   }

@@ -256,6 +256,33 @@ class OperatorsSpec extends SparkFunSuite {
     assert(nd.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
   }
 
+  test("near-dup join buckets are capped: a forced hot bucket emits a bounded pair set") {
+    // 100 identical docs → identical fingerprints → every chunk bucket
+    // holds all 100 members. Capped at 8 the join emits C(8,2) = 28
+    // pairs over the 8 LOWEST ids — not C(100,2) = 4950 — so the
+    // O(m²) in-bucket blowup (and the collect_list aggregator) is
+    // bounded on a boilerplate-heavy corpus.
+    val hot = (0L until 100L).map(i => (i, "identical boilerplate text"))
+      .toDF("id", "text")
+    val fp = Dedup.simHashPoly(hot, "id", "text", bits = 32)
+      .withColumnRenamed("doc_id", "id")
+    val sp = Dedup.simHashNearDupsFrom(fp, bits = 32, nChunks = 4,
+      maxHammingDistance = 3, maxBucketSize = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(sp.length == 28, s"expected 28 capped pairs, got ${sp.length}")
+    assert(sp.forall(p => p._1 < 8 && p._2 < 8)) // lowest ids kept
+
+    // same bound on the SRP embedding join: identical vectors share a
+    // bucket; cap 8 → 28 pairs of the lowest ids, all cosine 1
+    val vecs = (0L until 50L).map(i => (i, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val ep = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.5, planes = 4, maxBucketSize = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(ep.length == 28, s"expected 28 capped pairs, got ${ep.length}")
+    assert(ep.forall(p => p._1 < 8 && p._2 < 8 && math.abs(p._3 - 1.0) < 1e-12))
+  }
+
   test("SimHashExpr: bit-parity with the declarative per-bit fold (16 and 64 bits; null text → 0)") {
     val withNull = docs.select($"doc_id", $"text")
       .unionByName(Seq((9999L, null: String)).toDF("doc_id", "text"))
