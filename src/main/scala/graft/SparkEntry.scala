@@ -375,7 +375,7 @@ object SparkEntry {
   // the gate queries run against the bucket-partitioned tables, so the
   // query-side plan is a partition-pruned scan — SimilarityIndexSpec
   // pins the pruning) ----
-  private val SimCacheVersion = 3 // v3: gate IVF path runs a deterministic k-means iteration
+  private val SimCacheVersion = 4 // v4: gate IVF path trains on a kmeansTrainLimit hash sample (the 100 TB setting)
   private val builtSim = scala.collection.mutable.Set[String]()
 
   private def ensureSimIndex(kind: String, sfDir: String)
@@ -414,14 +414,44 @@ object SparkEntry {
     rankTopK(Similarity.annQuery(s, idx, queryVec(s, dir), 20))
   }
 
-  /** IVF through the REFINED path: one deterministic spherical k-means
-    * iteration, so the gate covers the training step end-to-end (the
-    * oracle recomputes the identical centroids — the recenter fold is
-    * order-fixed on both engines). */
+  /** IVF through the REFINED path AT THE 100 TB SETTING: one
+    * deterministic spherical k-means iteration trained on a
+    * `kmeansTrainLimit` hash-ordered sample (256 < every sf's corpus,
+    * so the sampling genuinely bites), while the final assignment map
+    * still covers the full corpus. The oracle recomputes the identical
+    * centroids — same hash-ordered training sample, same id-ordered
+    * recenter fold — so both the bounded-training path and the
+    * refinement arithmetic are gate-verified end-to-end. */
   private def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val idx = ensureSimIndex("ivf", dir)(out =>
       Similarity.ivfBuild(tbl(s, dir, "embeddings"), "vec_id", "embedding", out,
-        numCentroids = 64, kmeansIters = 1))
+        numCentroids = 64, kmeansIters = 1, kmeansTrainLimit = 256))
+    rankTopK(Similarity.ivfQuery(s, idx, queryVec(s, dir), 20, nprobe = 3))
+  }
+
+  /** The journaled join-based upsert path, gate-verified end-to-end
+    * (the IVF analog of `ft_incremental`): build the persisted index
+    * over a deterministic SUBSET (vec_id % 3 ≠ 0, raw hash-sampled
+    * centroids), then ONE upsert batch that (a) inserts the held-out
+    * third, (b) re-upserts some surviving ids with REVERSED vectors —
+    * same norm, different direction, so rows genuinely MOVE buckets —
+    * and (c) deletes every 7th subset id. The oracle is a fresh
+    * assignment of the FINAL corpus to the SUBSET-build centroids, so
+    * any stale copy, ghost row, missed move, or missed delete
+    * hash-mismatches. */
+  private def simIvfUpsert(s: SparkSession, dir: String): DataFrame = {
+    val idx = ensureSimIndex("ivfup", dir) { out =>
+      val e = tbl(s, dir, "embeddings")
+      val m3 = pmod(col("vec_id"), lit(3)); val m5 = pmod(col("vec_id"), lit(5))
+      val m7 = pmod(col("vec_id"), lit(7))
+      Similarity.ivfBuild(e.filter(m3 =!= 0), "vec_id", "embedding", out,
+        numCentroids = 64, kmeansIters = 0)
+      val upserts = e.filter(m3 === 0).select(col("vec_id"), col("embedding"))
+        .unionByName(e.filter(m3 =!= 0 && m5 === 1 && m7 =!= 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+      val deletes = e.filter(m3 =!= 0 && m7 === 0).select(col("vec_id").as("id"))
+      Similarity.ivfUpsertDF(upserts, "vec_id", "embedding", out, deletes)
+    }
     rankTopK(Similarity.ivfQuery(s, idx, queryVec(s, dir), 20, nprobe = 3))
   }
 
@@ -653,6 +683,7 @@ object SparkEntry {
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_ann_topk" -> (simAnnTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
+    "sim_ivf_upsert" -> (simIvfUpsert _),
     "ta_lang_id" -> (taLangId _),
     "ta_quality" -> (taQuality _),
     "ta_token_counts" -> (taTokenCounts _),
@@ -1038,22 +1069,26 @@ object SparkEntry {
            |SELECT row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank, id, cosine
            |FROM c ORDER BY rank LIMIT 20""".stripMargin,
 
-      // IVF oracle through the REFINED path, mirrored step for step:
-      // fixed-64 hash-ordered sampled centroids (matrix index = rank
-      // by sampled id) → one deterministic spherical k-means iteration
-      // (assign by argmax-cosine with ties → lowest index; recenter on
-      // the id-ORDERED fold of unit-vector components, cast FLOAT —
+      // IVF oracle through the REFINED path at the 100 TB setting,
+      // mirrored step for step: fixed-64 hash-ordered sampled
+      // centroids (matrix index = rank by sampled id) → one
+      // deterministic spherical k-means iteration over the
+      // kmeansTrainLimit = 256 hash-ordered TRAINING SAMPLE (assign by
+      // argmax-cosine with ties → lowest index; recenter on the
+      // id-ORDERED fold of unit-vector components, cast FLOAT —
       // exactly the engine's order-fixed recenter, so the refined
       // centroids are bit-identical) → nprobe nearest refined lists →
-      // exact re-rank
+      // exact re-rank over the FULL corpus
       "sim_ivf_topk" ->
         s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
            |c0 AS (SELECT row_number() OVER (ORDER BY cid ASC) - 1 AS idx, cv FROM (
            |        SELECT vec_id AS cid, embedding AS cv FROM embeddings
            |        ORDER BY (vec_id * 2654435761) % 1000000007 ASC, vec_id ASC LIMIT 64)),
-           |a0 AS (SELECT e.id, e.v,
-           |  (SELECT idx FROM c0 ORDER BY ${cosSql("e.v", "cv")} DESC, idx ASC LIMIT 1) AS b
-           | FROM e),
+           |tr AS (SELECT id, v FROM e
+           |       ORDER BY (id * 2654435761) % 1000000007 ASC, id ASC LIMIT 256),
+           |a0 AS (SELECT tr.id, tr.v,
+           |  (SELECT idx FROM c0 ORDER BY ${cosSql("tr.v", "cv")} DESC, idx ASC LIMIT 1) AS b
+           | FROM tr),
            |ctr AS (SELECT id, b, generate_subscripts(v, 1) AS pos, unnest(v) AS x,
            |         sqrt(${dotSql("v", "v")}) AS nrm FROM a0),
            |sums AS (SELECT b, pos,
@@ -1069,6 +1104,30 @@ object SparkEntry {
            |pr AS (SELECT idx FROM c1, q ORDER BY ${cosSql("cv", "qv")} DESC, idx ASC LIMIT 3),
            |a1 AS (SELECT e.id, e.v,
            |  (SELECT idx FROM c1 ORDER BY ${cosSql("e.v", "cv")} DESC, idx ASC LIMIT 1) AS bucket
+           | FROM e),
+           |cand AS (SELECT id, ${cosSql("v", "qv")} AS cosine
+           |         FROM a1, q WHERE bucket IN (SELECT idx FROM pr))
+           |SELECT row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank, id, cosine
+           |FROM cand ORDER BY rank LIMIT 20""".stripMargin,
+
+      // the journaled upsert path: oracle = fresh assignment of the
+      // FINAL corpus (inserted third + reversed movers − deletions) to
+      // the SUBSET build's raw hash-sampled centroids — stale copies,
+      // ghost rows in emptied buckets, or missed moves hash-mismatch
+      "sim_ivf_upsert" ->
+        s"""WITH init AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+           |             WHERE vec_id % 3 <> 0),
+           |c0 AS (SELECT row_number() OVER (ORDER BY cid ASC) - 1 AS idx, cv FROM (
+           |        SELECT id AS cid, v AS cv FROM init
+           |        ORDER BY (id * 2654435761) % 1000000007 ASC, id ASC LIMIT 64)),
+           |e AS (SELECT vec_id AS id,
+           |       CASE WHEN vec_id % 3 <> 0 AND vec_id % 5 = 1 AND vec_id % 7 <> 0
+           |            THEN list_reverse(embedding) ELSE embedding END AS v
+           |      FROM embeddings WHERE NOT (vec_id % 3 <> 0 AND vec_id % 7 = 0)),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+           |pr AS (SELECT idx FROM c0, q ORDER BY ${cosSql("cv", "qv")} DESC, idx ASC LIMIT 3),
+           |a1 AS (SELECT e.id, e.v,
+           |  (SELECT idx FROM c0 ORDER BY ${cosSql("e.v", "cv")} DESC, idx ASC LIMIT 1) AS bucket
            | FROM e),
            |cand AS (SELECT id, ${cosSql("v", "qv")} AS cosine
            |         FROM a1, q WHERE bucket IN (SELECT idx FROM pr))
