@@ -156,20 +156,30 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("m"))
       .filter(size(col("m")) >= 2)
     // pairs (i < j over the id-sorted member list ⇒ id_a < id_b);
-    // est_jaccard = fraction of matching signature positions
+    // est_jaccard = fraction of matching signature positions, counted
+    // by the fused native kernel (one loop per pair; the declarative
+    // zip_with + filter twin is [[sigEqCountDecl]], parity spec'd) —
+    // the compare runs maxBucketSize²/2 times per hot bucket, the LSH
+    // stage's hottest loop
     val pairs = flatten(transform(sequence(lit(0), size(col("m")) - 2), i =>
       transform(sequence(i + 1, size(col("m")) - 1), j =>
         struct(
           col("m")(i).getField("id").as("id_a"),
           col("m")(j).getField("id").as("id_b"),
-          (size(filter(zip_with(
-            col("m")(i).getField("sig"), col("m")(j).getField("sig"),
-            (x, y) => (x === y).cast("int")), v => v === 1))
+          (graft.functions.SigEqCountExpr(
+            col("m")(i).getField("sig"), col("m")(j).getField("sig"))
             / lit(numHashes.toDouble)).as("est_jaccard")))))
     buckets.select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.est_jaccard"))
       .distinct()
   }
+
+  /** Declarative (pure functions._) twin of the native signature
+    * compare ([[graft.functions.SigEqCountExpr]]), kept only as the
+    * spec'd parity reference: count of positions where both arrays
+    * hold equal non-null values. */
+  def sigEqCountDecl(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => (x === y).cast("int")), v => v === 1))
 
   /** MinHash-LSH near-dup pairs above a similarity threshold. */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,

@@ -342,8 +342,7 @@ object Similarity {
       .unionByName(deletes.select(col(deletes.columns.head).cast("long").as("id")))
       .distinct()
     val old = spark.read.parquet(assignedDir)
-    val oldHomes = old.join(movedIds, Seq("id"), "left_semi")
-      .select("bucket").distinct().as[Long].collect()
+    val oldHomes = upsertOldHomes(old, movedIds).as[Long].collect()
     val newHomes = assigned.select("bucket").distinct().as[Long].collect()
     val touched = (oldHomes ++ newHomes).distinct.toSeq
     val merged = old
@@ -353,6 +352,18 @@ object Similarity {
       .unionByName(assigned.select("id", "v", "bucket"))
     (merged, touched)
   }
+
+  /** Buckets currently holding any moved id — the ONE full-table pass
+    * an upsert pays (it cannot know which buckets a trickle batch's
+    * old copies live in without looking). Column pruning keeps the
+    * scan to the 8-byte `id` column plus the `bucket` partition value
+    * — never the vectors — so the pass is cheap columnar I/O, not a
+    * corpus read; PlanAuditSpec pins the pruned shape. A persisted
+    * (id → bucket) sidecar could drop even this; at that point the
+    * sidecar's own maintenance dominates, so the pruned scan is the
+    * deliberate trade. */
+  private[graft] def upsertOldHomes(old: DataFrame, movedIds: DataFrame): DataFrame =
+    old.join(movedIds, Seq("id"), "left_semi").select("bucket").distinct()
 
   private def upsertJournalPath(dir: String) =
     java.nio.file.Paths.get(dir, "_upsert_journal")

@@ -98,6 +98,10 @@ class PlanAuditSpec extends SparkFunSuite {
     assert("graft_minhash_sig".r.findAllIn(plan).size <= 1, plan.take(2000))
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("SortMergeJoin")) // pairs come from in-bucket lists, not a join
+    // the per-pair signature compare is the fused native kernel, not
+    // an interpreted zip_with + filter (runs maxBucketSize²/2 times
+    // per hot bucket)
+    assert(plan.contains("graft_sig_eq_count"), plan.take(2000))
   }
 
   test("native kernels stay in the production plans (no silent fallback to interpreted HOFs)") {
@@ -124,6 +128,24 @@ class PlanAuditSpec extends SparkFunSuite {
       .contains("graft_srp_bucket"))
     assert(planOf(vecs.select(graft.operators.Similarity.dot(col("v"), col("v"))))
       .contains("graft_dot"))
+  }
+
+  test("upsert old-home discovery reads only (id, bucket) from the index — never the vectors") {
+    val vecs = (0L until 30L).map(i =>
+      (i, (0 until 4).map(d => ((i * 31 + d * 13) % 101 - 50).toFloat / 50f)))
+    val dir = tmpDir("upsert-plan")
+    graft.operators.Similarity.ivfBuild(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, numCentroids = 4)
+    val old = spark.read.parquet(graft.operators.Similarity.ivfAssignedDir(dir))
+    val moved = Seq(1L, 2L, 3L).toDF("id")
+    val plan = planOf(graft.operators.Similarity.upsertOldHomes(old, moved))
+    // the one per-upsert full-table pass: column pruning must reduce
+    // the parquet scan to the 8-byte id column (+ the bucket partition
+    // value) — reading the vector column would turn cheap columnar I/O
+    // into a corpus read on every trickle upsert
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("; ")
+    assert(readSchema.contains("struct<id:bigint>"), readSchema)
+    assert(!readSchema.contains("v:array"), readSchema)
   }
 
   test("ivf probe: partition-pruned scan of the persisted index, no join, heap top-k") {
