@@ -57,8 +57,15 @@ object Main {
           SyntheticTranscripts.generate(spark, seed, nConvs)
       }
       val nSeg = sys.env.get("GRAFT_NSEGMENTS").map(_.toInt)
+      // partition-by-data knob: phase A's sort partitions default to
+      // defaultParallelism, which is CLUSTER-sized — on a fixed-width
+      // local box a 10x corpus means 10x rows per partition. A real
+      // cluster gets this for free (more executors => more default
+      // partitions); here the env var stands in for cluster growth
+      val sortP = sys.env.get("GRAFT_SORT_PARTITIONS").map(_.toInt).getOrElse(0)
       def cfgFor(dir: String) =
-        nSeg.fold(BuildConfig(dir))(n => BuildConfig(dir, nSegments = n, waveSize = n))
+        nSeg.fold(BuildConfig(dir, sortPartitions = sortP))(n =>
+          BuildConfig(dir, nSegments = n, waveSize = n, sortPartitions = sortP))
       val rep = IndexBuilder.build(spark, turns, cfgFor(out))
       println(s"built: nDocs=${rep.nDocs} avgdl=${rep.avgdl} nTerms=${rep.nTerms} " +
         s"segments built=${rep.segmentsBuilt} skipped=${rep.segmentsSkipped} " +

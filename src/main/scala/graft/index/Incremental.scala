@@ -119,7 +119,10 @@ object Incremental {
             }
           }.toDF().withColumn("src_hash",
             xxhash64(col("role"), col("text"), col("tool")))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            // DISK_ONLY like sortAndOffsets' cache: the appended batch
+            // is corpus-sized on an initial-load-via-delta, and the
+            // in-memory columnar builder OOMs on corpus-sized text
+            .persist(StorageLevel.DISK_ONLY)
           // materialize in an ISOLATED job: here the stage is
           // cache-scan → map, so getPartitionId is the sorted-cache
           // partition index the counts pass saw. Evaluated lazily

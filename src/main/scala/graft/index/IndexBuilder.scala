@@ -414,6 +414,16 @@ object IndexBuilder {
    * offset-indexing mapPartitions over `sorted` must likewise run in
    * its own job against the cache — evaluated lazily inside a union it
    * would see UNION-GLOBAL partition ids and misindex the offsets.
+   *
+   * DISK_ONLY, deliberately: this cache is CORPUS-SIZED (the sorted
+   * text), read exactly twice, and at scale it never fits the storage
+   * fraction — MEMORY_AND_DISK routes it through the in-memory
+   * COLUMNAR batch builder, whose per-task stat-gathering over ~KB
+   * strings allocates outside the managed-memory accounting and
+   * OOM-killed the 52.8 M-turn (10×) build at a heap 10× smaller than
+   * the corpus (BASELINE.md round 5). Serialized rows on the
+   * executor-local disk cost one write + two cheap reads and hold at
+   * any corpus:heap ratio.
    */
   private[index] def sortAndOffsets(spark: SparkSession, turns: Dataset[Turn],
                                     p: Int): (Dataset[Turn], Array[Long], Long) = {
@@ -421,7 +431,7 @@ object IndexBuilder {
     val sorted = turns
       .repartitionByRange(p, col("conv_id"), col("turn_idx"))
       .sortWithinPartitions("conv_id", "turn_idx")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.DISK_ONLY)
     val counts = sorted.mapPartitions { it =>
       Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
     }.collect().sortBy(_._1)
