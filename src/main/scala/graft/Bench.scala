@@ -234,7 +234,7 @@ object Bench {
     locally {
       val idxDir = s"$idxRoot/c32"
       val rdr = new IndexReader(s, idxDir)
-      import org.apache.spark.sql.functions.{coalesce, col, length, lit, row_number}
+      import org.apache.spark.sql.functions.{col, length, row_number}
       import org.apache.spark.sql.expressions.Window
       def p95Of(lat: Seq[Double]): Double = {
         val sorted = lat.sorted
@@ -253,14 +253,14 @@ object Bench {
         ((i * 13 + 61) % 100) / 100.0))
       val ranks = fracs.map(rankOf).distinct
       // global df-rank is inherently a one-partition window (bench term
-      // selection, not a serving path); the non-foldable zero partition
-      // key (a plain lit(0) is stripped by EliminateWindowPartitions)
-      // means identical execution but keeps the WindowExec warning out
-      // of the bench log so real unpartitioned-window regressions
-      // stand out
+      // selection, not a serving path); the constant zero partition
+      // key (Similarity.constantZeroKey — non-foldable in both
+      // nullability cases) means identical execution but keeps the
+      // WindowExec warning out of the bench log so real
+      // unpartitioned-window regressions stand out
       val byRank = dictDf
         .withColumn("rn", row_number().over(
-          Window.partitionBy(coalesce(length(col("term")), lit(0)) * lit(0))
+          Window.partitionBy(graft.operators.Similarity.constantZeroKey(length(col("term"))))
             .orderBy(col("df").desc, col("term"))).cast("long"))
         .filter(col("rn").isInCollection(ranks))
         .select("rn", "term").collect()

@@ -393,17 +393,16 @@ object SparkEntry {
     out
   }
 
-  /** Rank the ≤ k probed hits. The constant-zero NON-FOLDABLE
-    * partition key (coalesce(id, 0)·0 — a plain lit(0) is stripped by
-    * Spark 4's EliminateWindowPartitions, and a bare id·0 would map a
-    * NULL id to a NULL key, splitting the window and duplicating
-    * ranks) is semantically the empty spec (all rows in one partition
-    * — they already are: only k rows survive the limit) but keeps
-    * WindowExec's "No Partition Defined" warning out of the logs, so
-    * a REAL unpartitioned-window regression stands out. */
+  /** Rank the ≤ k probed hits. The constant-zero partition key
+    * ([[Similarity.constantZeroKey]]: non-foldable in both
+    * nullability cases, null-proof) is semantically the empty spec
+    * (all rows in one partition — they already are: only k rows
+    * survive the limit) but keeps WindowExec's "No Partition Defined"
+    * warning out of the logs, so a REAL unpartitioned-window
+    * regression stands out. */
   private def rankTopK(df: DataFrame): DataFrame =
     df.withColumn("rank", row_number().over(
-        Window.partitionBy(coalesce(col("id"), lit(0L)) * lit(0L))
+        Window.partitionBy(Similarity.constantZeroKey(col("id")))
           .orderBy(col("cosine").desc, col("id").asc)).cast("long"))
       .select("rank", "id", "cosine")
 

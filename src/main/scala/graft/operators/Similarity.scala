@@ -42,24 +42,34 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** A constant-zero window partition key that is (a) NON-FOLDABLE —
+    * a plain lit(0) is stripped by Spark 4's
+    * EliminateWindowPartitions, and any `x · 0` over a NON-NULLABLE x
+    * is now simplified to a foldable 0 and stripped the same way
+    * (which is why coalesce(x, 0) · 0 does NOT work) — and (b)
+    * null-proof: a bare `x · 0` maps a NULL x to a NULL key, silently
+    * splitting the window in two and duplicating ranks.
+    * `pmod(coalesce(x, 0), 1)` is 0 for every row, survives the
+    * optimizer in both nullability cases, and costs one modulo per
+    * row. Used to silence the false "No Partition Defined" WindowExec
+    * warning on deliberately-single-partition ≤k-row rank windows, so
+    * a REAL whole-table window regression stands out in the logs. */
+  def constantZeroKey(c: Column): Column =
+    pmod(coalesce(c.cast("long"), lit(0L)), lit(1L))
+
   /** Exact brute-force top-k by cosine against one query vector.
     * Returns (rank, id, cosine). Tie-break: cosine desc, id asc. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Array[Float], k: Int): DataFrame = {
     val q = typedLit(query.toSeq)
-    // rank window runs over the ≤ k surviving rows only; the
-    // constant-zero NON-FOLDABLE partition key (coalesce(id, 0)·0 — a
-    // plain lit(0) is stripped by Spark 4's EliminateWindowPartitions,
-    // and a bare id·0 would map a NULL id to a NULL key, silently
-    // splitting the window in two and duplicating ranks) keeps the
-    // false "No Partition Defined" WindowExec warning out of the logs,
-    // so a real whole-table window regression stands out
+    // rank window runs over the ≤ k surviving rows only; see
+    // constantZeroKey for why this exact key shape
     df.select(col(idCol).as("id"), cosine(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(coalesce(col("id"), lit(0L)) * lit(0L))
+          .partitionBy(constantZeroKey(col("id")))
           .orderBy(col("cosine").desc, col("id").asc)))
       .select(col("rank"), col("id"), col("cosine"))
   }
@@ -365,6 +375,14 @@ object Similarity {
   private[graft] def upsertOldHomes(old: DataFrame, movedIds: DataFrame): DataFrame =
     old.join(movedIds, Seq("id"), "left_semi").select("bucket").distinct()
 
+  /** The staged-merge dir name. NOT underscore-prefixed: Spark's file
+    * index treats a leading-underscore READ ROOT as a hidden path and
+    * logs a spurious "All paths were ignored" warning on every staged
+    * read; the dir is transient (dropped in the same commit sequence)
+    * and only ever read explicitly by path, so hidden-file semantics
+    * buy nothing here. */
+  private val UpsertStageDir = "upsert_stage"
+
   private def upsertJournalPath(dir: String) =
     java.nio.file.Paths.get(dir, "_upsert_journal")
 
@@ -378,7 +396,7 @@ object Similarity {
   private def recoverUpsert(spark: SparkSession, dir: String,
                             assignedDir: String): Unit = {
     val journal = upsertJournalPath(dir)
-    val tmp = java.nio.file.Paths.get(dir, "_tmp_upsert")
+    val tmp = java.nio.file.Paths.get(dir, UpsertStageDir)
     graft.store.Manifest.read(journal).foreach { j =>
       if (java.nio.file.Files.exists(tmp.resolve("_SUCCESS"))) {
         applyStagedUpsert(spark, dir, assignedDir,
@@ -399,7 +417,7 @@ object Similarity {
     * the replay marker). Idempotent: safe to replay after any crash. */
   private def applyStagedUpsert(spark: SparkSession, dir: String,
                                 assignedDir: String, emptied: Seq[Long]): Unit = {
-    val tmp = s"$dir/_tmp_upsert"
+    val tmp = s"$dir/$UpsertStageDir"
     val sess = spark.newSession() // isolated conf for the dynamic overwrite
     sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     sess.read.parquet(tmp)
@@ -414,7 +432,7 @@ object Similarity {
       graft.store.Manifest.deleteRecursively(
         java.nio.file.Paths.get(assignedDir, s"bucket=$b"))
     }
-    graft.store.Manifest.deleteRecursively(java.nio.file.Paths.get(dir, "_tmp_upsert"))
+    graft.store.Manifest.deleteRecursively(java.nio.file.Paths.get(dir, UpsertStageDir))
     graft.store.Manifest.deleteRecursively(java.nio.file.Paths.get(dir, "_tmp_upsert_in"))
     java.nio.file.Files.deleteIfExists(upsertJournalPath(dir))
   }
@@ -447,7 +465,7 @@ object Similarity {
       return
     }
 
-    val tmp = s"$dir/_tmp_upsert"
+    val tmp = s"$dir/$UpsertStageDir"
     merged.repartition(col("bucket"))
       .write.mode("overwrite").parquet(tmp)
     val remaining = spark.read.parquet(tmp)

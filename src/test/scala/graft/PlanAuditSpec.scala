@@ -130,6 +130,20 @@ class PlanAuditSpec extends SparkFunSuite {
       .contains("graft_dot"))
   }
 
+  test("constant-zero rank-window key survives the optimizer (warning suppression intact)") {
+    // non-nullable input (spark.range id) — exactly the case where
+    // Spark 4 simplifies `x · 0` to a foldable 0 and
+    // EliminateWindowPartitions strips the key, reverting the window
+    // to unpartitioned and re-spamming the WindowExec warning that
+    // the suppression exists to keep meaningful
+    val vecs = spark.range(0, 30).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => (col("id") + d.cast("long")).cast("float")).as("embedding"))
+    val plan = planOf(graft.operators.Similarity.bruteForceTopK(
+      vecs, "vec_id", "embedding", Array(1f, 0f, 0f, 0f), 5))
+    assert(plan.contains("pmod"), plan.take(2000))
+  }
+
   test("upsert old-home discovery reads only (id, bucket) from the index — never the vectors") {
     val vecs = (0L until 30L).map(i =>
       (i, (0 until 4).map(d => ((i * 31 + d * 13) % 101 - 50).toFloat / 50f)))

@@ -315,7 +315,7 @@ class SimilarityIndexSpec extends SparkFunSuite {
           org.apache.spark.sql.types.StructField("v",
             org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
           org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType))))
-      .write.mode("overwrite").parquet(s"$dir/_tmp_upsert")
+      .write.mode("overwrite").parquet(s"$dir/upsert_stage")
     graft.store.Manifest.writeAtomic(
       java.nio.file.Paths.get(dir, "_upsert_journal"),
       Map("touched" -> victim.toString, "empty" -> victim.toString))
