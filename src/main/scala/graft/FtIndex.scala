@@ -175,6 +175,40 @@ object FtIndex {
     }
   }
 
+  // ---- compaction gate fixture ----
+  // The same base → delta fixture as ensureIncremental, then an
+  // EXPLICIT Incremental.compact folds the overlays into a fresh base
+  // (auto-compaction disabled so overlays are guaranteed present at
+  // the compact). The final staging VIEW must be unchanged, so the
+  // oracle is the same final-corpus BM25 SQL as ft_incremental — a
+  // compact that dropped, duplicated, or ghosted any row
+  // hash-mismatches.
+
+  private val builtCmp = scala.collection.mutable.Set[String]()
+
+  def compactedIndexDir(sfDir: String): String = {
+    val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"/tmp/graft_ftcmp_v$CacheVersion/$name"
+  }
+
+  def ensureCompacted(spark: SparkSession, sfDir: String): String = synchronized {
+    val out = compactedIndexDir(sfDir)
+    val marker = java.nio.file.Paths.get(out, "_cmp_done")
+    if (!builtCmp.contains(out)) {
+      if (!java.nio.file.Files.exists(marker)) {
+        graft.store.Manifest.deleteRecursively(java.nio.file.Paths.get(out))
+        val cfg = BuildConfig(out, nSegments = 8, waveSize = 8,
+          autoCompactFraction = 0)
+        IndexBuilder.build(spark, baseTurns(spark, sfDir), cfg)
+        IndexBuilder.build(spark, docsAsTurns(spark, sfDir), cfg)
+        graft.index.Incremental.compact(spark, out)
+        java.nio.file.Files.createFile(marker)
+      }
+      builtCmp += out
+    }
+    out
+  }
+
   /** Original doc_id parsed back out of the engine conv_id
     * ("doc-%010d" → the zero-padded digits; safe for doc_id 0). */
   def origId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

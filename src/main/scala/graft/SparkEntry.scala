@@ -428,30 +428,50 @@ object SparkEntry {
     rankTopK(Similarity.ivfQuery(s, idx, queryVec(s, dir), 20, nprobe = 3))
   }
 
+  /** Shared upsert gate fixture over the embeddings table:
+    * (initial subset, one upsert batch, deletion set). The batch (a)
+    * inserts the held-out third, (b) re-upserts some surviving ids
+    * with REVERSED vectors — same norm, different direction, so rows
+    * genuinely MOVE buckets — and (c) the deletion set drops every
+    * 7th subset id. Mirrored arithmetically by the upsert oracles. */
+  private def upsertFixture(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val m3 = pmod(col("vec_id"), lit(3)); val m5 = pmod(col("vec_id"), lit(5))
+    val m7 = pmod(col("vec_id"), lit(7))
+    val initial = e.filter(m3 =!= 0)
+    val upserts = e.filter(m3 === 0).select(col("vec_id"), col("embedding"))
+      .unionByName(e.filter(m3 =!= 0 && m5 === 1 && m7 =!= 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+    val deletes = e.filter(m3 =!= 0 && m7 === 0).select(col("vec_id").as("id"))
+    (initial, upserts, deletes)
+  }
+
   /** The journaled join-based upsert path, gate-verified end-to-end
     * (the IVF analog of `ft_incremental`): build the persisted index
-    * over a deterministic SUBSET (vec_id % 3 ≠ 0, raw hash-sampled
-    * centroids), then ONE upsert batch that (a) inserts the held-out
-    * third, (b) re-upserts some surviving ids with REVERSED vectors —
-    * same norm, different direction, so rows genuinely MOVE buckets —
-    * and (c) deletes every 7th subset id. The oracle is a fresh
-    * assignment of the FINAL corpus to the SUBSET-build centroids, so
-    * any stale copy, ghost row, missed move, or missed delete
-    * hash-mismatches. */
+    * over the deterministic SUBSET (raw hash-sampled centroids), then
+    * apply [[upsertFixture]]'s batch. The oracle is a fresh assignment
+    * of the FINAL corpus to the SUBSET-build centroids, so any stale
+    * copy, ghost row, missed move, or missed delete hash-mismatches. */
   private def simIvfUpsert(s: SparkSession, dir: String): DataFrame = {
     val idx = ensureSimIndex("ivfup", dir) { out =>
-      val e = tbl(s, dir, "embeddings")
-      val m3 = pmod(col("vec_id"), lit(3)); val m5 = pmod(col("vec_id"), lit(5))
-      val m7 = pmod(col("vec_id"), lit(7))
-      Similarity.ivfBuild(e.filter(m3 =!= 0), "vec_id", "embedding", out,
+      val (initial, upserts, deletes) = upsertFixture(tbl(s, dir, "embeddings"))
+      Similarity.ivfBuild(initial, "vec_id", "embedding", out,
         numCentroids = 64, kmeansIters = 0)
-      val upserts = e.filter(m3 === 0).select(col("vec_id"), col("embedding"))
-        .unionByName(e.filter(m3 =!= 0 && m5 === 1 && m7 =!= 0)
-          .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
-      val deletes = e.filter(m3 =!= 0 && m7 === 0).select(col("vec_id").as("id"))
       Similarity.ivfUpsertDF(upserts, "vec_id", "embedding", out, deletes)
     }
     rankTopK(Similarity.ivfQuery(s, idx, queryVec(s, dir), 20, nprobe = 3))
+  }
+
+  /** The SAME journaled upsert machinery through the SRP index
+    * (bucket = hyperplane hash instead of nearest centroid): subset
+    * build → [[upsertFixture]] batch → Hamming-1 multi-probe query.
+    * Oracle = fresh SRP assignment of the final corpus. */
+  private def simAnnUpsert(s: SparkSession, dir: String): DataFrame = {
+    val idx = ensureSimIndex("annup", dir) { out =>
+      val (initial, upserts, deletes) = upsertFixture(tbl(s, dir, "embeddings"))
+      Similarity.annBuild(initial, "vec_id", "embedding", out, planes = 6)
+      Similarity.annUpsertDF(upserts, "vec_id", "embedding", out, deletes)
+    }
+    rankTopK(Similarity.annQuery(s, idx, queryVec(s, dir), 20))
   }
 
   private def taLangId(s: SparkSession, dir: String): DataFrame =
@@ -557,6 +577,16 @@ object SparkEntry {
     * documents corpus). */
   private def ftIncremental(s: SparkSession, dir: String): DataFrame = {
     val idx = FtIndex.ensureIncremental(s, dir)
+    bm25Top20DF(s, new graft.query.IndexReader(s, idx), FtQueryInc)
+  }
+
+  /** BM25 over the same delta'd fixture AFTER an explicit staging
+    * compaction (overlays folded into a fresh base): the compact is
+    * content-preserving, so the oracle is the identical final-corpus
+    * SQL — a compact that dropped, duplicated, or ghosted any row
+    * hash-mismatches. */
+  private def ftCompacted(s: SparkSession, dir: String): DataFrame = {
+    val idx = FtIndex.ensureCompacted(s, dir)
     bm25Top20DF(s, new graft.query.IndexReader(s, idx), FtQueryInc)
   }
 
@@ -683,6 +713,7 @@ object SparkEntry {
     "sim_ann_topk" -> (simAnnTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_ivf_upsert" -> (simIvfUpsert _),
+    "sim_ann_upsert" -> (simAnnUpsert _),
     "ta_lang_id" -> (taLangId _),
     "ta_quality" -> (taQuality _),
     "ta_token_counts" -> (taTokenCounts _),
@@ -702,7 +733,8 @@ object SparkEntry {
     "ft_bm25_stop" -> (ftBm25Stop _),
     "ft_bm25_stem" -> (ftBm25Stem _),
     "ft_bm25_mixed" -> (ftBm25Mixed _),
-    "ft_incremental" -> (ftIncremental _)
+    "ft_incremental" -> (ftIncremental _),
+    "ft_compacted" -> (ftCompacted _)
   )
 
   // =====================================================================
@@ -1133,6 +1165,23 @@ object SparkEntry {
            |SELECT row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank, id, cosine
            |FROM cand ORDER BY rank LIMIT 20""".stripMargin,
 
+      // the same journaled upsert machinery through the SRP index:
+      // fresh hyperplane assignment of the final corpus, Hamming-1
+      // multi-probe around the query vector's own bucket
+      "sim_ann_upsert" ->
+        s"""WITH e AS (SELECT vec_id AS id,
+           |       CASE WHEN vec_id % 3 <> 0 AND vec_id % 5 = 1 AND vec_id % 7 <> 0
+           |            THEN list_reverse(embedding) ELSE embedding END AS v
+           |      FROM embeddings WHERE NOT (vec_id % 3 <> 0 AND vec_id % 7 = 0)),
+           |b AS (SELECT id, v, ${bucketSql("v", 6)} AS bucket FROM e),
+           |q AS (SELECT embedding AS qv, ${bucketSql("embedding", 6)} AS qb
+           |      FROM embeddings WHERE vec_id = 7),
+           |pr AS ($annProbes),
+           |c AS (SELECT b.id, ${cosSql("b.v", "q.qv")} AS cosine
+           |      FROM b CROSS JOIN q WHERE b.bucket IN (SELECT pb FROM pr))
+           |SELECT row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank, id, cosine
+           |FROM c ORDER BY rank LIMIT 20""".stripMargin,
+
       "ta_lang_id" ->
         s"""WITH base AS (SELECT doc_id, $ToksSql AS toks FROM documents),
            |h AS (SELECT doc_id, $hitCols FROM base),
@@ -1295,21 +1344,29 @@ object SparkEntry {
 
       // oracle over the FINAL corpus: the incremental index (base →
       // update/delete/append delta) must land exactly here
-      "ft_incremental" ->
-        s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
-           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-           |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
-           |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
-           |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
-           |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftIncTermsIn GROUP BY 1),
-           |scores AS (
-           | SELECT tf.doc_id,
-           |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
-           | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-           | GROUP BY tf.doc_id)
-           |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
-           | doc_id, round(s, 4) AS score
-           |FROM scores ORDER BY rank LIMIT 20""".stripMargin
+      "ft_incremental" -> ftIncrementalSql,
+
+      // compaction is content-preserving: the compacted fixture must
+      // land on the SAME final-corpus oracle as ft_incremental
+      "ft_compacted" -> ftIncrementalSql
     )
+  }
+
+  private lazy val ftIncrementalSql = {
+    val ftIncTermsIn = inList(FtQueryIncTerms)
+    s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+       |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+       |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftIncTermsIn GROUP BY 1),
+       |scores AS (
+       | SELECT tf.doc_id,
+       |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+       | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       | GROUP BY tf.doc_id)
+       |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+       | doc_id, round(s, 4) AS score
+       |FROM scores ORDER BY rank LIMIT 20""".stripMargin
   }
 }
