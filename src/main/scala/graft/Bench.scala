@@ -231,15 +231,32 @@ object Bench {
 
     // ---- query latency + per-operator sweep at the driver's width ----
     val s = session(cpus)
+    queryLatencies(s, s"$idxRoot/c32", corpusDir).foreach(results += _)
+    sweepAndReport(s, sfDir, results, nTurns)
+  }
+
+  /** The query-side latency battery over an EXISTING index: BM25 /
+    * boolean / phrase p95 at serving k=10, batched qps, and the
+    * single-node LocalIndex p95 — shared by the round bench and
+    * [[ScaleQueryBench]] (which points it at indexes of other corpus
+    * sizes, e.g. the 10× scale observation). */
+  /** @param includeLocal load the whole index into THIS process for
+    *   the LocalIndex p95 (the reference's single-node Lucene analog).
+    *   Skip for indexes beyond the per-shard design envelope (~5 M
+    *   docs/shard): a 10× corpus is served by 10 shards of the same
+    *   size, not one 10× LocalIndex. */
+  private[graft] def queryLatencies(s: SparkSession, idxDir: String,
+                                    corpusDir: String,
+                                    includeLocal: Boolean = true): Seq[(String, Double)] = {
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val rdr = new IndexReader(s, idxDir)
+    import org.apache.spark.sql.functions.{col, length, row_number}
+    import org.apache.spark.sql.expressions.Window
+    def p95Of(lat: Seq[Double]): Double = {
+      val sorted = lat.sorted
+      sorted((0.95 * (sorted.length - 1)).round.toInt)
+    }
     locally {
-      val idxDir = s"$idxRoot/c32"
-      val rdr = new IndexReader(s, idxDir)
-      import org.apache.spark.sql.functions.{col, length, row_number}
-      import org.apache.spark.sql.expressions.Window
-      def p95Of(lat: Seq[Double]): Double = {
-        val sorted = lat.sorted
-        sorted((0.95 * (sorted.length - 1)).round.toInt)
-      }
       // query terms at head/mid/tail df ranks, selected WITHOUT a
       // driver-side dictionary collect (a real corpus vocabulary is
       // ~10^8 terms): rank the needed fractions with row_number and
@@ -298,11 +315,18 @@ object Bench {
         phrases.map(p => timed(rdr.searchPhrase(p, 10))._2))
       // single-node serving path (the reference's Lucene analog):
       // index loaded once, WAND in-process — p95 in ms territory
-      val local = graft.query.LocalIndex.load(s, idxDir)
-      queries.foreach(q => local.search(q, 10)) // warm
-      results += "ft_local_p95" -> p95Of(queries.map(q => timed(local.search(q, 10))._2))
+      if (includeLocal) {
+        val local = graft.query.LocalIndex.load(s, idxDir)
+        queries.foreach(q => local.search(q, 10)) // warm
+        results += "ft_local_p95" -> p95Of(queries.map(q => timed(local.search(q, 10))._2))
+      }
     }
+    results.toSeq
+  }
 
+  private def sweepAndReport(s: SparkSession, sfDir: String,
+                             results: scala.collection.mutable.LinkedHashMap[String, Double],
+                             nTurns: Long): Unit = {
     // per-operator sweep: min of two in-process runs, so a host-load
     // spike (or a first-call index build) can't masquerade as a
     // regression — the pairing discipline the scaling numbers already
