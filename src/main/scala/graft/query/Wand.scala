@@ -75,6 +75,12 @@ object Wand extends Serializable {
     def maxRemainingScore: Double =
       if (exhausted) 0.0 else idf * suffixMaxTfn(blockIdx)
 
+    /** Upper bound on tfNorm over this and all later blocks — the
+      * idf-free bound the phrase scorer needs (phrase cursors carry
+      * idf 0; the phrase's single idfSum multiplies a tf bound). */
+    def maxRemainingTfNorm: Double =
+      if (exhausted) 0.0 else suffixMaxTfn(blockIdx)
+
     def currentScore: Double = {
       val tf = decoded.tfs(pos); val dl = decoded.dls(pos)
       idf * BM25.tfNorm(tf, dl, avgdl)
@@ -299,6 +305,24 @@ object Wand extends Serializable {
     }
 
     while (!driver.exhausted) {
+      // block-max early termination (the conjunctive analog of topK's
+      // pivot test): Σ suffix block-max bounds ≥ any remaining
+      // candidate's score, so once the inflated sum cannot beat θ the
+      // rest of the segment cannot change the heap — future docIds
+      // all exceed every heap entry's, so score ties never replace
+      // either. The inflation mirrors topK's (a pure overestimate is
+      // lossless; an underestimate would drop hits). At 10× list
+      // length on fixed cores this is the one score-based skip a
+      // conjunction admits (the docId leapfrog already skips
+      // undecoded blocks structurally).
+      val t = if (heap.size >= k) heap.head.score else initialThreshold
+      if (t != Double.NegativeInfinity) {
+        var ub = 0.0
+        var i = 0
+        while (i < cursors.length) { ub += cursors(i).maxRemainingScore; i += 1 }
+        if (!(ub * (1 + 1e-9) + java.lang.Double.MIN_VALUE > t))
+          return heap.dequeueAll.reverseIterator.toVector
+      }
       val target = driver.docId
       var maxSeen = target
       var allMatch = true
@@ -376,6 +400,24 @@ object Wand extends Serializable {
     val ptrs = new Array[Int](m)
 
     while (!driver.exhausted) {
+      // block-max early termination: the phrase frequency of a doc is
+      // bounded by EVERY term's tf there, so idfSum · min_i(suffix
+      // tfNorm bound_i) bounds any remaining phrase score (tfNorm is
+      // increasing in tf and each cursor's bound already absorbs the
+      // doc-length direction via block_min_dl). Same inflated-bound
+      // convention as topK — overestimates are lossless.
+      val t = if (heap.size >= k) heap.head.score else initialThreshold
+      if (t != Double.NegativeInfinity) {
+        var minTfn = Double.MaxValue
+        var i = 0
+        while (i < cursors.length) {
+          val b = cursors(i).maxRemainingTfNorm
+          if (b < minTfn) minTfn = b
+          i += 1
+        }
+        if (!(idfSum * minTfn * (1 + 1e-9) + java.lang.Double.MIN_VALUE > t))
+          return heap.dequeueAll.reverseIterator.toVector
+      }
       val target = driver.docId
       var maxSeen = target
       var allMatch = true

@@ -97,6 +97,47 @@ class WandParitySpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("conjunctive early termination parity: a declining-score tail cannot displace the top-k") {
+    // tf of both terms is high for the first docs and 1 afterwards,
+    // while dl grows with docId → per-doc scores strictly decline, so
+    // once the heap fills, the suffix block-max bound of the remaining
+    // blocks falls below θ and topKConjunctive must EXIT EARLY (40
+    // blocks here; the exit fires within the first few). Parity with
+    // the exhaustive per-doc computation proves the exit never drops a
+    // qualifying hit; the NOT variant proves the veto path survives it.
+    val n = 5000
+    val ids = Array.tabulate(n)(_.toLong)
+    val tfs = Array.tabulate(n)(i => if (i < 20) 8 else 1)
+    val dls = Array.tabulate(n)(i => 10 + i / 10)
+    val blkA = PostingCodec.encodeTerm("aa", 0, ids, tfs, dls).toIndexedSeq
+    val blkB = PostingCodec.encodeTerm("bb", 0, ids, tfs, dls).toIndexedSeq
+    assert(blkA.length >= 30) // genuinely multi-block (exit has room to fire)
+    val cAvgdl = dls.map(_.toDouble).sum / n
+    val idfs = Map("aa" -> BM25.idf(n, n * 2L), "bb" -> BM25.idf(n, n * 2L))
+    def exhaustive(excl: Long => Boolean): Vector[(Long, Double)] =
+      ids.toVector.filterNot(excl).map { id =>
+        val i = id.toInt
+        val s = idfs("aa") * BM25.tfNorm(tfs(i), dls(i), cAvgdl) +
+          idfs("bb") * BM25.tfNorm(tfs(i), dls(i), cAvgdl)
+        (id, s)
+      }.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = Wand.topKConjunctive(Map("aa" -> blkA, "bb" -> blkB), Map.empty,
+      idfs, cAvgdl, 10, Seq("aa", "bb")).map(h => (h.doc_id, h.score))
+    assert(got == exhaustive(_ => false))
+    // with a NOT term excluding part of the head
+    val notIds = ids.filter(_ % 3 == 0)
+    val blkN = PostingCodec.encodeTerm("nn", 0, notIds,
+      Array.fill(notIds.length)(1), notIds.map(i => dls(i.toInt))).toIndexedSeq
+    val gotNot = Wand.topKConjunctive(Map("aa" -> blkA, "bb" -> blkB),
+      Map("nn" -> blkN), idfs, cAvgdl, 10, Seq("aa", "bb")).map(h => (h.doc_id, h.score))
+    assert(gotNot == exhaustive(_ % 3 == 0))
+    // a θ carried in from another segment that nothing here can beat
+    // must return empty, not hits below the shared threshold
+    val none = Wand.topKConjunctive(Map("aa" -> blkA, "bb" -> blkB), Map.empty,
+      idfs, cAvgdl, 10, Seq("aa", "bb"), initialThreshold = 1e9)
+    assert(none.isEmpty)
+  }
+
   test("ties broken by docId asc (identical docs, identical scores)") {
     // construct a corpus with exact duplicates
     val dup = Vector.tabulate(20)(i => (i.toLong, "alpha beta gamma"))
