@@ -488,6 +488,14 @@ object SparkEntry {
     TextAnalysis.tokenCounts(tbl(s, dir, "documents"), "text")
       .select("doc_id", "ws_tokens", "bpeish_tokens")
 
+  /** Raw ratio doubles, no rounding: both engines divide the same
+    * exact ints, so the doubles are bit-identical (the ta_quality
+    * precedent); cross-engine decimal rounding is the riskier op. */
+  private def taRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(tbl(s, dir, "documents"), "text")
+      .select("doc_id", "dup_token_frac", "top_token_frac",
+        "dup_bigram_frac", "repetition_ok")
+
   private def taFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(tbl(s, dir, "documents"), "text")
       .select("doc_id", "fingerprint")
@@ -718,6 +726,7 @@ object SparkEntry {
     "ta_quality" -> (taQuality _),
     "ta_token_counts" -> (taTokenCounts _),
     "ta_fingerprint" -> (taFingerprint _),
+    "ta_repetition" -> (taRepetition _),
     "ta_rolling_hash" -> (taRollingHash _),
     "p_pipeline" -> (pPipeline _),
     "mm_features" -> (mmFeatures _),
@@ -1208,6 +1217,27 @@ object SparkEntry {
           | len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))::BIGINT AS ws_tokens,
           | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))::BIGINT AS bpeish_tokens
           |FROM documents""".stripMargin,
+
+      // Gopher-style repetition signals: duplicate-token fraction,
+      // dominant-token fraction (max per-token count — the oracle may
+      // rescan per distinct token; the engine uses a sorted run-length
+      // fold, same value), exact positional duplicate-bigram fraction
+      "ta_repetition" ->
+        s"""WITH base AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+           |m AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,
+           |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg
+           | FROM base),
+           |f AS (SELECT doc_id,
+           |  CASE WHEN n > 0 THEN (n - len(list_distinct(toks)))::DOUBLE / n ELSE 0.0 END AS dup_t,
+           |  CASE WHEN n > 0 THEN
+           |   list_max(list_transform(list_distinct(toks), t -> len(list_filter(toks, x -> x = t))))::DOUBLE / n
+           |  ELSE 0.0 END AS top_t,
+           |  CASE WHEN len(bg) > 0 THEN (len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg) ELSE 0.0 END AS dup_b
+           | FROM m)
+           |SELECT doc_id, dup_t AS dup_token_frac, top_t AS top_token_frac,
+           | dup_b AS dup_bigram_frac,
+           | (dup_t <= 0.95 AND top_t <= 0.2 AND dup_b <= 0.9) AS repetition_ok
+           |FROM f""".stripMargin,
 
       "ta_fingerprint" ->
         """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint

@@ -112,6 +112,58 @@ object TextAnalysis {
     df.withColumn("ws_tokens", ws).withColumn("bpeish_tokens", bpeish)
   }
 
+  /** Gopher-style repetition signals (Rae et al. '21, §A1.1 — the
+    * published repetition filters of a training-data pipeline):
+    * duplicate-token fraction, dominant-token fraction, and
+    * duplicate-bigram fraction over the analyzer token array. High
+    * values mark boilerplate and degenerate generations. The dominant
+    * token is found by a sorted run-length FOLD (one pass over the
+    * sorted array — never a per-distinct-token rescan, which is
+    * O(vocab · n) per doc); bigram counting is positional (exact
+    * counts, not the shingle SET the dedup family uses). Thresholds
+    * follow the Gopher shape, tunable per corpus; every formula is
+    * mirrored by the `ta_repetition` DuckDB oracle. */
+  def repetitionSignals(df: DataFrame, textCol: String,
+                        maxDupTokenFrac: Double = 0.95,
+                        maxTopTokenFrac: Double = 0.20,
+                        maxDupBigramFrac: Double = 0.90): DataFrame = {
+    val tmp = "__graft_toks"
+    val toks = col(tmp)
+    val n = size(toks)
+    val dupTok = when(n > 0,
+      (n - size(array_distinct(toks))).cast("double") / n).otherwise(lit(0.0))
+    // dominant-token count: run-length fold over the sorted array
+    val best = aggregate(sort_array(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val topTok = when(n > 0, best.cast("double") / n).otherwise(lit(0.0))
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(1), n - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val tmpB = "__graft_bigrams"
+    val bg = col(tmpB)
+    val nb = size(bg)
+    val dupBi = when(nb > 0,
+      (nb - size(array_distinct(bg))).cast("double") / nb).otherwise(lit(0.0))
+    df.withColumn(tmp, tokensCol(col(textCol)))
+      .withColumn(tmpB, bigrams)
+      .withColumn("dup_token_frac", dupTok)
+      .withColumn("top_token_frac", topTok)
+      .withColumn("dup_bigram_frac", dupBi)
+      .withColumn("repetition_ok",
+        col("dup_token_frac") <= maxDupTokenFrac &&
+          col("top_token_frac") <= maxTopTokenFrac &&
+          col("dup_bigram_frac") <= maxDupBigramFrac)
+      .drop(tmp, tmpB)
+  }
+
   /** Content fingerprint: md5 of the normalized text (lowercased,
     * whitespace collapsed) — the reference's MD5 content-hash change
     * detector generalized (`model/impl/DocumentImpl.java:299-325`,

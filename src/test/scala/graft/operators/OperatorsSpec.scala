@@ -407,6 +407,37 @@ class OperatorsSpec extends SparkFunSuite {
     assert(native(6L).isEmpty)
   }
 
+  test("repetitionSignals: hand-computed fractions; run-length fold equals per-token counting") {
+    val docs = Seq(
+      (1L, "spam spam spam eggs"),      // dup 2/4, top 3/4, bigrams: "spam spam"x2,"spam eggs" → dup 1/3
+      (2L, "a b c d"),                  // all distinct → 0, top 1/4, dup_bi 0
+      (3L, "x x x x x x x x x x"),      // dup 9/10, top 1.0, dup_bi 8/9
+      (4L, "one"),                      // single token: no bigrams → dup_bi 0
+      (5L, "")                          // empty: all 0, ok
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "text")
+      .select("doc_id", "dup_token_frac", "top_token_frac", "dup_bigram_frac", "repetition_ok")
+      .as[(Long, Double, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 0.5, 0.75, 1.0 / 3.0, false)))
+    assert(got(1) == ((2L, 0.0, 0.25, 0.0, false))) // top 0.25 > 0.20 threshold
+    assert(got(2) == ((3L, 0.9, 1.0, 8.0 / 9.0, false)))
+    assert(got(3) == ((4L, 0.0, 1.0, 0.0, false)))
+    assert(got(4) == ((5L, 0.0, 0.0, 0.0, true)))
+    // the sorted run-length fold must equal naive per-distinct-token
+    // max counting on messier inputs
+    val messy = (0L until 50L).map(i =>
+      (i, (0 until (3 + (i % 17)).toInt).map(j => s"w${(i * 7 + j * j) % 5}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fold = TextAnalysis.repetitionSignals(messy, "text")
+      .select("doc_id", "top_token_frac").as[(Long, Double)].collect().toMap
+    val naive = messy.select($"doc_id",
+        (array_max(transform(array_distinct(TextAnalysis.tokensCol($"text")),
+          t => size(filter(TextAnalysis.tokensCol($"text"), x => x === t)))).cast("double") /
+          size(TextAnalysis.tokensCol($"text"))).as("f"))
+      .as[(Long, Double)].collect().toMap
+    assert(fold == naive)
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val df = Seq((1, "A  B\tC"), (2, "a b c")).toDF("id", "text")
     val fps = TextAnalysis.fingerprint(df, "text")
