@@ -361,6 +361,19 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Benchmark decontamination: docs sharing a word 5-gram with the
+    * deterministic "benchmark" subset (doc_id % 7 = 0). The string
+    * (non-hashed) n-gram form so the DuckDB oracle joins the raw
+    * n-grams through the same explode → join → count construction;
+    * the spec pins hashNgrams=true equality. */
+  private def dDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    Dedup.decontaminate(
+      docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+      "doc_id", "text", n = 5, hashNgrams = false)
+  }
+
   private def queryVec(s: SparkSession, dir: String): Array[Float] =
     tbl(s, dir, "embeddings").filter(col("vec_id") === 7)
       .select("embedding").head().getSeq[Float](0).toArray
@@ -495,6 +508,15 @@ object SparkEntry {
     TextAnalysis.repetitionSignals(tbl(s, dir, "documents"), "text")
       .select("doc_id", "dup_token_frac", "top_token_frac",
         "dup_bigram_frac", "repetition_ok")
+
+  /** Pattern scrubbing over the closed synthetic vocabulary (the PII
+    * presets can't hit a corpus with no emails/URLs/digits — the spec
+    * covers those; the gate entry proves the replace+count machinery
+    * on patterns with real hits). */
+  private def taScrub(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scrub(tbl(s, dir, "documents"), "text",
+        pattern = "\\b(customer|key|order)\\b", replacement = "[REDACTED]")
+      .select("doc_id", "scrubbed", "n_redactions")
 
   private def taFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(tbl(s, dir, "documents"), "text")
@@ -681,6 +703,18 @@ object SparkEntry {
       .toDF("query_id", "rank", "doc_id", "score")
   }
 
+  /** Facet counts over a boolean query's FULL match set
+    * ([[graft.query.IndexReader.facetCounts]]): search as a relational
+    * operator — the match set never reaches the driver; it joins the
+    * documents table and aggregates distributed. Engine docIds equal
+    * original doc_ids on this corpus, so the join needs no id
+    * translation. */
+  private def ftFacets(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rdr.facetCounts("batch window", "dup",
+      tbl(s, dir, "documents"), "doc_id", "source")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -717,6 +751,7 @@ object SparkEntry {
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_embedding_neardup" -> (dEmbeddingNeardup _),
     "d_embedding_neardup_lsh" -> (dEmbeddingNeardupLsh _),
+    "d_decontaminate" -> (dDecontaminate _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_ann_topk" -> (simAnnTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
@@ -727,6 +762,7 @@ object SparkEntry {
     "ta_token_counts" -> (taTokenCounts _),
     "ta_fingerprint" -> (taFingerprint _),
     "ta_repetition" -> (taRepetition _),
+    "ta_scrub" -> (taScrub _),
     "ta_rolling_hash" -> (taRollingHash _),
     "p_pipeline" -> (pPipeline _),
     "mm_features" -> (mmFeatures _),
@@ -743,7 +779,8 @@ object SparkEntry {
     "ft_bm25_stem" -> (ftBm25Stem _),
     "ft_bm25_mixed" -> (ftBm25Mixed _),
     "ft_incremental" -> (ftIncremental _),
-    "ft_compacted" -> (ftCompacted _)
+    "ft_compacted" -> (ftCompacted _),
+    "ft_facets" -> (ftFacets _)
   )
 
   // =====================================================================
@@ -1103,6 +1140,21 @@ object SparkEntry {
            |      FROM bc a JOIN bc c ON a.bucket = c.bucket AND a.id < c.id)
            |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= 0.25""".stripMargin,
 
+      // benchmark decontamination: distinct word 5-grams of the
+      // benchmark subset (doc_id % 7 = 0) joined against the rest of
+      // the corpus — per-doc count of shared distinct 5-grams
+      "d_decontaminate" ->
+        s"""WITH base AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct(list_filter(
+           |       list_transform(range(0, greatest(len(toks) - 5, 0) + 1),
+           |         i -> array_to_string(toks[i+1:i+5], ' ')),
+           |       s -> len(s) > 0))) AS ng FROM base),
+           |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 7 = 0),
+           |corp AS (SELECT doc_id, ng FROM g WHERE doc_id % 7 <> 0)
+           |SELECT doc_id, count(*)::BIGINT AS n_contaminated_ngrams
+           |FROM corp WHERE ng IN (SELECT ng FROM bench)
+           |GROUP BY doc_id""".stripMargin,
+
       "sim_bruteforce_topk" ->
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
            |c AS (SELECT vec_id AS id, ${cosSql("embedding", "qv")} AS cosine FROM embeddings, q)
@@ -1238,6 +1290,15 @@ object SparkEntry {
            | dup_b AS dup_bigram_frac,
            | (dup_t <= 0.95 AND top_t <= 0.2 AND dup_b <= 0.9) AS repetition_ok
            |FROM f""".stripMargin,
+
+      // pattern scrubbing: replacement over the raw text + redaction
+      // count over the ORIGINAL text (both engines: non-overlapping
+      // left-to-right matches of a backreference-free pattern)
+      "ta_scrub" ->
+        """SELECT doc_id,
+          | regexp_replace(text, '\b(customer|key|order)\b', '[REDACTED]', 'g') AS scrubbed,
+          | len(regexp_extract_all(text, '\b(customer|key|order)\b'))::BIGINT AS n_redactions
+          |FROM documents""".stripMargin,
 
       "ta_fingerprint" ->
         """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
@@ -1378,7 +1439,19 @@ object SparkEntry {
 
       // compaction is content-preserving: the compacted fixture must
       // land on the SAME final-corpus oracle as ft_incremental
-      "ft_compacted" -> ftIncrementalSql
+      "ft_compacted" -> ftIncrementalSql,
+
+      // facet counts over the FULL boolean match set (must: batch AND
+      // window, not: dup), grouped by source — the match set is
+      // relational (never collected), so the oracle is plain SQL over
+      // the same predicate
+      "ft_facets" ->
+        s"""WITH t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents)
+           |SELECT source, count(*)::BIGINT AS n_docs
+           |FROM t
+           |WHERE list_contains(toks, 'batch') AND list_contains(toks, 'window')
+           |  AND NOT list_contains(toks, 'dup')
+           |GROUP BY source""".stripMargin
     )
   }
 

@@ -258,6 +258,36 @@ object Dedup {
       .filter(col("hamming") <= maxHammingDistance)
   }
 
+  /**
+   * Benchmark decontamination — the n-gram-overlap check public LLM
+   * training pipelines run against evaluation sets (Brown et al. '20
+   * appendix C; the PaLM/Llama variants differ only in n): a corpus
+   * doc is contaminated if it shares any word n-gram with a benchmark
+   * doc. Returns (doc_id, n_contaminated_ngrams) for corpus docs with
+   * ≥1 shared distinct n-gram; clean docs are absent.
+   *
+   * Scale shape: the benchmark side (eval sets, ~10⁵ docs) is tiny
+   * next to a 100 TB corpus, so its distinct n-gram set is BROADCAST —
+   * the corpus side streams map-only through explode →
+   * broadcast-hash-join, and the only shuffle is the per-doc count of
+   * MATCHED rows (vanishingly few). `hashNgrams` stores the broadcast
+   * set as xxhash64 longs (8 B per n-gram instead of the n-word
+   * string, ~10× smaller); the gate entry runs the string form so the
+   * DuckDB oracle joins raw n-grams through the same construction.
+   */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8,
+                    hashNgrams: Boolean = true): DataFrame = {
+    val key: Column => Column = if (hashNgrams) xxhash64(_) else identity
+    val benchNg = bench.select(explode(shingles(col(textCol), n)).as("ng"))
+      .select(key(col("ng")).as("ng")).distinct()
+    val corpusNg = corpus.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("ng"))
+      .select(col("doc_id"), key(col("ng")).as("ng"))
+    corpusNg.join(broadcast(benchNg), Seq("ng"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_ngrams"))
+  }
+
   /** Exact n-gram Jaccard for a candidate pair set (verification stage
     * after LSH): joins shingle sets back in and computes |∩|/|∪|. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,

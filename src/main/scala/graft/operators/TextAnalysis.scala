@@ -164,6 +164,38 @@ object TextAnalysis {
       .drop(tmp, tmpB)
   }
 
+  /** RE2-safe public PII patterns (no backreferences/lookaround, so
+    * they run identically under Java regex, RE2, and SQL engines). */
+  val PiiEmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PiiUrlPattern = "https?://[^\\s]+"
+  val PiiPhonePattern = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+
+  /** Pattern scrubbing — the PII/boilerplate redaction stage of a
+    * training-data pipeline: replace every match of `pattern` with
+    * `replacement` and count the redactions (counted over the ORIGINAL
+    * text, so nested replacements can't double-count). Pure codegen'd
+    * regexp ops; non-overlapping left-to-right match semantics are
+    * identical across Java regex and RE2-family SQL engines for the
+    * backreference-free patterns this stage uses. */
+  def scrub(df: DataFrame, textCol: String, pattern: String,
+            replacement: String = "[REDACTED]",
+            into: String = "scrubbed"): DataFrame =
+    df.withColumn(into, regexp_replace(col(textCol), pattern, replacement))
+      .withColumn("n_redactions",
+        size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).cast("long"))
+
+  /** The standard PII sweep: emails, URLs, phone numbers, scrubbed in
+    * one pass each, redaction counts summed over the original text. */
+  def scrubPii(df: DataFrame, textCol: String,
+               replacement: String = "[REDACTED]",
+               into: String = "scrubbed"): DataFrame = {
+    val pats = Seq(PiiEmailPattern, PiiUrlPattern, PiiPhonePattern)
+    val scrubbed = pats.foldLeft(col(textCol))((c, p) => regexp_replace(c, p, replacement))
+    val n = pats.map(p =>
+      size(regexp_extract_all(col(textCol), lit(p), lit(0))).cast("long")).reduce(_ + _)
+    df.withColumn(into, scrubbed).withColumn("n_redactions", n)
+  }
+
   /** Content fingerprint: md5 of the normalized text (lowercased,
     * whitespace collapsed) — the reference's MD5 content-hash change
     * detector generalized (`model/impl/DocumentImpl.java:299-325`,

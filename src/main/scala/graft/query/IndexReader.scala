@@ -440,6 +440,51 @@ class IndexReader(spark: SparkSession, dir: String,
     mergeDriver(perTask, k)
   }
 
+  /**
+   * The FULL match set of a boolean query as a DataFrame of docIds —
+   * search as a relational operator. No scoring, no top-k heap, and
+   * crucially NO driver collect: per-segment leapfrog intersection
+   * emits matching docIds ([[Wand.matchingDocIds]]) and the result
+   * STAYS distributed, so facet counts, joins against document
+   * metadata, and bulk exports compose as ordinary DataFrame ops
+   * downstream. At 100 TB the match set of a selective conjunction is
+   * exactly what should flow into a shuffle — never the postings, and
+   * never a driver materialization (the top-k paths collect O(k·tasks)
+   * rows; a match SET is unbounded and must not come home).
+   */
+  def matchingDocs(mustQuery: String, notQuery: String = ""): DataFrame = {
+    val must = analyzer.tokenize(mustQuery).distinct.sorted
+    val not = analyzer.tokenize(notQuery).distinct.sorted.filterNot(must.contains)
+    def empty = spark.createDataset(Seq.empty[Long]).toDF("doc_id")
+    if (must.isEmpty || stats.n_docs == 0) return empty
+    if (docFreqs(must).size < must.size) return empty // a must-term is absent
+    val mustSet = must.toSet
+    val allTerms = must ++ not
+    val g = groupSize
+    postings
+      .filter(col("term").isInCollection(allTerms))
+      .as[PostingBlockRow]
+      .groupByKey(_.segment / g)
+      .flatMapGroups { (_, rows) =>
+        Wand.bySegment(rows).iterator.flatMap { case (_, byTerm) =>
+          val (mb, nb) = byTerm.partition { case (t, _) => mustSet.contains(t) }
+          Wand.matchingDocIds(mb, nb, must)
+        }
+      }
+      .toDF("doc_id")
+  }
+
+  /** Facet counts over a boolean query's match set — the Solr/Lucene
+    * faceting shape the reference's search sinks expose: matching docs
+    * grouped by a metadata column. Computed as match-set ⨝ metadata →
+    * count, all distributed: the join shuffles only MATCHED docIds
+    * (8 B rows) and the count is map-side combinable. */
+  def facetCounts(mustQuery: String, notQuery: String,
+                  meta: DataFrame, idCol: String, facetCol: String): DataFrame =
+    matchingDocs(mustQuery, notQuery)
+      .join(meta.select(col(idCol).as("doc_id"), col(facetCol)), Seq("doc_id"))
+      .groupBy(facetCol).agg(count(lit(1)).as("n_docs"))
+
   /** Top-k joined back to (conv_id, turn_idx) via doc_stats. */
   def searchRanked(query: String, k: Int = 10): Seq[RankedTurn] = {
     val hits = search(query, k)

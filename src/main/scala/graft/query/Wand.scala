@@ -355,6 +355,67 @@ object Wand extends Serializable {
   }
 
   /**
+   * The FULL match set of a conjunction over one segment — the
+   * [[topKConjunctive]] leapfrog with no scoring and no heap: every
+   * docId containing all must terms and no not term, emitted in
+   * ascending order. Serves search-as-relational-operator paths
+   * (facet counting, match counting, export joins) where the consumer
+   * is a distributed aggregation, not a top-k collect — scores would
+   * be paid and thrown away, so the cursors carry idf 0 and never
+   * call the tf normalizer.
+   */
+  def matchingDocIds(mustBlocks: Map[String, IndexedSeq[PostingBlockRow]],
+                     notBlocks: Map[String, IndexedSeq[PostingBlockRow]],
+                     mustTerms: Seq[String]): Iterator[Long] = {
+    if (mustTerms.isEmpty) return Iterator.empty
+    val terms = mustTerms.distinct.sorted
+    // conjunction is segment-local (docs live in exactly one segment):
+    // any absent must-term empties this segment's contribution
+    if (!terms.forall(t => mustBlocks.get(t).exists(_.nonEmpty))) return Iterator.empty
+    val cursors = terms.map { t =>
+      new Cursor(t, 0.0, mustBlocks(t).sortBy(_.max_doc_id), 1.0)
+    }.toArray
+    val sizes = terms.map(t => mustBlocks(t).map(_.n_docs.toLong).sum)
+    val driver = cursors(sizes.zipWithIndex.minBy(x => (x._1, x._2))._2)
+    val others = cursors.filterNot(_ eq driver)
+    val nots = notBlocks.toArray.sortBy(_._1).map { case (t, bs) =>
+      new Cursor(t, 0.0, bs.sortBy(_.max_doc_id), 1.0)
+    }
+
+    val out = Vector.newBuilder[Long]
+    var done = false
+    while (!driver.exhausted && !done) {
+      val target = driver.docId
+      var maxSeen = target
+      var allMatch = true
+      var j = 0
+      while (j < others.length && !done) {
+        val c = others(j)
+        c.advance(target)
+        if (c.exhausted) { done = true; allMatch = false }
+        else {
+          if (c.docId != target) { allMatch = false; if (c.docId > maxSeen) maxSeen = c.docId }
+          j += 1
+        }
+      }
+      if (!done) {
+        if (allMatch) {
+          var excluded = false
+          var n = 0
+          while (n < nots.length && !excluded) {
+            nots(n).advance(target)
+            if (!nots(n).exhausted && nots(n).docId == target) excluded = true
+            n += 1
+          }
+          if (!excluded) out += target
+          driver.next()
+        } else driver.advance(maxSeen)
+      }
+    }
+    out.result().iterator
+  }
+
+  /**
    * Exact phrase top-k over one segment, index-only (format v3
    * positions): conjunctive leapfrog over the phrase's distinct terms,
    * then ordered-adjacency counting by position-list intersection —

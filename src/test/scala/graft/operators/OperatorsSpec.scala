@@ -548,6 +548,55 @@ class OperatorsSpec extends SparkFunSuite {
   }
 }
 
+/** Benchmark decontamination + PII scrubbing (training-data ops). */
+class DecontamScrubSpec extends graft.SparkFunSuite {
+  import graft.SparkTestBase.spark.implicits._
+
+  test("decontaminate flags docs sharing a word 5-gram with the benchmark; hash and string forms agree") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words alpha beta gamma delta epsilon tail"), // 1 shared 5-gram
+      (2L, "alpha beta gamma delta epsilon zeta"),             // exact dup: both 5-grams
+      (3L, "totally unrelated text with no overlap at all"),
+      (4L, "short one")                                        // shorter than n: its only (short) shingle ≠ bench's
+    ).toDF("doc_id", "text")
+    val want = Map(1L -> 1L, 2L -> 2L)
+    Seq(true, false).foreach { hashed =>
+      val got = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+          n = 5, hashNgrams = hashed)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"hashNgrams=$hashed")
+    }
+  }
+
+  test("scrub replaces pattern matches and counts over the original text") {
+    val df = Seq((0L, "the fox and the foxes saw a fox"), (1L, "no match"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scrub(df, "text", "\\bfox\\b", "[X]")
+      .select("doc_id", "scrubbed", "n_redactions")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(0L) == (("the [X] and the foxes saw a [X]", 2L))) // \b spares "foxes"
+    assert(got(1L) == (("no match", 0L)))
+  }
+
+  test("scrubPii redacts emails, URLs, and phone numbers with summed counts") {
+    val df = Seq(
+      (0L, "contact alice@example.com or bob.smith@mail.co today"),
+      (1L, "see https://example.com/path?q=1 and http://foo.bar"),
+      (2L, "call +1 (555) 123-4567 now"),
+      (3L, "nothing to redact here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubPii(df, "text")
+      .select("doc_id", "scrubbed", "n_redactions")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(0L)._2 == 2L && !got(0L)._1.contains("@"))
+    assert(got(1L)._2 == 2L && !got(1L)._1.contains("http"))
+    assert(got(2L)._2 == 1L && !got(2L)._1.exists(_.isDigit))
+    assert(got(3L) == (("nothing to redact here", 0L)))
+  }
+}
+
 /** As-of join semantics: latest right row with ts <= left ts per key. */
 class AsOfSpec extends graft.SparkFunSuite {
   import graft.SparkTestBase.spark.implicits._
