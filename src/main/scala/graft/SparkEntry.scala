@@ -534,6 +534,24 @@ object SparkEntry {
       .groupBy("source", "lang_pred").agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Deterministic stratified sampling (data mixing): 50 % of src0 and
+    * src1, 20 % of everything else, by cross-engine id-hash bucket —
+    * the oracle reproduces the polynomial hash arithmetic, so the
+    * sample SET (not just its size) is verified. */
+  private def pSampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(tbl(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.5), defaultFraction = 0.2,
+        crossEngine = true)
+      .select("doc_id", "source")
+
+  /** Sequence packing (concat-and-chunk): per-source shards, ascending
+    * doc_id, ws-token prefix sums cut into 512-token bins. */
+  private def pPack(s: SparkSession, dir: String): DataFrame =
+    Packing.packByBudget(
+        TextAnalysis.tokenCounts(tbl(s, dir, "documents"), "text"),
+        "source", "doc_id", "ws_tokens", budget = 512)
+      .select("doc_id", "source", "tokens_before", "bin", "bin_offset")
+
   // ---------- multimodal / scan extensions ----------
 
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -765,6 +783,8 @@ object SparkEntry {
     "ta_scrub" -> (taScrub _),
     "ta_rolling_hash" -> (taRollingHash _),
     "p_pipeline" -> (pPipeline _),
+    "p_sample_stratified" -> (pSampleStratified _),
+    "p_pack" -> (pPack _),
     "mm_features" -> (mmFeatures _),
     "mm_frame_sample" -> (mmFrameSample _),
     "s_pre_analyze" -> (sPreAnalyze _),
@@ -1319,6 +1339,28 @@ object SparkEntry {
            |b AS (SELECT doc_id, source, h_de, h_en, h_es, h_fr, $bestExpr AS best FROM h)
            |SELECT source, $langCase AS lang_pred, count(*) AS n_docs
            |FROM b GROUP BY 1, 2""".stripMargin,
+
+      // stratified hash sampling: the oracle reproduces the polynomial
+      // id-hash bucket arithmetic, so the sampled SET is verified
+      "p_sample_stratified" ->
+        s"""SELECT doc_id, source FROM documents
+           |WHERE (${polySql("doc_id::VARCHAR")} % 1000) <
+           |  CASE WHEN source IN ('src0', 'src1') THEN 500 ELSE 200 END""".stripMargin,
+
+      // sequence packing: per-source ws-token prefix sums cut into
+      // 512-token bins (bin = where the doc's first token lands)
+      "p_pack" ->
+        """WITH t AS (SELECT doc_id, source,
+          |  len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))::BIGINT AS ws
+          | FROM documents),
+          |c AS (SELECT doc_id, source,
+          |  (sum(ws) OVER (PARTITION BY source ORDER BY doc_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ws)::BIGINT AS tokens_before
+          | FROM t)
+          |SELECT doc_id, source, tokens_before,
+          | (tokens_before // 512)::BIGINT AS bin,
+          | (tokens_before % 512)::BIGINT AS bin_offset
+          |FROM c""".stripMargin,
 
       "mm_features" -> {
         val slotSum = (j: Int) =>

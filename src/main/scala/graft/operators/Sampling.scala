@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling operators for training-data mixing — the
+ * "X% of web, Y% of code" stage of a pretraining pipeline. All
+ * sampling here is HASH-based, never `rand()`: a row's fate depends
+ * only on its id, so samples are reproducible at any parallelism,
+ * stable across reruns/retries (a re-executed task keeps the same
+ * rows — `df.sample` does not guarantee that under task retry), and
+ * auditable by an external engine.
+ *
+ * Scale shape: pure map-side filters — no shuffle, no state; rates
+ * compose with partition pruning and pushdown like any predicate.
+ */
+object Sampling {
+
+  /** Number of hash buckets a fraction is quantized to (1/1000
+    * granularity — the published data-mixing recipes quote rates at
+    * this precision or coarser). */
+  val Buckets = 1000
+
+  /** The row's sampling bucket in [0, [[Buckets]]): production form
+    * xxhash64 (codegen'd); crossEngine form the polynomial hash an
+    * external SQL engine reproduces —
+    * `pmod(polyHash(cast(id as string)), 1000)`. */
+  def bucketOf(id: Column, crossEngine: Boolean): Column = {
+    val h = if (crossEngine) Hashing.polyHash(id.cast("string")) else xxhash64(id)
+    pmod(h, lit(Buckets.toLong))
+  }
+
+  /** Keep a deterministic `fraction` of rows by id-hash bucket. */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double,
+                   crossEngine: Boolean = false): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    df.filter(bucketOf(col(idCol), crossEngine) <
+      lit(math.round(fraction * Buckets)))
+  }
+
+  /** Stratified sampling: per-stratum keep rates (data mixing). Rows
+    * whose stratum is absent from `fractions` keep `defaultFraction`.
+    * The rate lookup is a CASE expression — map-side, broadcast-free
+    * (mixing tables are tens of strata, not data). */
+  def stratified(df: DataFrame, strataCol: String, idCol: String,
+                 fractions: Map[String, Double],
+                 defaultFraction: Double = 0.0,
+                 crossEngine: Boolean = false): DataFrame = {
+    require((defaultFraction +: fractions.values.toSeq)
+      .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0,1]")
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultFraction * Buckets)): Column) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(math.round(f * Buckets))).otherwise(acc)
+    }
+    df.filter(bucketOf(col(idCol), crossEngine) < threshold)
+  }
+}
+
+/**
+ * Sequence packing — the concat-and-chunk step that turns a filtered
+ * corpus into fixed-budget training sequences: documents are laid out
+ * in a deterministic order within each shard and cut into
+ * `budget`-token bins; a document's bin is where its first token
+ * lands. Emitted as (bin, bin_offset) coordinates so the downstream
+ * tokenizer/writer can materialize sequences without re-deriving the
+ * layout.
+ *
+ * Scale shape: one window aggregation partitioned by the SHARD column
+ * (prefix sum per shard) — shards are the unit of parallelism exactly
+ * as in the on-disk layout, so no global ordering and no single-task
+ * window. Never call this with a constant shard column on a large
+ * corpus: that is a single-partition window by construction.
+ */
+object Packing {
+
+  /** Assign each row its bin = floor(tokens_before / budget) and
+    * bin_offset = tokens_before % budget, where tokens_before is the
+    * prefix sum of `tokensCol` over ascending `orderCol` within
+    * `shardCol` (exclusive of the row itself). */
+  def packByBudget(df: DataFrame, shardCol: String, orderCol: String,
+                   tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val before = sum(col(tokensCol)).over(w) - col(tokensCol)
+    df.withColumn("tokens_before", before)
+      .withColumn("bin", floor(col("tokens_before") / budget).cast("long"))
+      .withColumn("bin_offset", pmod(col("tokens_before"), lit(budget)))
+  }
+}

@@ -597,6 +597,54 @@ class DecontamScrubSpec extends graft.SparkFunSuite {
   }
 }
 
+/** Deterministic sampling (data mixing) + sequence packing. */
+class SamplingPackingSpec extends graft.SparkFunSuite {
+  import graft.SparkTestBase.spark.implicits._
+
+  private lazy val rows = (0L until 400L)
+    .map(i => (i, s"src${i % 4}")).toDF("id", "stratum")
+
+  test("sampleByHash: deterministic, monotone in fraction, exact at 0 and 1") {
+    assert(Sampling.sampleByHash(rows, "id", 1.0).count() == 400)
+    assert(Sampling.sampleByHash(rows, "id", 0.0).count() == 0)
+    Seq(true, false).foreach { ce =>
+      val a = Sampling.sampleByHash(rows, "id", 0.3, ce).as[(Long, String)].collect().toSet
+      val b = Sampling.sampleByHash(rows, "id", 0.3, ce).as[(Long, String)].collect().toSet
+      assert(a == b, s"nondeterministic sample (crossEngine=$ce)")
+      val sup = Sampling.sampleByHash(rows, "id", 0.6, ce).as[(Long, String)].collect().toSet
+      assert(a.subsetOf(sup), "larger fraction must be a superset (same hash)")
+      assert(a.size > 40 && a.size < 200, s"0.3 sample wildly off: ${a.size}")
+    }
+  }
+
+  test("stratified: per-stratum rates, zero default drops unlisted strata") {
+    val got = Sampling.stratified(rows, "stratum", "id",
+        Map("src0" -> 1.0, "src1" -> 0.5), defaultFraction = 0.0)
+      .as[(Long, String)].collect()
+    val byStr = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStr.getOrElse("src0", 0) == 100) // rate 1.0 keeps all
+    assert(byStr.getOrElse("src2", 0) == 0 && byStr.getOrElse("src3", 0) == 0)
+    val s1 = byStr.getOrElse("src1", 0)
+    assert(s1 > 20 && s1 < 80, s"src1 at 0.5 wildly off: $s1")
+  }
+
+  test("packByBudget: hand-computed bins/offsets, shards independent") {
+    val df = Seq(
+      ("a", 1L, 3L), ("a", 2L, 2L), ("a", 3L, 4L), // prefix 0,3,5
+      ("b", 1L, 6L), ("b", 2L, 1L)                 // prefix 0,6
+    ).toDF("shard", "ord", "toks")
+    val got = Packing.packByBudget(df, "shard", "ord", "toks", budget = 5L)
+      .select("shard", "ord", "tokens_before", "bin", "bin_offset")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got(("a", 1L)) == ((0L, 0L, 0L)))
+    assert(got(("a", 2L)) == ((3L, 0L, 3L)))
+    assert(got(("a", 3L)) == ((5L, 1L, 0L)))
+    assert(got(("b", 1L)) == ((0L, 0L, 0L))) // shard b restarts at zero
+    assert(got(("b", 2L)) == ((6L, 1L, 1L)))
+  }
+}
+
 /** As-of join semantics: latest right row with ts <= left ts per key. */
 class AsOfSpec extends graft.SparkFunSuite {
   import graft.SparkTestBase.spark.implicits._
