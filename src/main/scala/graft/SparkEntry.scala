@@ -667,6 +667,15 @@ object SparkEntry {
     hitsTop20DF(s, rdr.searchBoolean("batch window", "dup", 1000000))
   }
 
+  /** Minimum-should-match query (the Solr/Lucene `mm` parameter): at
+    * least 2 of the 3 query terms required, scored over the matching
+    * terms only — between the pure disjunction (ft_bm25_topk) and the
+    * full conjunction (ft_bm25_boolean). */
+  private def ftBm25Mm(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    hitsTop20DF(s, rdr.searchMinShouldMatch(FtQuery, 2, 1000000))
+  }
+
   /** Phrase query (ordered adjacency; Lucene PhraseQuery scoring:
     * tf = phrase frequency, idf = Σ term idfs). */
   private def ftBm25Phrase(s: SparkSession, dir: String): DataFrame = {
@@ -794,6 +803,7 @@ object SparkEntry {
     "ft_bm25_topk" -> (ftBm25Topk _),
     "ft_bm25_filtered" -> (ftBm25Filtered _),
     "ft_bm25_boolean" -> (ftBm25Boolean _),
+    "ft_bm25_mm" -> (ftBm25Mm _),
     "ft_bm25_phrase" -> (ftBm25Phrase _),
     "ft_bm25_stop" -> (ftBm25Stop _),
     "ft_bm25_stem" -> (ftBm25Stem _),
@@ -865,6 +875,25 @@ object SparkEntry {
          |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
          | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
          | GROUP BY tf.doc_id)
+         |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+         | doc_id, round(s, 4) AS score
+         |FROM scores ORDER BY rank LIMIT 20""".stripMargin
+
+    // minimum-should-match: docs matching >= 2 of the query's terms,
+    // scored over the matching terms only (the dfs join restricts tf
+    // to query terms, so the HAVING counts matched query terms)
+    val ftMmSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftTermsIn GROUP BY 1),
+         |scores AS (
+         | SELECT tf.doc_id,
+         |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+         | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         | GROUP BY tf.doc_id HAVING count(DISTINCT term) >= 2)
          |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
          | doc_id, round(s, 4) AS score
          |FROM scores ORDER BY rank LIMIT 20""".stripMargin
@@ -1424,6 +1453,7 @@ object SparkEntry {
            |FROM scores ORDER BY rank LIMIT 20""".stripMargin,
 
       "ft_bm25_boolean" -> ftBooleanSql,
+      "ft_bm25_mm" -> ftMmSql,
 
       "ft_bm25_phrase" -> ftPhraseSql,
 

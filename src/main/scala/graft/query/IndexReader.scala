@@ -108,6 +108,49 @@ class IndexReader(spark: SparkSession, dir: String,
   }
 
   /**
+   * Minimum-should-match top-k (the Solr/Lucene `mm` parameter): BM25
+   * over documents containing at least `minMatch` of the query's
+   * terms, scored over the matching terms only — the middle ground
+   * between the pure disjunction ([[search]], mm = 1) and the full
+   * conjunction ([[searchBoolean]], mm = n, whose scores it
+   * reproduces exactly). Same pruned postings scan, per-segment WAND
+   * with the mm-extended pivot rule ([[Wand.topK]] `minMatch`),
+   * θ-shared task merge, driver k-way merge.
+   *
+   * Terms absent from the corpus cannot match and do not count
+   * toward `minMatch` (Lucene semantics); if fewer than `minMatch`
+   * query terms exist in the corpus the result is empty.
+   */
+  def searchMinShouldMatch(query: String, minMatch: Int,
+                           k: Int = 10): Vector[QueryHit] = {
+    val mm = math.max(1, minMatch)
+    val terms = analyzer.tokenize(query).distinct.sorted
+    if (terms.isEmpty || stats.n_docs == 0) return Vector.empty
+    val dfs = docFreqs(terms)
+    if (dfs.size < mm) return Vector.empty
+    val idfs = dfs.map { case (t, df) => t -> BM25.idf(df, stats.n_docs) }
+    val avgdl = stats.avgdl
+    val kk = k
+    val g = groupSize
+
+    val perTask = postings
+      .filter(col("term").isInCollection(terms))
+      .as[PostingBlockRow]
+      .groupByKey(_.segment / g)
+      .flatMapGroups { (_, rows) =>
+        val merger = new Wand.TopKMerger(kk)
+        Wand.bySegment(rows).foreach { case (_, byTerm) =>
+          merger.offerAll(Wand.topK(byTerm, idfs, avgdl, kk,
+            initialThreshold = merger.threshold, minMatch = mm))
+        }
+        merger.result.iterator
+      }
+      .collect()
+
+    mergeDriver(perTask, k)
+  }
+
+  /**
    * Batched top-k: MANY queries against the index in ONE Spark job —
    * the serving-scale path (per-query jobs pay scheduler latency;
    * a batch amortizes the postings scan across queries). One postings

@@ -178,16 +178,29 @@ object Wand extends Serializable {
    * global idf per term.
    * `initialThreshold` lets callers seed θ (e.g. from another segment's
    * results) — scores strictly worse can never surface.
+   *
+   * `minMatch` is Lucene's minimum-should-match: a candidate must
+   * contain at least `minMatch` of the query terms (1 = plain
+   * disjunction). The WAND pivot rule extends losslessly: a doc D
+   * below the docId-sorted cursor at index m−1 appears in fewer than
+   * m posting lists (cursors only move forward, so only cursors at or
+   * below D can contain it), so the pivot is the first index i with
+   * BOTH i ≥ m−1 AND prefix-UB(0..i) > θ — if i > m−1 the UB test
+   * failed at i−1 (≥ m−1), so any doc before the pivot either cannot
+   * reach m matches or cannot beat θ. Both conditions only REMOVE
+   * candidates, so the score bounds stay upper bounds.
    */
   def topK(termBlocks: Map[String, IndexedSeq[PostingBlockRow]],
            idfs: Map[String, Double], avgdl: Double, k: Int,
            initialThreshold: Double = Double.NegativeInfinity,
-           allow: Long => Boolean = null): Vector[QueryHit] = {
+           allow: Long => Boolean = null,
+           minMatch: Int = 1): Vector[QueryHit] = {
     // cursors in ascending term order — fixes summation order
     val cursors = termBlocks.toArray.sortBy(_._1).map { case (t, blocks) =>
       new Cursor(t, idfs.getOrElse(t, 0.0), blocks.sortBy(_.max_doc_id), avgdl)
     }.filterNot(_.exhausted)
-    if (cursors.isEmpty || k <= 0) return Vector.empty
+    val mm = math.max(1, minMatch)
+    if (cursors.length < mm || k <= 0) return Vector.empty
 
     // PriorityQueue dequeues the MAX under its ordering; order by
     // worstFirst reversed so head = worst of the current top-k.
@@ -223,7 +236,8 @@ object Wand extends Serializable {
       var i = 0
       while (i < byDoc.length && pivot < 0) {
         ub += byDoc(i).maxRemainingScore
-        if (ub * (1 + 1e-9) + java.lang.Double.MIN_VALUE > t) pivot = i
+        if (i >= mm - 1 &&
+            ub * (1 + 1e-9) + java.lang.Double.MIN_VALUE > t) pivot = i
         i += 1
       }
       if (pivot < 0 || byDoc(pivot).exhausted) done = true
@@ -238,12 +252,15 @@ object Wand extends Serializable {
           var j = 0
           if (allow == null || allow(pivotDoc)) {
             var s = 0.0
+            var matched = 0
             while (j < cursors.length) {
               val c = cursors(j)
-              if (!c.exhausted && c.docId == pivotDoc) s += c.currentScore
+              if (!c.exhausted && c.docId == pivotDoc) {
+                s += c.currentScore; matched += 1
+              }
               j += 1
             }
-            offer(pivotDoc, s)
+            if (matched >= mm) offer(pivotDoc, s)
           }
           j = 0
           while (j < byDoc.length) {

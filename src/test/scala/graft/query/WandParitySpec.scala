@@ -57,12 +57,13 @@ class WandParitySpec extends AnyFunSuite {
   }
 
   private def wandSearch(segments: Map[Int, Map[String, IndexedSeq[PostingBlockRow]]],
-                         query: String, k: Int): Vector[QueryHit] = {
+                         query: String, k: Int, mm: Int = 1): Vector[QueryHit] = {
     val terms = Tokenizer.tokenize(query).distinct.sorted
     val idfs = terms.map(t => t -> BM25.idf(dfs.getOrElse(t, 0L), nDocs)).toMap
     val perSeg = segments.values.flatMap { byTerm =>
       val tb = byTerm.filter { case (t, _) => terms.contains(t) }
-      if (tb.isEmpty) Vector.empty else Wand.topK(tb, idfs, avgdl, k)
+      if (tb.isEmpty) Vector.empty
+      else Wand.topK(tb, idfs, avgdl, k, minMatch = mm)
     }.toVector
     perSeg.sortBy(h => (-h.score, h.doc_id)).sorted(new Ordering[QueryHit] {
       def compare(a: QueryHit, b: QueryHit): Int =
@@ -87,6 +88,70 @@ class WandParitySpec extends AnyFunSuite {
         assert(got == expect, s"query '$q' ($nSeg segments)")
       }
     }
+  }
+
+  /** Exact minimum-should-match oracle: docs matching ≥ m query terms,
+    * scored over the matching terms in ascending term order (the
+    * engine's summation contract). */
+  private def bruteForceMm(queryTerms: Seq[String], m: Int,
+                           k: Int): Vector[(Long, Double)] = {
+    val terms = queryTerms.distinct.sorted
+    docTfs.iterator.flatMap { case (docId, dl, tfs) =>
+      var s = 0.0
+      var matched = 0
+      terms.foreach { t =>
+        val tf = tfs.getOrElse(t, 0)
+        if (tf > 0) {
+          matched += 1
+          s += BM25.score(tf, dl, dfs.getOrElse(t, 0L), nDocs, avgdl)
+        }
+      }
+      if (matched >= m) Iterator.single((docId, s)) else Iterator.empty
+    }.toVector.sorted(BM25.hitOrdering).take(k)
+  }
+
+  for (nSeg <- Seq(1, 4, 16)) {
+    test(s"minimum-should-match parity vs brute-force oracle ($nSeg segments, k=10)") {
+      val segments = buildSegments(nSeg)
+      val mmQueries = Seq(
+        ("w0 w1 w2 w3", 2), ("w0 w1 w2 w3", 3), ("w1 w2", 2),
+        ("w10 w50 w100", 2), ("w100 w200 w299", 2),
+        ("w250 w251 w252 w253", 3), ("w7 w13 w77 w133", 2),
+        ("w1 w2 w3 w4 w5 w6 w7 w8", 3), ("w1 w2 w3 w4 w5 w6 w7 w8", 5),
+        ("w42 missingterm", 2), // absent term never counts toward mm
+        ("w5 w5 w5", 1)) // duplicate terms collapse before mm applies
+      mmQueries.foreach { case (q, m) =>
+        val terms = Tokenizer.tokenize(q).distinct.sorted
+        val expect = bruteForceMm(terms, m, 10)
+        val got = wandSearch(segments, q, 10, mm = m).map(h => (h.doc_id, h.score))
+        assert(got == expect, s"query '$q' mm=$m ($nSeg segments)")
+      }
+    }
+  }
+
+  test("mm=1 equals plain disjunction; mm=n equals conjunction; mm>n empty") {
+    val segments = buildSegments(4)
+    val q = "w0 w1 w2 w3"
+    val terms = Tokenizer.tokenize(q).distinct.sorted
+    assert(wandSearch(segments, q, 10, mm = 1).map(h => (h.doc_id, h.score)) ==
+      wandSearch(segments, q, 10).map(h => (h.doc_id, h.score)))
+    // mm = n is the full conjunction: bit-identical scores to the
+    // leapfrog scorer (same ascending-term summation order)
+    val idfs = terms.map(t => t -> BM25.idf(dfs.getOrElse(t, 0L), nDocs)).toMap
+    val conj = segments.values.flatMap { byTerm =>
+      val tb = byTerm.filter { case (t, _) => terms.contains(t) }
+      Wand.topKConjunctive(tb, Map.empty, idfs, avgdl, 10, terms)
+    }.toVector.sorted(new Ordering[QueryHit] {
+      def compare(a: QueryHit, b: QueryHit): Int =
+        BM25.hitOrdering.compare((a.doc_id, a.score), (b.doc_id, b.score))
+    }).take(10).map(h => (h.doc_id, h.score))
+    assert(wandSearch(segments, q, 10, mm = 4).map(h => (h.doc_id, h.score)) == conj)
+    assert(conj.nonEmpty)
+    assert(wandSearch(segments, q, 10, mm = 5).isEmpty)
+    // an unbeatable carried-in θ returns empty, never sub-threshold hits
+    val tb = segments(0).filter { case (t, _) => terms.contains(t) }
+    assert(Wand.topK(tb, idfs, avgdl, 10, initialThreshold = 1e9,
+      minMatch = 2).isEmpty)
   }
 
   test("k larger than hit count returns all hits, ranked") {
