@@ -667,6 +667,27 @@ object SparkEntry {
     hitsTop20DF(s, rdr.searchBoolean("batch window", "dup", 1000000))
   }
 
+  /** Prefix (trailing-wildcard) query: 's*' expands against the
+    * dictionary (scan/slow/small/sort/spark/stream in this corpus's
+    * closed vocabulary) and runs through the disjunctive WAND core
+    * with per-term idfs — Lucene PrefixQuery under its
+    * SCORING_BOOLEAN rewrite. */
+  private def ftBm25Prefix(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    hitsTop20DF(s, rdr.searchPrefix("s", 1000000))
+  }
+
+  /** Field collapsing (Solr collapse): the best hit per `source` plus
+    * the group's match count, computed fully distributed over the
+    * FULL scored match set (scoredDocs ⨝ documents → max_by) — the
+    * match set never reaches the driver. Scores rounded BEFORE the
+    * argmax (scoreKey) so engine and oracle pick identically. */
+  private def ftCollapse(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rdr.searchCollapse(FtQuery, tbl(s, dir, "documents"), "doc_id", "source",
+      scoreKey = c => round(c, 4))
+  }
+
   /** Minimum-should-match query (the Solr/Lucene `mm` parameter): at
     * least 2 of the 3 query terms required, scored over the matching
     * terms only — between the pure disjunction (ft_bm25_topk) and the
@@ -705,11 +726,12 @@ object SparkEntry {
 
   /** Mixed-shape batched serving through ONE Spark job
     * ([[graft.query.IndexReader.searchManyMixed]]): a free-text, a
-    * boolean, and a phrase query answered together — the gate entry
-    * for the batching/θ-bookkeeping layer itself (the per-shape
-    * entries cover the kernels). k is oracle-exhaustive; per query the
-    * rounded re-rank keeps the top 20, exactly like the per-shape
-    * entries, and the oracle is their UNION ALL tagged by query_id. */
+    * boolean, a phrase, a minimum-should-match, and a prefix query
+    * answered together — the gate entry for the
+    * batching/θ-bookkeeping layer itself (the per-shape entries cover
+    * the kernels). k is oracle-exhaustive; per query the rounded
+    * re-rank keeps the top 20, exactly like the per-shape entries,
+    * and the oracle is their UNION ALL tagged by query_id. */
   private def ftBm25Mixed(s: SparkSession, dir: String): DataFrame = {
     import graft.query.QuerySpec
     import s.implicits._
@@ -717,7 +739,9 @@ object SparkEntry {
     val batch = Seq(
       "free" -> QuerySpec.Free(FtQuery),
       "bool" -> QuerySpec.Boolean("batch window", "dup"),
-      "phrase" -> QuerySpec.Phrase("batch window"))
+      "phrase" -> QuerySpec.Phrase("batch window"),
+      "mm" -> QuerySpec.MinMatch(FtQuery, 2),
+      "prefix" -> QuerySpec.Prefix("s"))
     rdr.searchManyMixed(batch, 1000000)
       .groupBy(_._1).toSeq.flatMap { case (qid, hits) =>
         hits.map { case (_, _, id, sc) =>
@@ -804,6 +828,8 @@ object SparkEntry {
     "ft_bm25_filtered" -> (ftBm25Filtered _),
     "ft_bm25_boolean" -> (ftBm25Boolean _),
     "ft_bm25_mm" -> (ftBm25Mm _),
+    "ft_bm25_prefix" -> (ftBm25Prefix _),
+    "ft_collapse" -> (ftCollapse _),
     "ft_bm25_phrase" -> (ftBm25Phrase _),
     "ft_bm25_stop" -> (ftBm25Stop _),
     "ft_bm25_stem" -> (ftBm25Stem _),
@@ -897,6 +923,47 @@ object SparkEntry {
          |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
          | doc_id, round(s, 4) AS score
          |FROM scores ORDER BY rank LIMIT 20""".stripMargin
+
+    // prefix query: the dfs CTE restricts to terms LIKE 's%' — the
+    // oracle's analog of the dictionary expansion; everything else is
+    // the plain disjunctive scorer over the expanded terms
+    val ftPrefixSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term LIKE 's%' GROUP BY 1),
+         |scores AS (
+         | SELECT tf.doc_id,
+         |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+         | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         | GROUP BY tf.doc_id)
+         |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+         | doc_id, round(s, 4) AS score
+         |FROM scores ORDER BY rank LIMIT 20""".stripMargin
+
+    // field collapsing: best (rounded score, doc_id asc) hit per
+    // source over the FULL match set, plus the group match count
+    val ftCollapseSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftTermsIn GROUP BY 1),
+         |scores AS (
+         | SELECT tf.doc_id,
+         |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+         | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         | GROUP BY tf.doc_id),
+         |r AS (
+         | SELECT d.source, sc.doc_id, round(sc.s, 4) AS score,
+         |  row_number() OVER (PARTITION BY d.source
+         |    ORDER BY round(sc.s, 4) DESC, sc.doc_id ASC) AS rn,
+         |  count(*) OVER (PARTITION BY d.source) AS n_matches
+         | FROM scores sc JOIN documents d USING (doc_id))
+         |SELECT source, doc_id, score, n_matches FROM r WHERE rn = 1""".stripMargin
 
     // boolean: both must-terms required, the not-term excluding;
     // scores over must terms only
@@ -1454,17 +1521,23 @@ object SparkEntry {
 
       "ft_bm25_boolean" -> ftBooleanSql,
       "ft_bm25_mm" -> ftMmSql,
+      "ft_bm25_prefix" -> ftPrefixSql,
+      "ft_collapse" -> ftCollapseSql,
 
       "ft_bm25_phrase" -> ftPhraseSql,
 
-      // the one-job mixed batch = the three per-shape oracles tagged
+      // the one-job mixed batch = the five per-shape oracles tagged
       // by query_id (searchManyMixed must equal per-shape serving)
       "ft_bm25_mixed" ->
         s"""SELECT 'free' AS query_id, rank, doc_id, score FROM ($ftTopkSql)
            |UNION ALL
            |SELECT 'bool' AS query_id, rank, doc_id, score FROM ($ftBooleanSql)
            |UNION ALL
-           |SELECT 'phrase' AS query_id, rank, doc_id, score FROM ($ftPhraseSql)""".stripMargin,
+           |SELECT 'phrase' AS query_id, rank, doc_id, score FROM ($ftPhraseSql)
+           |UNION ALL
+           |SELECT 'mm' AS query_id, rank, doc_id, score FROM ($ftMmSql)
+           |UNION ALL
+           |SELECT 'prefix' AS query_id, rank, doc_id, score FROM ($ftPrefixSql)""".stripMargin,
 
       // the full text_en-analog chain: v1 → stop filter → Porter stem.
       // dl is the STOP-chain length (stemming is length-preserving);

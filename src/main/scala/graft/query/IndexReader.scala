@@ -82,8 +82,13 @@ class IndexReader(spark: SparkSession, dir: String,
 
   /** The pre-driver-merge collected rows — package-visible so specs
     * can pin the O(k · tasks) collect bound. */
-  private[query] def searchCollect(query: String, k: Int): Array[QueryHit] = {
-    val terms = analyzer.tokenize(query).distinct.sorted
+  private[query] def searchCollect(query: String, k: Int): Array[QueryHit] =
+    searchTermsCollect(analyzer.tokenize(query).distinct.sorted, k)
+
+  /** [[searchCollect]] for an explicit ALREADY-ANALYZED term set — the
+    * shared disjunctive core that prefix/wildcard rewrites feed their
+    * expanded terms into. */
+  private def searchTermsCollect(terms: Seq[String], k: Int): Array[QueryHit] = {
     if (terms.isEmpty || stats.n_docs == 0) return Array.empty
     val dfs = docFreqs(terms)
     if (dfs.isEmpty) return Array.empty
@@ -105,6 +110,32 @@ class IndexReader(spark: SparkSession, dir: String,
         merger.result.iterator
       }
       .collect()
+  }
+
+  /**
+   * Prefix (trailing-wildcard) top-k — Lucene PrefixQuery under its
+   * SCORING_BOOLEAN rewrite: the prefix expands against the dictionary
+   * to its matching terms (a Parquet-pushdown `startsWith` range scan,
+   * never a postings read), and the expansion runs through the shared
+   * disjunctive WAND core with each expanded term keeping its own idf.
+   * The prefix is lowercased but NOT analyzed (Lucene wildcard-term
+   * semantics — stemming a partial term would corrupt it); a trailing
+   * `*` is accepted and stripped. More than `maxExpansions` matching
+   * terms throws rather than silently truncating the match set —
+   * lengthen the prefix or raise the cap.
+   */
+  def searchPrefix(prefix: String, k: Int = 10,
+                   maxExpansions: Int = 1024): Vector[QueryHit] = {
+    val p = prefix.toLowerCase(java.util.Locale.ROOT).stripSuffix("*")
+    require(p.nonEmpty, "empty prefix")
+    if (stats.n_docs == 0) return Vector.empty
+    val expanded = dictionary.filter(col("term").startsWith(p))
+      .select("term").as[String].collect().sorted.toSeq
+    require(expanded.length <= maxExpansions,
+      s"prefix '$p*' expands to ${expanded.length} terms (> $maxExpansions) — " +
+        "use a longer prefix or raise maxExpansions")
+    if (expanded.isEmpty) Vector.empty
+    else mergeDriver(searchTermsCollect(expanded, k), k)
   }
 
   /**
@@ -214,13 +245,16 @@ class IndexReader(spark: SparkSession, dir: String,
   }
 
   /**
-   * Mixed-shape batched serving: free-text, boolean (AND/NOT), and
-   * phrase queries answered together in ONE Spark job — one postings
-   * scan pruned to the union of every query's terms, per-task θ-shared
-   * evaluation per query, driver merge per query. Results are
-   * identical to calling [[search]]/[[searchBoolean]]/[[searchPhrase]]
-   * per query (same summation order, tie-break, and θ semantics —
-   * SearchManyMixedSpec pins the parity).
+   * Mixed-shape batched serving: free-text, boolean (AND/NOT),
+   * phrase, minimum-should-match, and prefix queries answered
+   * together in ONE Spark job — one postings scan pruned to the union
+   * of every query's terms (prefix expansions included, resolved by
+   * ONE batch-wide dictionary scan), per-task θ-shared evaluation per
+   * query, driver merge per query. Results are identical to calling
+   * [[search]]/[[searchBoolean]]/[[searchPhrase]]/
+   * [[searchMinShouldMatch]]/[[searchPrefix]] per query (same
+   * summation order, tie-break, and θ semantics — the SearchManySpec
+   * mixed test pins the parity).
    *
    * @param queries (query_id, spec)
    * @return (query_id, rank, doc_id, score), rank 1..k
@@ -239,19 +273,43 @@ class IndexReader(spark: SparkSession, dir: String,
       s"index at $dir was built with storePositions=false — phrase " +
         "queries need position lists; rebuild with storePositions=true")
     // compile each query driver-side: the terms whose blocks it needs
-    // plus its scoring constants (idfs / idf sum)
+    // plus its scoring constants (idfs / idf sum). Prefix queries
+    // expand FIRST — one dictionary scan for the whole batch (the OR
+    // of every prefix's startsWith, still Parquet-pushable), terms
+    // assigned back per prefix driver-side — so the expansions join
+    // allTerms before dfs are fetched; mm and prefix then both compile
+    // to the disjunctive shape (a prefix is a disjunction of its
+    // expanded terms with per-term idfs, mm a disjunction evaluated at
+    // minMatch).
     sealed trait C extends Serializable { def id: String }
     case class CFree(id: String, terms: Seq[String],
-                     idfs: Map[String, Double]) extends C
+                     idfs: Map[String, Double], mm: Int = 1) extends C
     case class CBool(id: String, must: Seq[String], not: Seq[String],
                      idfs: Map[String, Double]) extends C
     case class CPhrase(id: String, seq: IndexedSeq[String],
                        idfSum: Double) extends C
 
+    val prefixes = queries.collect {
+      case (_, QuerySpec.Prefix(p, _)) =>
+        p.toLowerCase(java.util.Locale.ROOT).stripSuffix("*")
+    }.distinct.filter(_.nonEmpty)
+    val expansions: Map[String, Seq[String]] =
+      if (prefixes.isEmpty) Map.empty
+      else {
+        val matched = dictionary
+          .filter(prefixes.map(p => col("term").startsWith(p)).reduce(_ || _))
+          .select("term").as[String].collect().sorted.toSeq
+        prefixes.map(p => p -> matched.filter(_.startsWith(p))).toMap
+      }
+
     val allTerms = queries.flatMap { case (_, q) => q match {
       case QuerySpec.Free(t) => analyzer.tokenize(t)
       case QuerySpec.Boolean(m, n) => analyzer.tokenize(m) ++ analyzer.tokenize(n)
       case QuerySpec.Phrase(t) => analyzer.tokenize(t)
+      case QuerySpec.MinMatch(t, _) => analyzer.tokenize(t)
+      case QuerySpec.Prefix(p, _) =>
+        expansions.getOrElse(
+          p.toLowerCase(java.util.Locale.ROOT).stripSuffix("*"), Nil)
     }}.distinct.sorted
     if (allTerms.isEmpty) return Seq.empty
     val dfs = docFreqs(allTerms)
@@ -263,6 +321,17 @@ class IndexReader(spark: SparkSession, dir: String,
         val terms = analyzer.tokenize(t).distinct.sorted
         val idfs = idfOf(terms)
         if (idfs.isEmpty) None else Some(CFree(id, terms, idfs))
+      case QuerySpec.MinMatch(t, m) =>
+        val mm = math.max(1, m)
+        val terms = analyzer.tokenize(t).distinct.sorted
+        val idfs = idfOf(terms)
+        if (idfs.size < mm) None else Some(CFree(id, terms, idfs, mm))
+      case QuerySpec.Prefix(p, maxExp) =>
+        val terms = expansions.getOrElse(
+          p.toLowerCase(java.util.Locale.ROOT).stripSuffix("*"), Nil)
+        require(terms.length <= maxExp,
+          s"prefix '$p' expands to ${terms.length} terms (> $maxExp)")
+        if (terms.isEmpty) None else Some(CFree(id, terms, idfOf(terms)))
       case QuerySpec.Boolean(m, n) =>
         val must = analyzer.tokenize(m).distinct.sorted
         val not = analyzer.tokenize(n).distinct.sorted.filterNot(must.contains)
@@ -294,12 +363,12 @@ class IndexReader(spark: SparkSession, dir: String,
             def m(id: String) = mergers.getOrElseUpdate(id, new Wand.TopKMerger(kk))
             Wand.bySegment(rows).foreach { case (_, byTerm) =>
               qB.value.foreach {
-                case CFree(id, terms, idfs) =>
+                case CFree(id, terms, idfs, minM) =>
                   val qb = terms.iterator.flatMap(t => byTerm.get(t).map(t -> _)).toMap
                   if (qb.nonEmpty) {
                     val mm = m(id)
                     mm.offerAll(Wand.topK(qb, idfs, avgdl, kk,
-                      initialThreshold = mm.threshold))
+                      initialThreshold = mm.threshold, minMatch = minM))
                   }
                 case CBool(id, must, not, idfs) =>
                   val mb = must.iterator.flatMap(t => byTerm.get(t).map(t -> _)).toMap
@@ -517,6 +586,66 @@ class IndexReader(spark: SparkSession, dir: String,
       .toDF("doc_id")
   }
 
+  /**
+   * The FULL scored match set of a disjunctive (optionally
+   * minimum-should-match) query as a DataFrame of (doc_id, score) —
+   * the scored sibling of [[matchingDocs]]. No top-k heap and NO
+   * driver collect: per-segment cursor merges emit every matching
+   * doc's full BM25 score ([[Wand.scoredDocIds]], bit-equal to the
+   * top-k scores) and the result stays distributed, so collapsing,
+   * score-thresholded exports, and metadata joins compose as ordinary
+   * DataFrame ops. At 100 TB this is what must flow into a shuffle —
+   * never the postings, never a driver materialization.
+   */
+  def scoredDocs(query: String, minMatch: Int = 1): DataFrame = {
+    val mm = math.max(1, minMatch)
+    val terms = analyzer.tokenize(query).distinct.sorted
+    def empty = spark.createDataset(Seq.empty[(Long, Double)]).toDF("doc_id", "score")
+    if (terms.isEmpty || stats.n_docs == 0) return empty
+    val dfs = docFreqs(terms)
+    if (dfs.size < mm || dfs.isEmpty) return empty
+    val idfs = dfs.map { case (t, df) => t -> BM25.idf(df, stats.n_docs) }
+    val avgdl = stats.avgdl
+    val g = groupSize
+    postings
+      .filter(col("term").isInCollection(terms))
+      .as[PostingBlockRow]
+      .groupByKey(_.segment / g)
+      .flatMapGroups { (_, rows) =>
+        Wand.bySegment(rows).iterator.flatMap { case (_, byTerm) =>
+          Wand.scoredDocIds(byTerm, idfs, avgdl, mm)
+        }
+      }
+      .toDF("doc_id", "score")
+  }
+
+  /**
+   * Field collapsing (Solr collapse / Lucene grouping): one best-
+   * scoring document per group of a metadata column, with the group's
+   * match count — `scoredDocs ⨝ metadata → per-group argmax`, all
+   * distributed (the shuffle carries matched (docId, score) pairs and
+   * the argmax is a map-side-combinable max_by; group cardinality,
+   * not corpus size, reaches the driver only if the caller collects).
+   * Ties break (score desc, docId asc) via the max_by ordering key.
+   * `scoreKey` optionally transforms the score BEFORE the argmax
+   * (e.g. rounding, quantized relevance tiers) — the reported score
+   * is the transformed one, so selection and output stay consistent.
+   */
+  def searchCollapse(query: String, meta: DataFrame, idCol: String,
+                     groupCol: String, minMatch: Int = 1,
+                     scoreKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+                       = identity): DataFrame =
+    scoredDocs(query, minMatch)
+      .withColumn("score", scoreKey(col("score")))
+      .join(meta.select(col(idCol).cast("long").as("doc_id"), col(groupCol)),
+        Seq("doc_id"))
+      .groupBy(groupCol)
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("score"), lit(0L) - col("doc_id"))).as("doc_id"),
+        max(col("score")).as("score"),
+        count(lit(1)).as("n_matches"))
+
   /** Facet counts over a boolean query's match set — the Solr/Lucene
     * faceting shape the reference's search sinks expose: matching docs
     * grouped by a metadata column. Computed as match-set ⨝ metadata →
@@ -580,4 +709,10 @@ object QuerySpec {
   case class Boolean(must: String, not: String = "") extends QuerySpec
   /** Ordered-adjacency phrase (Lucene PhraseQuery scoring). */
   case class Phrase(text: String) extends QuerySpec
+  /** At least `m` of the query's terms required (Solr/Lucene `mm` —
+    * the [[IndexReader.searchMinShouldMatch]] shape). */
+  case class MinMatch(text: String, m: Int) extends QuerySpec
+  /** Trailing-wildcard prefix, dictionary-expanded (the
+    * [[IndexReader.searchPrefix]] shape). */
+  case class Prefix(prefix: String, maxExpansions: Int = 1024) extends QuerySpec
 }

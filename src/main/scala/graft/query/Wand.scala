@@ -433,6 +433,56 @@ object Wand extends Serializable {
   }
 
   /**
+   * EVERY matching doc's full disjunctive BM25 score over one segment
+   * — the scored sibling of [[matchingDocIds]]: no heap, no pivot, no
+   * θ; a plain k-way cursor merge emitting (docId, score) in ascending
+   * docId order, scores accumulated in ascending term order (the
+   * [[topK]] summation contract, so a doc's score here is bit-equal to
+   * its top-k score). Serves search-as-relational-operator paths that
+   * need scores — field collapsing / grouping, score-weighted exports
+   * — where the consumer is a distributed aggregation, not a top-k
+   * collect. `minMatch` filters to docs matching ≥ m query terms.
+   */
+  def scoredDocIds(termBlocks: Map[String, IndexedSeq[PostingBlockRow]],
+                   idfs: Map[String, Double], avgdl: Double,
+                   minMatch: Int = 1): Iterator[(Long, Double)] = {
+    val cursors = termBlocks.toArray.sortBy(_._1).map { case (t, blocks) =>
+      new Cursor(t, idfs.getOrElse(t, 0.0), blocks.sortBy(_.max_doc_id), avgdl)
+    }.filterNot(_.exhausted)
+    val mm = math.max(1, minMatch)
+    if (cursors.length < mm) return Iterator.empty
+    val out = Vector.newBuilder[(Long, Double)] // bounded by segment size
+    var live = true
+    while (live) {
+      var min = Long.MaxValue
+      var i = 0
+      while (i < cursors.length) {
+        val d = cursors(i).docId
+        if (d < min) min = d
+        i += 1
+      }
+      if (min == Long.MaxValue) live = false
+      else {
+        var s = 0.0
+        var matched = 0
+        i = 0
+        while (i < cursors.length) { // ascending term order
+          val c = cursors(i)
+          if (c.docId == min) { s += c.currentScore; matched += 1 }
+          i += 1
+        }
+        if (matched >= mm) out += ((min, s))
+        i = 0
+        while (i < cursors.length) {
+          if (cursors(i).docId == min) cursors(i).next()
+          i += 1
+        }
+      }
+    }
+    out.result().iterator
+  }
+
+  /**
    * Exact phrase top-k over one segment, index-only (format v3
    * positions): conjunctive leapfrog over the phrase's distinct terms,
    * then ordered-adjacency counting by position-list intersection —

@@ -45,6 +45,90 @@ class FacetSpec extends SparkFunSuite {
       rdr.searchBoolean("user la", "bash", 1000000).size)
   }
 
+  test("scoredDocs: full scored match set, bit-equal to brute-force; minMatch filters") {
+    val (rdr, corpus) = fixture("idx-scored")
+    val docTfs = corpus.zipWithIndex.map { case (t, i) =>
+      (i.toLong, graft.analysis.Tokenizer.docLength(t.text),
+        graft.analysis.Tokenizer.termFreqs(t.text))
+    }
+    val nDocs = corpus.length.toLong
+    val avgdl = docTfs.map(_._2).sum.toDouble / nDocs
+    val dfs = docTfs.flatMap(_._3.keys).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val q = "user la ma"
+    val terms = graft.analysis.Tokenizer.tokenize(q).distinct.sorted
+    // brute force with k = everything IS the full scored match set
+    val want = BM25.bruteForceTopK(terms, docTfs, dfs, nDocs, avgdl,
+      Int.MaxValue).toMap
+    val got = rdr.scoredDocs(q).as[(Long, Double)].collect().toMap
+    assert(got == want) // bit-equal doubles (same summation order)
+    assert(got.size > 10)
+    // minMatch keeps only docs matching >= m of the terms
+    val tokSets = corpus.map(t => graft.analysis.Tokenizer.termFreqs(t.text).keySet)
+    val wantMm = want.filter { case (id, _) =>
+      terms.count(tokSets(id.toInt)) >= 2
+    }
+    assert(rdr.scoredDocs(q, minMatch = 2).as[(Long, Double)]
+      .collect().toMap == wantMm)
+    assert(wantMm.nonEmpty && wantMm.size < want.size)
+    assert(rdr.scoredDocs("nosuchterm").collect().isEmpty)
+  }
+
+  test("searchCollapse: per-group argmax over the scored match set") {
+    val (rdr, corpus) = fixture("idx-collapse")
+    val docTfs = corpus.zipWithIndex.map { case (t, i) =>
+      (i.toLong, graft.analysis.Tokenizer.docLength(t.text),
+        graft.analysis.Tokenizer.termFreqs(t.text))
+    }
+    val nDocs = corpus.length.toLong
+    val avgdl = docTfs.map(_._2).sum.toDouble / nDocs
+    val dfs = docTfs.flatMap(_._3.keys).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val q = "user la"
+    val terms = graft.analysis.Tokenizer.tokenize(q).distinct.sorted
+    val scored = BM25.bruteForceTopK(terms, docTfs, dfs, nDocs, avgdl, Int.MaxValue)
+    val want = scored.groupBy { case (id, _) => corpus(id.toInt).role }
+      .map { case (role, hits) =>
+        val best = hits.minBy { case (id, s) => (-s, id) }
+        role -> ((best._1, best._2, hits.size.toLong))
+      }
+    val meta = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t.role) }.toSeq.toDF("doc_id", "role")
+    val got = rdr.searchCollapse(q, meta, "doc_id", "role")
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == want)
+    assert(got.size > 1)
+  }
+
+  test("searchPrefix: dictionary expansion == brute-force over expanded terms") {
+    val (rdr, corpus) = fixture("idx-prefix")
+    val docTfs = corpus.zipWithIndex.map { case (t, i) =>
+      (i.toLong, graft.analysis.Tokenizer.docLength(t.text),
+        graft.analysis.Tokenizer.termFreqs(t.text))
+    }
+    val nDocs = corpus.length.toLong
+    val avgdl = docTfs.map(_._2).sum.toDouble / nDocs
+    val dfs = docTfs.flatMap(_._3.keys).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    Seq("la", "ka", "b").foreach { p =>
+      val expanded = dfs.keys.filter(_.startsWith(p)).toSeq.sorted
+      assert(expanded.size > 1, s"degenerate prefix '$p'")
+      val want = BM25.bruteForceTopK(expanded, docTfs, dfs, nDocs, avgdl, 10)
+      val got = rdr.searchPrefix(p, 10).map(h => (h.doc_id, h.score))
+      assert(got == want, s"prefix '$p'")
+      // trailing * and uppercase are accepted
+      assert(rdr.searchPrefix(p.toUpperCase + "*", 10)
+        .map(h => (h.doc_id, h.score)) == want)
+    }
+    // single-expansion prefix degenerates to the plain term query
+    assert(rdr.searchPrefix("use", 10).map(h => (h.doc_id, h.score)) ==
+      rdr.search("user", 10).map(h => (h.doc_id, h.score)))
+    assert(rdr.searchPrefix("zzzzqqq", 10).isEmpty)
+    intercept[IllegalArgumentException] { rdr.searchPrefix("la", 10, maxExpansions = 1) }
+    intercept[IllegalArgumentException] { rdr.searchPrefix("*", 10) }
+  }
+
   test("facetCounts == groupBy over the brute-force match set") {
     val (rdr, corpus) = fixture("idx-facet-counts")
     val tokSets = corpus.map(t => graft.analysis.Tokenizer.termFreqs(t.text).keySet)

@@ -41,7 +41,13 @@ class SearchManySpec extends SparkFunSuite {
       "p1" -> QuerySpec.Phrase("assistant search"),
       "p2" -> QuerySpec.Phrase("user"), // 1-term phrase = term query
       "x0" -> QuerySpec.Free("nosuchtermanywhere"),
-      "x1" -> QuerySpec.Boolean("user nosuchtermanywhere", ""))
+      "x1" -> QuerySpec.Boolean("user nosuchtermanywhere", ""),
+      "m0" -> QuerySpec.MinMatch("user la ma", 2),
+      "m1" -> QuerySpec.MinMatch("la ma na ra", 3),
+      "w0" -> QuerySpec.Prefix("la"),
+      "w1" -> QuerySpec.Prefix("KA*"), // case + trailing-* forms
+      "x2" -> QuerySpec.MinMatch("user nosuchtermanywhere", 2),
+      "x3" -> QuerySpec.Prefix("zzzzqqq"))
     val got = rdr.searchManyMixed(specs, 10)
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4))).toMap
     def hits(v: Vector[graft.model.QueryHit]) = v.map(h => (h.doc_id, h.score))
@@ -53,7 +59,15 @@ class SearchManySpec extends SparkFunSuite {
     assert(got.getOrElse("p1", Nil) == hits(rdr.searchPhrase("assistant search", 10)))
     assert(got.getOrElse("p2", Nil) == hits(rdr.searchPhrase("user", 10)))
     assert(got.getOrElse("x0", Nil).isEmpty && got.getOrElse("x1", Nil).isEmpty)
-    assert(got("b0").nonEmpty && got("b1").nonEmpty && got("p0").nonEmpty) // non-trivial shapes actually hit
+    assert(got.getOrElse("m0", Nil) == hits(rdr.searchMinShouldMatch("user la ma", 2, 10)))
+    assert(got.getOrElse("m1", Nil) == hits(rdr.searchMinShouldMatch("la ma na ra", 3, 10)))
+    assert(got.getOrElse("w0", Nil) == hits(rdr.searchPrefix("la", 10)))
+    assert(got.getOrElse("w1", Nil) == hits(rdr.searchPrefix("ka", 10)))
+    // absent term → mm unreachable; unmatched prefix → no expansion
+    assert(got.getOrElse("x2", Nil).isEmpty && got.getOrElse("x3", Nil).isEmpty)
+    assert(got("b0").nonEmpty && got("b1").nonEmpty && got("p0").nonEmpty &&
+      got("m0").nonEmpty && got("m1").nonEmpty && got("w0").nonEmpty &&
+      got("w1").nonEmpty) // non-trivial shapes actually hit
   }
 
   test("a positions-free index serves a batch whose only phrases are 1-term (no false needPos)") {
