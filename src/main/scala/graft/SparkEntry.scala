@@ -688,6 +688,28 @@ object SparkEntry {
       scoreKey = c => round(c, 4))
   }
 
+  /** More-like-this (the Lucene/Solr MLT component): the 5 most
+    * interesting terms of seed doc 0 (highest tf·idf within the seed,
+    * selection score rounded to 4 decimals so both engines cut
+    * identically) run through the disjunctive scorer, seed excluded.
+    * The cap BINDS here (the seed holds 17-18 distinct terms), so the
+    * entry proves selection, not just the downstream search. */
+  private def ftMoreLikeThis(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    hitsTop20DF(s, rdr.moreLikeThis(0L, 1000000, maxQueryTerms = 5))
+  }
+
+  /** Fuzzy query (Lucene FuzzyQuery): 'spork'~2 expands against the
+    * dictionary by banded Levenshtein scan ({sort, spark} in this
+    * corpus's closed vocabulary — distances 2 and 1) and runs through
+    * the disjunctive WAND core with per-term idfs. Spark and DuckDB
+    * share the same unit-cost levenshtein, so the oracle reproduces
+    * the expansion with `levenshtein(term, 'spork') <= 2`. */
+  private def ftBm25Fuzzy(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    hitsTop20DF(s, rdr.searchFuzzy("spork", 2, 1000000))
+  }
+
   /** Minimum-should-match query (the Solr/Lucene `mm` parameter): at
     * least 2 of the 3 query terms required, scored over the matching
     * terms only — between the pure disjunction (ft_bm25_topk) and the
@@ -726,8 +748,8 @@ object SparkEntry {
 
   /** Mixed-shape batched serving through ONE Spark job
     * ([[graft.query.IndexReader.searchManyMixed]]): a free-text, a
-    * boolean, a phrase, a minimum-should-match, and a prefix query
-    * answered together — the gate entry for the
+    * boolean, a phrase, a minimum-should-match, a prefix, and a
+    * fuzzy query answered together — the gate entry for the
     * batching/θ-bookkeeping layer itself (the per-shape entries cover
     * the kernels). k is oracle-exhaustive; per query the rounded
     * re-rank keeps the top 20, exactly like the per-shape entries,
@@ -741,7 +763,8 @@ object SparkEntry {
       "bool" -> QuerySpec.Boolean("batch window", "dup"),
       "phrase" -> QuerySpec.Phrase("batch window"),
       "mm" -> QuerySpec.MinMatch(FtQuery, 2),
-      "prefix" -> QuerySpec.Prefix("s"))
+      "prefix" -> QuerySpec.Prefix("s"),
+      "fuzzy" -> QuerySpec.Fuzzy("spork", 2))
     rdr.searchManyMixed(batch, 1000000)
       .groupBy(_._1).toSeq.flatMap { case (qid, hits) =>
         hits.map { case (_, _, id, sc) =>
@@ -764,6 +787,17 @@ object SparkEntry {
     val rdr = FtIndex.reader(s, dir)
     rdr.facetCounts("batch window", "dup",
       tbl(s, dir, "documents"), "doc_id", "source")
+  }
+
+  /** Stats faceting (the Solr stats component) over the same boolean
+    * match set as ft_facets: count + min/max/sum of `n_chars` per
+    * source — one map-side-combinable hash aggregate after the
+    * match-set ⨝ documents join; every stat is an exact integer
+    * aggregate (the mean is sum_v / n_docs, caller-side). */
+  private def ftFacetStats(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rdr.facetStats("batch window", "dup",
+      tbl(s, dir, "documents"), "doc_id", "source", "n_chars")
   }
 
   // =====================================================================
@@ -829,7 +863,10 @@ object SparkEntry {
     "ft_bm25_boolean" -> (ftBm25Boolean _),
     "ft_bm25_mm" -> (ftBm25Mm _),
     "ft_bm25_prefix" -> (ftBm25Prefix _),
+    "ft_bm25_fuzzy" -> (ftBm25Fuzzy _),
+    "ft_more_like_this" -> (ftMoreLikeThis _),
     "ft_collapse" -> (ftCollapse _),
+    "ft_facet_stats" -> (ftFacetStats _),
     "ft_bm25_phrase" -> (ftBm25Phrase _),
     "ft_bm25_stop" -> (ftBm25Stop _),
     "ft_bm25_stem" -> (ftBm25Stem _),
@@ -934,6 +971,54 @@ object SparkEntry {
          |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
          |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
          |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term LIKE 's%' GROUP BY 1),
+         |scores AS (
+         | SELECT tf.doc_id,
+         |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+         | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         | GROUP BY tf.doc_id)
+         |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+         | doc_id, round(s, 4) AS score
+         |FROM scores ORDER BY rank LIMIT 20""".stripMargin
+
+    // more-like-this: the interesting CTE reproduces the seed's
+    // tf·idf term selection (score rounded to 4 decimals BEFORE the
+    // LIMIT-5 cut, term-asc tie-break — both sides cut identically);
+    // the rest is the plain disjunctive scorer, seed excluded
+    val ftMltSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+         |alldf AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |interesting AS (
+         | SELECT sd.term, alldf.df,
+         |  round(sd.tf * ln(1 + (n - df + 0.5) / (df + 0.5)), 4) AS sel
+         | FROM (SELECT term, tf FROM tf WHERE doc_id = 0) sd
+         | JOIN alldf USING (term) CROSS JOIN stats
+         | ORDER BY sel DESC, sd.term ASC LIMIT 5),
+         |dfs AS (SELECT term, df FROM interesting),
+         |scores AS (
+         | SELECT tf.doc_id,
+         |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+         | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         | WHERE tf.doc_id <> 0
+         | GROUP BY tf.doc_id)
+         |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+         | doc_id, round(s, 4) AS score
+         |FROM scores ORDER BY rank LIMIT 20""".stripMargin
+
+    // fuzzy query: the dfs CTE restricts to terms within 2 edits of
+    // 'spork' — DuckDB's levenshtein is the same unit-cost distance
+    // as Spark's, so the dictionary expansion reproduces exactly
+    val ftFuzzySql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf
+         |  WHERE levenshtein(term, 'spork') <= 2 GROUP BY 1),
          |scores AS (
          | SELECT tf.doc_id,
          |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
@@ -1522,11 +1607,13 @@ object SparkEntry {
       "ft_bm25_boolean" -> ftBooleanSql,
       "ft_bm25_mm" -> ftMmSql,
       "ft_bm25_prefix" -> ftPrefixSql,
+      "ft_bm25_fuzzy" -> ftFuzzySql,
+      "ft_more_like_this" -> ftMltSql,
       "ft_collapse" -> ftCollapseSql,
 
       "ft_bm25_phrase" -> ftPhraseSql,
 
-      // the one-job mixed batch = the five per-shape oracles tagged
+      // the one-job mixed batch = the six per-shape oracles tagged
       // by query_id (searchManyMixed must equal per-shape serving)
       "ft_bm25_mixed" ->
         s"""SELECT 'free' AS query_id, rank, doc_id, score FROM ($ftTopkSql)
@@ -1537,7 +1624,9 @@ object SparkEntry {
            |UNION ALL
            |SELECT 'mm' AS query_id, rank, doc_id, score FROM ($ftMmSql)
            |UNION ALL
-           |SELECT 'prefix' AS query_id, rank, doc_id, score FROM ($ftPrefixSql)""".stripMargin,
+           |SELECT 'prefix' AS query_id, rank, doc_id, score FROM ($ftPrefixSql)
+           |UNION ALL
+           |SELECT 'fuzzy' AS query_id, rank, doc_id, score FROM ($ftFuzzySql)""".stripMargin,
 
       // the full text_en-analog chain: v1 → stop filter → Porter stem.
       // dl is the STOP-chain length (stemming is length-preserving);
@@ -1593,6 +1682,18 @@ object SparkEntry {
       "ft_facets" ->
         s"""WITH t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents)
            |SELECT source, count(*)::BIGINT AS n_docs
+           |FROM t
+           |WHERE list_contains(toks, 'batch') AND list_contains(toks, 'window')
+           |  AND NOT list_contains(toks, 'dup')
+           |GROUP BY source""".stripMargin,
+
+      // stats faceting over the same boolean match set: exact integer
+      // aggregates of n_chars per source (no floats cross the gate)
+      "ft_facet_stats" ->
+        s"""WITH t AS (SELECT doc_id, source, n_chars, $ToksSql AS toks FROM documents)
+           |SELECT source, count(*)::BIGINT AS n_docs,
+           |  min(n_chars)::BIGINT AS min_v, max(n_chars)::BIGINT AS max_v,
+           |  sum(n_chars)::BIGINT AS sum_v
            |FROM t
            |WHERE list_contains(toks, 'batch') AND list_contains(toks, 'window')
            |  AND NOT list_contains(toks, 'dup')

@@ -139,6 +139,90 @@ class IndexReader(spark: SparkSession, dir: String,
   }
 
   /**
+   * Fuzzy top-k — Lucene FuzzyQuery under the same scoring-boolean
+   * rewrite as [[searchPrefix]]: the term expands against the
+   * dictionary to every vocabulary term within `maxEdits` Levenshtein
+   * edits, and the expansion runs through the shared disjunctive WAND
+   * core with each expanded term keeping its own idf. The distance
+   * scan prunes first with a length band (|len(t) − len(q)| ≤
+   * maxEdits, a necessary condition for the edit distance, and a
+   * plain comparison Parquet can evaluate cheaply) so the full
+   * `levenshtein` only runs on the banded slice; either way the scan
+   * touches the DICTIONARY — the corpus vocabulary, orders of
+   * magnitude smaller than the postings — never a posting list.
+   * Lucene proper intersects a Levenshtein automaton with its term
+   * FST; against a columnar dictionary this banded scan is that
+   * intersection's analog (one pruned scan, no postings I/O).
+   *
+   * The term is lowercased but NOT analyzed (Lucene fuzzy-term
+   * semantics — stemming a misspelling would corrupt it). More than
+   * `maxExpansions` matching terms throws rather than silently
+   * truncating the match set. `maxEdits` is capped at 2, Lucene's own
+   * bound — beyond 2 edits the expansion stops meaning "typo".
+   */
+  def searchFuzzy(term: String, maxEdits: Int = 2, k: Int = 10,
+                  maxExpansions: Int = 1024): Vector[QueryHit] = {
+    require(maxEdits >= 0 && maxEdits <= 2, s"maxEdits $maxEdits not in 0..2")
+    val q = term.toLowerCase(java.util.Locale.ROOT)
+    require(q.nonEmpty, "empty fuzzy term")
+    if (stats.n_docs == 0) return Vector.empty
+    val expanded = dictionary
+      .filter(length(col("term")).between(q.length - maxEdits, q.length + maxEdits))
+      .filter(levenshtein(col("term"), lit(q)) <= maxEdits)
+      .select("term").as[String].collect().sorted.toSeq
+    require(expanded.length <= maxExpansions,
+      s"'$q'~$maxEdits expands to ${expanded.length} terms (> $maxExpansions) — " +
+        "lower maxEdits or raise maxExpansions")
+    if (expanded.isEmpty) Vector.empty
+    else mergeDriver(searchTermsCollect(expanded, k), k)
+  }
+
+  /**
+   * More-like-this (the Lucene/Solr MLT component): find documents
+   * similar to a SEED document by (1) selecting the seed's most
+   * "interesting" terms — highest tf·idf within the seed, Lucene's
+   * MLT heuristic, subject to `minTermFreq`/`minDocFreq` floors and a
+   * `maxQueryTerms` cap — and (2) running the selected terms through
+   * the shared disjunctive WAND core, excluding the seed itself from
+   * the results. The seed's text is ONE row fetched from the doc
+   * store and its term stats ONE dictionary lookup — O(1) driver
+   * work; the search is the ordinary distributed top-k (collected at
+   * k+1 so dropping the seed still leaves a full top-k).
+   *
+   * Selection orders by (tf·idf rounded to 4 decimals) desc, term
+   * asc — the rounding makes the cutoff reproducible across engines
+   * (ties in (tf, df) are exact; unequal pairs essentially never land
+   * within 1e-4), exactly like the rank tie-breaks elsewhere. This
+   * engine's idf is the BM25 idf used everywhere else (Lucene MLT
+   * uses the classic `log(N/df)+1`; same ordering for fixed N in the
+   * common range, and one consistent idf keeps selection and scoring
+   * on the same scale).
+   */
+  def moreLikeThis(docId: Long, k: Int = 10, maxQueryTerms: Int = 25,
+                   minTermFreq: Int = 1, minDocFreq: Int = 1): Vector[QueryHit] = {
+    if (stats.n_docs == 0) return Vector.empty
+    val seedOpt = IndexBuilder.readDocs(spark, dir)
+      .filter(col("doc_id") === docId).select("text").as[String]
+      .collect().headOption
+    if (seedOpt.isEmpty) return Vector.empty // unknown seed: no neighbors
+    val tfs = analyzer.tokenize(seedOpt.get).groupBy(identity).view
+      .mapValues(_.size).toMap.filter(_._2 >= math.max(1, minTermFreq))
+    if (tfs.isEmpty) return Vector.empty
+    val dfs = docFreqs(tfs.keys.toSeq.sorted)
+      .filter(_._2 >= math.max(1, minDocFreq))
+    val chosen = dfs.toSeq
+      .map { case (t, df) =>
+        val sc = tfs(t) * BM25.idf(df, stats.n_docs)
+        (t, BigDecimal(sc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (t, sc) => (-sc, t) }
+      .take(maxQueryTerms).map(_._1).sorted
+    if (chosen.isEmpty) return Vector.empty
+    mergeDriver(searchTermsCollect(chosen, k + 1), k + 1)
+      .filter(_.doc_id != docId).take(k)
+  }
+
+  /**
    * Minimum-should-match top-k (the Solr/Lucene `mm` parameter): BM25
    * over documents containing at least `minMatch` of the query's
    * terms, scored over the matching terms only — the middle ground
@@ -246,15 +330,15 @@ class IndexReader(spark: SparkSession, dir: String,
 
   /**
    * Mixed-shape batched serving: free-text, boolean (AND/NOT),
-   * phrase, minimum-should-match, and prefix queries answered
+   * phrase, minimum-should-match, prefix, and fuzzy queries answered
    * together in ONE Spark job — one postings scan pruned to the union
-   * of every query's terms (prefix expansions included, resolved by
-   * ONE batch-wide dictionary scan), per-task θ-shared evaluation per
-   * query, driver merge per query. Results are identical to calling
-   * [[search]]/[[searchBoolean]]/[[searchPhrase]]/
-   * [[searchMinShouldMatch]]/[[searchPrefix]] per query (same
-   * summation order, tie-break, and θ semantics — the SearchManySpec
-   * mixed test pins the parity).
+   * of every query's terms (prefix/fuzzy expansions included, each
+   * family resolved by ONE batch-wide dictionary scan), per-task
+   * θ-shared evaluation per query, driver merge per query. Results
+   * are identical to calling [[search]]/[[searchBoolean]]/
+   * [[searchPhrase]]/[[searchMinShouldMatch]]/[[searchPrefix]]/
+   * [[searchFuzzy]] per query (same summation order, tie-break, and
+   * θ semantics — the SearchManySpec mixed test pins the parity).
    *
    * @param queries (query_id, spec)
    * @return (query_id, rank, doc_id, score), rank 1..k
@@ -302,6 +386,28 @@ class IndexReader(spark: SparkSession, dir: String,
         prefixes.map(p => p -> matched.filter(_.startsWith(p))).toMap
       }
 
+    // fuzzy expansion: ONE banded-levenshtein dictionary scan covering
+    // every fuzzy term in the batch, matches assigned back per query
+    // driver-side with the same classic unit-cost edit distance the
+    // scan used (Spark's levenshtein — the two must agree exactly)
+    val fuzzies = queries.collect {
+      case (_, QuerySpec.Fuzzy(t, me, _)) =>
+        (t.toLowerCase(java.util.Locale.ROOT), math.min(math.max(me, 0), 2))
+    }.distinct.filter(_._1.nonEmpty)
+    val fuzzyExpansions: Map[(String, Int), Seq[String]] =
+      if (fuzzies.isEmpty) Map.empty
+      else {
+        val matched = dictionary
+          .filter(fuzzies.map { case (t, me) =>
+            length(col("term")).between(t.length - me, t.length + me) &&
+              levenshtein(col("term"), lit(t)) <= me
+          }.reduce(_ || _))
+          .select("term").as[String].collect().sorted.toSeq
+        fuzzies.map { case (t, me) =>
+          (t, me) -> matched.filter(Wand.editDistanceWithin(_, t, me))
+        }.toMap
+      }
+
     val allTerms = queries.flatMap { case (_, q) => q match {
       case QuerySpec.Free(t) => analyzer.tokenize(t)
       case QuerySpec.Boolean(m, n) => analyzer.tokenize(m) ++ analyzer.tokenize(n)
@@ -310,6 +416,10 @@ class IndexReader(spark: SparkSession, dir: String,
       case QuerySpec.Prefix(p, _) =>
         expansions.getOrElse(
           p.toLowerCase(java.util.Locale.ROOT).stripSuffix("*"), Nil)
+      case QuerySpec.Fuzzy(t, me, _) =>
+        fuzzyExpansions.getOrElse(
+          (t.toLowerCase(java.util.Locale.ROOT),
+            math.min(math.max(me, 0), 2)), Nil)
     }}.distinct.sorted
     if (allTerms.isEmpty) return Seq.empty
     val dfs = docFreqs(allTerms)
@@ -331,6 +441,13 @@ class IndexReader(spark: SparkSession, dir: String,
           p.toLowerCase(java.util.Locale.ROOT).stripSuffix("*"), Nil)
         require(terms.length <= maxExp,
           s"prefix '$p' expands to ${terms.length} terms (> $maxExp)")
+        if (terms.isEmpty) None else Some(CFree(id, terms, idfOf(terms)))
+      case QuerySpec.Fuzzy(t, me, maxExp) =>
+        val terms = fuzzyExpansions.getOrElse(
+          (t.toLowerCase(java.util.Locale.ROOT),
+            math.min(math.max(me, 0), 2)), Nil)
+        require(terms.length <= maxExp,
+          s"fuzzy '$t'~$me expands to ${terms.length} terms (> $maxExp)")
         if (terms.isEmpty) None else Some(CFree(id, terms, idfOf(terms)))
       case QuerySpec.Boolean(m, n) =>
         val must = analyzer.tokenize(m).distinct.sorted
@@ -657,6 +774,25 @@ class IndexReader(spark: SparkSession, dir: String,
       .join(meta.select(col(idCol).as("doc_id"), col(facetCol)), Seq("doc_id"))
       .groupBy(facetCol).agg(count(lit(1)).as("n_docs"))
 
+  /** Stats faceting (the Solr stats component / JSON `stats` facet):
+    * count + min/max/sum of a numeric metadata column per facet
+    * group, over a boolean query's match set. Same shape as
+    * [[facetCounts]] — match-set ⨝ metadata → one hash aggregate, all
+    * partial (map-side-combinable), so the shuffle carries one row
+    * per (task, group), never the match set. The mean is left to the
+    * caller (`sum_v / n_docs`) so every emitted stat is an exact
+    * integer-safe aggregate. */
+  def facetStats(mustQuery: String, notQuery: String, meta: DataFrame,
+                 idCol: String, facetCol: String, statCol: String): DataFrame =
+    matchingDocs(mustQuery, notQuery)
+      .join(meta.select(col(idCol).cast("long").as("doc_id"),
+        col(facetCol), col(statCol)), Seq("doc_id"))
+      .groupBy(facetCol)
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(statCol)).as("min_v"),
+        max(col(statCol)).as("max_v"),
+        sum(col(statCol)).as("sum_v"))
+
   /** Top-k joined back to (conv_id, turn_idx) via doc_stats. */
   def searchRanked(query: String, k: Int = 10): Seq[RankedTurn] = {
     val hits = search(query, k)
@@ -715,4 +851,8 @@ object QuerySpec {
   /** Trailing-wildcard prefix, dictionary-expanded (the
     * [[IndexReader.searchPrefix]] shape). */
   case class Prefix(prefix: String, maxExpansions: Int = 1024) extends QuerySpec
+  /** Levenshtein fuzzy term, dictionary-expanded (the
+    * [[IndexReader.searchFuzzy]] shape). */
+  case class Fuzzy(term: String, maxEdits: Int = 2,
+                   maxExpansions: Int = 1024) extends QuerySpec
 }

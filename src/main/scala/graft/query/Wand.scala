@@ -592,4 +592,35 @@ object Wand extends Serializable {
     }
     heap.dequeueAll.reverseIterator.toVector
   }
+
+  /** Unit-cost Levenshtein "within max" test (classic Wagner–Fischer
+    * two-row DP with an early bail when a full row exceeds `max`) —
+    * used to assign batch-wide fuzzy dictionary matches back to their
+    * query term driver-side. MUST agree with Spark's / DuckDB's
+    * `levenshtein` (all three are the same unit-cost distance; the
+    * fuzzy specs pin the parity). */
+  def editDistanceWithin(a: String, b: String, max: Int): Boolean = {
+    if (a == b) return true
+    if (math.abs(a.length - b.length) > max) return false
+    val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+    var prev = Array.tabulate(s.length + 1)(identity)
+    var cur = new Array[Int](s.length + 1)
+    var j = 1
+    while (j <= t.length) {
+      cur(0) = j
+      var rowMin = j
+      var i = 1
+      while (i <= s.length) {
+        val sub = prev(i - 1) + (if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1)
+        val v = math.min(sub, math.min(prev(i), cur(i - 1)) + 1)
+        cur(i) = v
+        if (v < rowMin) rowMin = v
+        i += 1
+      }
+      if (rowMin > max) return false
+      val tmp = prev; prev = cur; cur = tmp
+      j += 1
+    }
+    prev(s.length) <= max
+  }
 }

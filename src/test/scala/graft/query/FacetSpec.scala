@@ -129,6 +129,116 @@ class FacetSpec extends SparkFunSuite {
     intercept[IllegalArgumentException] { rdr.searchPrefix("*", 10) }
   }
 
+  /** Spec-local reference edit distance — full unbanded Wagner–Fischer
+    * matrix, an independent implementation from Wand.editDistanceWithin's
+    * two-row early-bail form. */
+  private def refLev(a: String, b: String): Int = {
+    val d = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 0 to a.length) d(i)(0) = i
+    for (j <- 0 to b.length) d(0)(j) = j
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1),
+        math.min(d(i - 1)(j), d(i)(j - 1)) + 1)
+    d(a.length)(b.length)
+  }
+
+  test("searchFuzzy: levenshtein expansion == brute-force over expanded terms") {
+    val (rdr, corpus) = fixture("idx-fuzzy")
+    val docTfs = corpus.zipWithIndex.map { case (t, i) =>
+      (i.toLong, graft.analysis.Tokenizer.docLength(t.text),
+        graft.analysis.Tokenizer.termFreqs(t.text))
+    }
+    val nDocs = corpus.length.toLong
+    val avgdl = docTfs.map(_._2).sum.toDouble / nDocs
+    val dfs = docTfs.flatMap(_._3.keys).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val vocab = dfs.keys.toSeq.sorted
+    Seq(("laq", 1), ("user", 2), ("bask", 1)).foreach { case (q, me) =>
+      val expanded = vocab.filter(refLev(_, q) <= me)
+      assert(expanded.nonEmpty, s"degenerate fuzzy '$q'~$me")
+      val want = BM25.bruteForceTopK(expanded, docTfs, dfs, nDocs, avgdl, 10)
+      val got = rdr.searchFuzzy(q, me, 10).map(h => (h.doc_id, h.score))
+      assert(got == want, s"fuzzy '$q'~$me (expansion $expanded)")
+    }
+    // maxEdits = 0 degenerates to the plain term query
+    assert(rdr.searchFuzzy("user", 0, 10).map(h => (h.doc_id, h.score)) ==
+      rdr.search("user", 10).map(h => (h.doc_id, h.score)))
+    // nothing within distance → empty; cap and bad maxEdits throw
+    assert(rdr.searchFuzzy("zzqqxxyy", 2, 10).isEmpty)
+    intercept[IllegalArgumentException] { rdr.searchFuzzy("user", 2, 10, maxExpansions = 1) }
+    intercept[IllegalArgumentException] { rdr.searchFuzzy("user", 3, 10) }
+  }
+
+  test("Wand.editDistanceWithin agrees with the reference matrix over the vocabulary") {
+    val (_, corpus) = fixture("idx-lev-parity")
+    val vocab = corpus.flatMap(t =>
+      graft.analysis.Tokenizer.termFreqs(t.text).keys).distinct.sorted
+    assert(vocab.size > 10)
+    val probes = vocab ++ Seq("laq", "zzz", "", "userx", "ka")
+    for (a <- probes; b <- vocab; m <- 0 to 2)
+      assert(Wand.editDistanceWithin(a, b, m) == (refLev(a, b) <= m),
+        s"editDistanceWithin('$a','$b',$m)")
+  }
+
+  test("moreLikeThis: tf·idf term selection + disjunctive search, seed excluded") {
+    val (rdr, corpus) = fixture("idx-mlt")
+    val docTfs = corpus.zipWithIndex.map { case (t, i) =>
+      (i.toLong, graft.analysis.Tokenizer.docLength(t.text),
+        graft.analysis.Tokenizer.termFreqs(t.text))
+    }
+    val nDocs = corpus.length.toLong
+    val avgdl = docTfs.map(_._2).sum.toDouble / nDocs
+    val dfs = docTfs.flatMap(_._3.keys).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val seedTf = graft.analysis.Tokenizer.termFreqs(corpus(0).text)
+    def select(minTf: Int, cap: Int) = seedTf.toSeq
+      .filter(_._2 >= minTf)
+      .map { case (t, f) =>
+        val sc = f * BM25.idf(dfs(t), nDocs)
+        (t, BigDecimal(sc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (t, sc) => (-sc, t) }.take(cap).map(_._1).sorted
+    val sel = select(1, 4)
+    assert(sel.size == 4 && seedTf.size > 4) // the cap binds
+    val want = BM25.bruteForceTopK(sel, docTfs, dfs, nDocs, avgdl, Int.MaxValue)
+      .filter(_._1 != 0L).take(10)
+    val got = rdr.moreLikeThis(0L, 10, maxQueryTerms = 4)
+      .map(h => (h.doc_id, h.score))
+    assert(got == want)
+    assert(got.nonEmpty && !got.exists(_._1 == 0L))
+    // minTermFreq floor changes the selected set
+    val sel2 = select(2, 4)
+    assert(sel2 != sel && sel2.nonEmpty)
+    val want2 = BM25.bruteForceTopK(sel2, docTfs, dfs, nDocs, avgdl, Int.MaxValue)
+      .filter(_._1 != 0L).take(10)
+    assert(rdr.moreLikeThis(0L, 10, maxQueryTerms = 4, minTermFreq = 2)
+      .map(h => (h.doc_id, h.score)) == want2)
+    // unknown seed and unsatisfiable floors → empty
+    assert(rdr.moreLikeThis(999999L, 10).isEmpty)
+    assert(rdr.moreLikeThis(0L, 10, minDocFreq = corpus.length + 1).isEmpty)
+  }
+
+  test("facetStats == stats over the brute-force match set") {
+    val (rdr, corpus) = fixture("idx-facet-stats")
+    val tokSets = corpus.map(t => graft.analysis.Tokenizer.termFreqs(t.text).keySet)
+    val meta = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t.role, t.text.length.toLong) }
+      .toSeq.toDF("doc_id", "role", "len")
+    val must = Seq("la")
+    val matched = corpus.indices
+      .filter(i => must.forall(tokSets(i)) && !tokSets(i)("bash"))
+    val want = matched.groupBy(i => corpus(i).role).map { case (role, is) =>
+      val lens = is.map(i => corpus(i).text.length.toLong)
+      role -> ((is.size.toLong, lens.min, lens.max, lens.sum))
+    }
+    val got = rdr.facetStats("la", "bash", meta, "doc_id", "role", "len")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == want)
+    assert(got.size > 1)
+  }
+
   test("facetCounts == groupBy over the brute-force match set") {
     val (rdr, corpus) = fixture("idx-facet-counts")
     val tokSets = corpus.map(t => graft.analysis.Tokenizer.termFreqs(t.text).keySet)

@@ -47,7 +47,10 @@ class SearchManySpec extends SparkFunSuite {
       "w0" -> QuerySpec.Prefix("la"),
       "w1" -> QuerySpec.Prefix("KA*"), // case + trailing-* forms
       "x2" -> QuerySpec.MinMatch("user nosuchtermanywhere", 2),
-      "x3" -> QuerySpec.Prefix("zzzzqqq"))
+      "x3" -> QuerySpec.Prefix("zzzzqqq"),
+      "z0" -> QuerySpec.Fuzzy("laq", 1),
+      "z1" -> QuerySpec.Fuzzy("USER", 2), // case form
+      "x4" -> QuerySpec.Fuzzy("zzqqxxyy", 2))
     val got = rdr.searchManyMixed(specs, 10)
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4))).toMap
     def hits(v: Vector[graft.model.QueryHit]) = v.map(h => (h.doc_id, h.score))
@@ -63,11 +66,15 @@ class SearchManySpec extends SparkFunSuite {
     assert(got.getOrElse("m1", Nil) == hits(rdr.searchMinShouldMatch("la ma na ra", 3, 10)))
     assert(got.getOrElse("w0", Nil) == hits(rdr.searchPrefix("la", 10)))
     assert(got.getOrElse("w1", Nil) == hits(rdr.searchPrefix("ka", 10)))
-    // absent term → mm unreachable; unmatched prefix → no expansion
-    assert(got.getOrElse("x2", Nil).isEmpty && got.getOrElse("x3", Nil).isEmpty)
+    assert(got.getOrElse("z0", Nil) == hits(rdr.searchFuzzy("laq", 1, 10)))
+    assert(got.getOrElse("z1", Nil) == hits(rdr.searchFuzzy("user", 2, 10)))
+    // absent term → mm unreachable; unmatched prefix/fuzzy → no expansion
+    assert(got.getOrElse("x2", Nil).isEmpty && got.getOrElse("x3", Nil).isEmpty &&
+      got.getOrElse("x4", Nil).isEmpty)
     assert(got("b0").nonEmpty && got("b1").nonEmpty && got("p0").nonEmpty &&
       got("m0").nonEmpty && got("m1").nonEmpty && got("w0").nonEmpty &&
-      got("w1").nonEmpty) // non-trivial shapes actually hit
+      got("w1").nonEmpty && got("z0").nonEmpty &&
+      got("z1").nonEmpty) // non-trivial shapes actually hit
   }
 
   test("a positions-free index serves a batch whose only phrases are 1-term (no false needPos)") {
