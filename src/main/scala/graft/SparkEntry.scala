@@ -800,6 +800,40 @@ object SparkEntry {
       tbl(s, dir, "documents"), "doc_id", "source", "n_chars")
   }
 
+  /** Pivot faceting (Solr facet.pivot): match-set counts per
+    * (source, lang) combination — the flat relational form of the
+    * nested pivot tree, same single aggregate as ft_facets. */
+  private def ftFacetPivot(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rdr.facetPivot("batch window", "dup",
+      tbl(s, dir, "documents"), "doc_id", Seq("source", "lang"))
+  }
+
+  /** Range faceting (Solr facet.range): width-100 bins of n_chars
+    * over the match set, empty bins absent (mincount=1). */
+  private def ftFacetRange(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rdr.facetRange("batch window", "dup",
+      tbl(s, dir, "documents"), "doc_id", "n_chars", 0L, 100L)
+  }
+
+  /** Sorted-by-field serving (Solr `sort=n_chars desc`): the 20
+    * longest matching documents, doc_id tie-break — TakeOrdered over
+    * the match-set ⨝ metadata join, never a relevance score. */
+  private def ftSortByField(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rdr.searchSortBy("batch window", "dup",
+      tbl(s, dir, "documents"), "doc_id", "n_chars", asc = false, 20)
+  }
+
+  /** Spellcheck / suggest (Solr spellcheck): closest dictionary terms
+    * to 'par' — {part d=1, a d=2, spark d=2} in this corpus's closed
+    * vocabulary — ordered (distance asc, df desc, term asc). */
+  private def ftSuggest(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rdr.suggest("par", 2, 5)
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -867,6 +901,10 @@ object SparkEntry {
     "ft_more_like_this" -> (ftMoreLikeThis _),
     "ft_collapse" -> (ftCollapse _),
     "ft_facet_stats" -> (ftFacetStats _),
+    "ft_facet_pivot" -> (ftFacetPivot _),
+    "ft_facet_range" -> (ftFacetRange _),
+    "ft_sort_by_field" -> (ftSortByField _),
+    "ft_suggest" -> (ftSuggest _),
     "ft_bm25_phrase" -> (ftBm25Phrase _),
     "ft_bm25_stop" -> (ftBm25Stop _),
     "ft_bm25_stem" -> (ftBm25Stem _),
@@ -1697,7 +1735,48 @@ object SparkEntry {
            |FROM t
            |WHERE list_contains(toks, 'batch') AND list_contains(toks, 'window')
            |  AND NOT list_contains(toks, 'dup')
-           |GROUP BY source""".stripMargin
+           |GROUP BY source""".stripMargin,
+
+      // pivot faceting: the same match set counted per (source, lang)
+      "ft_facet_pivot" ->
+        s"""WITH t AS (SELECT doc_id, source, lang, $ToksSql AS toks FROM documents)
+           |SELECT source, lang, count(*)::BIGINT AS n_docs
+           |FROM t
+           |WHERE list_contains(toks, 'batch') AND list_contains(toks, 'window')
+           |  AND NOT list_contains(toks, 'dup')
+           |GROUP BY source, lang""".stripMargin,
+
+      // range faceting: width-100 bins of n_chars, mincount=1 —
+      // identical bin arithmetic (start + width * floor((v-start)/width))
+      "ft_facet_range" ->
+        s"""WITH t AS (SELECT doc_id, n_chars, $ToksSql AS toks FROM documents)
+           |SELECT (0 + 100 * floor((n_chars - 0) / 100.0))::BIGINT AS bin_start,
+           |  count(*)::BIGINT AS n_docs
+           |FROM t
+           |WHERE list_contains(toks, 'batch') AND list_contains(toks, 'window')
+           |  AND NOT list_contains(toks, 'dup')
+           |GROUP BY 1""".stripMargin,
+
+      // sort-by-field serving: the 20 longest matching docs, doc_id
+      // tie-break (deterministic LIMIT on both sides)
+      "ft_sort_by_field" ->
+        s"""WITH t AS (SELECT doc_id, n_chars, $ToksSql AS toks FROM documents)
+           |SELECT doc_id, n_chars
+           |FROM t
+           |WHERE list_contains(toks, 'batch') AND list_contains(toks, 'window')
+           |  AND NOT list_contains(toks, 'dup')
+           |ORDER BY n_chars DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+      // spellcheck/suggest: nearest dictionary terms to 'par' ordered
+      // (distance asc, df desc, term asc) — DuckDB's levenshtein is
+      // the same unit-cost distance as Spark's
+      "ft_suggest" ->
+        s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+           |dict AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+           |SELECT term, levenshtein(term, 'par')::BIGINT AS distance, df
+           |FROM dict WHERE levenshtein(term, 'par') <= 2
+           |ORDER BY distance ASC, df DESC, term ASC LIMIT 5""".stripMargin
     )
   }
 

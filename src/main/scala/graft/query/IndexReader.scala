@@ -178,6 +178,30 @@ class IndexReader(spark: SparkSession, dir: String,
   }
 
   /**
+   * Spellcheck / suggest (the Solr spellcheck component): the closest
+   * dictionary terms to an input, as (term, distance, df) ordered by
+   * (edit distance asc, df desc, term asc) — "nearest first, then
+   * most common", Solr's popularity-weighted suggestion order, fully
+   * deterministic. The same banded-Levenshtein dictionary scan as
+   * [[searchFuzzy]] (length band pushes to Parquet, distance runs on
+   * the banded slice, postings never touched); `orderBy.limit(n)`
+   * plans as a distributed TakeOrdered, so only n rows reach the
+   * driver no matter the vocabulary size.
+   */
+  def suggest(term: String, maxEdits: Int = 2, n: Int = 5): DataFrame = {
+    require(maxEdits >= 0 && maxEdits <= 2, s"maxEdits $maxEdits not in 0..2")
+    val q = term.toLowerCase(java.util.Locale.ROOT)
+    require(q.nonEmpty, "empty suggest term")
+    dictionary
+      .filter(length(col("term")).between(q.length - maxEdits, q.length + maxEdits))
+      .withColumn("distance", levenshtein(col("term"), lit(q)).cast("long"))
+      .filter(col("distance") <= maxEdits)
+      .select("term", "distance", "df")
+      .orderBy(col("distance").asc, col("df").desc, col("term").asc)
+      .limit(n)
+  }
+
+  /**
    * More-like-this (the Lucene/Solr MLT component): find documents
    * similar to a SEED document by (1) selecting the seed's most
    * "interesting" terms — highest tf·idf within the seed, Lucene's
@@ -773,6 +797,58 @@ class IndexReader(spark: SparkSession, dir: String,
     matchingDocs(mustQuery, notQuery)
       .join(meta.select(col(idCol).as("doc_id"), col(facetCol)), Seq("doc_id"))
       .groupBy(facetCol).agg(count(lit(1)).as("n_docs"))
+
+  /** Pivot (multi-level) faceting (Solr facet.pivot): match-set
+    * counts per COMBINATION of metadata columns — the flat relational
+    * form of Solr's nested pivot tree (the nesting is a driver-side
+    * rollup of these rows if a caller wants it). Same single
+    * map-side-combinable aggregate as [[facetCounts]]; cardinality of
+    * the output is the product of the pivot columns' cardinalities at
+    * worst, never the match set. */
+  def facetPivot(mustQuery: String, notQuery: String, meta: DataFrame,
+                 idCol: String, pivotCols: Seq[String]): DataFrame = {
+    require(pivotCols.nonEmpty, "facetPivot needs at least one column")
+    matchingDocs(mustQuery, notQuery)
+      .join(meta.select(col(idCol).cast("long").as("doc_id") +:
+        pivotCols.map(col): _*), Seq("doc_id"))
+      .groupBy(pivotCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Range faceting (Solr facet.range): fixed-width numeric bins over
+    * the match set — each matched doc lands in the bin
+    * `start + width·⌊(v − start)/width⌋`; bins with no matches are
+    * absent (Solr's `mincount=1` shape). The bin arithmetic is plain
+    * integer-in-double math (exact for any realistic column range),
+    * so an oracle reproduces it verbatim. */
+  def facetRange(mustQuery: String, notQuery: String, meta: DataFrame,
+                 idCol: String, rangeCol: String,
+                 start: Long, width: Long): DataFrame = {
+    require(width > 0, "width must be positive")
+    matchingDocs(mustQuery, notQuery)
+      .join(meta.select(col(idCol).cast("long").as("doc_id"), col(rangeCol)),
+        Seq("doc_id"))
+      .withColumn("bin_start", (lit(start) +
+        floor((col(rangeCol) - lit(start)) / lit(width.toDouble)) * lit(width))
+        .cast("long"))
+      .groupBy("bin_start").agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Sorted-by-field serving (the Solr `sort=<field> asc|desc` form):
+    * top-k of a boolean query's match set ordered by a METADATA
+    * column instead of relevance, doc_id-asc tie-break — match-set ⨝
+    * metadata → `orderBy.limit(k)`, which Spark plans as a
+    * distributed TakeOrdered (per-partition heaps, k rows to the
+    * driver), never a global sort of the match set. */
+  def searchSortBy(mustQuery: String, notQuery: String, meta: DataFrame,
+                   idCol: String, sortCol: String, asc: Boolean = true,
+                   k: Int = 10): DataFrame = {
+    val s = col(sortCol)
+    matchingDocs(mustQuery, notQuery)
+      .join(meta.select(col(idCol).cast("long").as("doc_id"), s), Seq("doc_id"))
+      .orderBy((if (asc) s.asc else s.desc), col("doc_id").asc)
+      .limit(k)
+  }
 
   /** Stats faceting (the Solr stats component / JSON `stats` facet):
     * count + min/max/sum of a numeric metadata column per facet

@@ -239,6 +239,56 @@ class FacetSpec extends SparkFunSuite {
     assert(got.size > 1)
   }
 
+  test("facetPivot / facetRange / searchSortBy over the brute-force match set") {
+    val (rdr, corpus) = fixture("idx-facet-more")
+    val tokSets = corpus.map(t => graft.analysis.Tokenizer.termFreqs(t.text).keySet)
+    val lens = corpus.map(_.text.length.toLong)
+    val meta = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t.role, lens(i), lens(i) % 2) }
+      .toSeq.toDF("doc_id", "role", "len", "par")
+    val matched = corpus.indices.filter(i => tokSets(i)("la") && !tokSets(i)("bash"))
+    assert(matched.size > 10)
+    // pivot: counts per (role, parity-of-length) combination
+    val wantPivot = matched.groupBy(i => (corpus(i).role, lens(i) % 2)).view
+      .mapValues(_.size.toLong).toMap
+    val gotPivot = rdr.facetPivot("la", "bash", meta, "doc_id", Seq("role", "par"))
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(gotPivot == wantPivot && gotPivot.size > 2)
+    // range: width-25 bins of len, mincount=1
+    val wantRange = matched.groupBy(i => 25L * (lens(i) / 25L)).view
+      .mapValues(_.size.toLong).toMap
+    val gotRange = rdr.facetRange("la", "bash", meta, "doc_id", "len", 0L, 25L)
+      .as[(Long, Long)].collect().toMap
+    assert(gotRange == wantRange && gotRange.size > 1)
+    // sort-by-field: longest matches first, doc_id tie-break, ORDERED
+    val wantSort = matched.map(i => (i.toLong, lens(i)))
+      .sortBy { case (id, l) => (-l, id) }.take(7)
+    val gotSort = rdr.searchSortBy("la", "bash", meta, "doc_id", "len",
+      asc = false, 7).as[(Long, Long)].collect().toSeq
+    assert(gotSort == wantSort)
+    // ascending variant
+    assert(rdr.searchSortBy("la", "bash", meta, "doc_id", "len", asc = true, 7)
+      .as[(Long, Long)].collect().toSeq ==
+      matched.map(i => (i.toLong, lens(i))).sortBy { case (id, l) => (l, id) }.take(7))
+  }
+
+  test("suggest: nearest dictionary terms, (distance, df desc, term) order") {
+    val (rdr, corpus) = fixture("idx-suggest")
+    val dfs = corpus.map(t => graft.analysis.Tokenizer.termFreqs(t.text).keySet)
+      .flatMap(_.toSeq).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    Seq(("laq", 1), ("laq", 2), ("user", 2)).foreach { case (q, me) =>
+      val want = dfs.toSeq
+        .map { case (t, df) => (t, refLev(t, q).toLong, df) }
+        .filter(_._2 <= me)
+        .sortBy { case (t, d, df) => (d, -df, t) }.take(5)
+      assert(want.nonEmpty, s"degenerate suggest '$q'~$me")
+      val got = rdr.suggest(q, me, 5).as[(String, Long, Long)].collect().toSeq
+      assert(got == want, s"suggest('$q', $me)")
+    }
+    assert(rdr.suggest("zzqqxxyy", 2, 5).collect().isEmpty)
+    intercept[IllegalArgumentException] { rdr.suggest("user", 3) }
+  }
+
   test("facetCounts == groupBy over the brute-force match set") {
     val (rdr, corpus) = fixture("idx-facet-counts")
     val tokSets = corpus.map(t => graft.analysis.Tokenizer.termFreqs(t.text).keySet)
