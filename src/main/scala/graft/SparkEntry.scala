@@ -699,6 +699,17 @@ object SparkEntry {
     hitsTop20DF(s, rdr.moreLikeThis(0L, 1000000, maxQueryTerms = 5))
   }
 
+  /** Query-time boosting (Lucene `term^boost`): dup^2 window spark^0.5
+    * — per-term idf scaling through the shared WAND core (bounds scale
+    * with contributions, pruning stays lossless). Reorders the
+    * ft_bm25_topk ranking, so the entry proves the boosts actually
+    * reached the scorer. */
+  private def ftBm25Boosted(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    hitsTop20DF(s, rdr.searchBoosted(
+      Seq("dup" -> 2.0, "window" -> 1.0, "spark" -> 0.5), 1000000))
+  }
+
   /** Fuzzy query (Lucene FuzzyQuery): 'spork'~2 expands against the
     * dictionary by banded Levenshtein scan ({sort, spark} in this
     * corpus's closed vocabulary — distances 2 and 1) and runs through
@@ -898,6 +909,7 @@ object SparkEntry {
     "ft_bm25_mm" -> (ftBm25Mm _),
     "ft_bm25_prefix" -> (ftBm25Prefix _),
     "ft_bm25_fuzzy" -> (ftBm25Fuzzy _),
+    "ft_bm25_boosted" -> (ftBm25Boosted _),
     "ft_more_like_this" -> (ftMoreLikeThis _),
     "ft_collapse" -> (ftCollapse _),
     "ft_facet_stats" -> (ftFacetStats _),
@@ -1041,6 +1053,26 @@ object SparkEntry {
          |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
          | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
          | WHERE tf.doc_id <> 0
+         | GROUP BY tf.doc_id)
+         |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+         | doc_id, round(s, 4) AS score
+         |FROM scores ORDER BY rank LIMIT 20""".stripMargin
+
+    // boosted query: per-term boost times idf FIRST (engine scales the
+    // idf before tfNorm — mirrored associativity), then the usual sum
+    val ftBoostedSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+         |boosts(term, b) AS (VALUES ('dup', 2.0::DOUBLE), ('window', 1.0::DOUBLE), ('spark', 0.5::DOUBLE)),
+         |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftTermsIn GROUP BY 1),
+         |scores AS (
+         | SELECT tf.doc_id,
+         |  sum((b * ln(1 + (n - df + 0.5) / (df + 0.5))) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+         | FROM tf JOIN dfs USING (term) JOIN boosts USING (term)
+         |  JOIN dl USING (doc_id) CROSS JOIN stats
          | GROUP BY tf.doc_id)
          |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
          | doc_id, round(s, 4) AS score
@@ -1646,6 +1678,7 @@ object SparkEntry {
       "ft_bm25_mm" -> ftMmSql,
       "ft_bm25_prefix" -> ftPrefixSql,
       "ft_bm25_fuzzy" -> ftFuzzySql,
+      "ft_bm25_boosted" -> ftBoostedSql,
       "ft_more_like_this" -> ftMltSql,
       "ft_collapse" -> ftCollapseSql,
 

@@ -87,12 +87,15 @@ class IndexReader(spark: SparkSession, dir: String,
 
   /** [[searchCollect]] for an explicit ALREADY-ANALYZED term set — the
     * shared disjunctive core that prefix/wildcard rewrites feed their
-    * expanded terms into. */
-  private def searchTermsCollect(terms: Seq[String], k: Int): Array[QueryHit] = {
+    * expanded terms into. `boost` scales a term's idf BEFORE it enters
+    * the WAND core, so score contributions and pruning bounds scale
+    * together and the pruning stays lossless (boost ≥ 0). */
+  private def searchTermsCollect(terms: Seq[String], k: Int,
+                                 boost: String => Double = _ => 1.0): Array[QueryHit] = {
     if (terms.isEmpty || stats.n_docs == 0) return Array.empty
     val dfs = docFreqs(terms)
     if (dfs.isEmpty) return Array.empty
-    val idfs = dfs.map { case (t, df) => t -> BM25.idf(df, stats.n_docs) }
+    val idfs = dfs.map { case (t, df) => t -> boost(t) * BM25.idf(df, stats.n_docs) }
     val avgdl = stats.avgdl
     val kk = k
     val g = groupSize
@@ -175,6 +178,31 @@ class IndexReader(spark: SparkSession, dir: String,
         "lower maxEdits or raise maxExpansions")
     if (expanded.isEmpty) Vector.empty
     else mergeDriver(searchTermsCollect(expanded, k), k)
+  }
+
+  /**
+   * Query-time term boosting (Lucene's `term^boost` syntax): each
+   * term's score contribution scales by its boost, implemented by
+   * scaling the term's idf before it enters the shared WAND core — so
+   * every upper bound scales with the contribution and the pruning
+   * stays lossless (boosts must be ≥ 0; a 0 boost keeps the term
+   * matching at zero score, Lucene's behavior). A boost of 1.0 on
+   * every term reproduces [[search]] bit-exactly (×1.0 is exact in
+   * IEEE arithmetic). Each input is analyzed singly; one that
+   * analyzes to more or fewer than one token throws (boost a phrase
+   * by boosting its terms).
+   */
+  def searchBoosted(boosts: Seq[(String, Double)], k: Int = 10): Vector[QueryHit] = {
+    require(boosts.forall(_._2 >= 0), "boosts must be >= 0")
+    val termBoosts = boosts.map { case (raw, b) =>
+      val ts = analyzer.tokenize(raw)
+      require(ts.length == 1, s"boosted term '$raw' analyzed to ${ts.length} tokens")
+      ts.head -> b
+    }
+    require(termBoosts.map(_._1).distinct.length == termBoosts.length,
+      "duplicate boosted term")
+    val bm = termBoosts.toMap
+    mergeDriver(searchTermsCollect(bm.keys.toSeq.sorted, k, bm), k)
   }
 
   /**

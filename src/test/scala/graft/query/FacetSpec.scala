@@ -272,6 +272,52 @@ class FacetSpec extends SparkFunSuite {
       matched.map(i => (i.toLong, lens(i))).sortBy { case (id, l) => (l, id) }.take(7))
   }
 
+  test("searchBoosted: per-term idf scaling; boost=1 reproduces search bit-exactly") {
+    val (rdr, corpus) = fixture("idx-boost")
+    val docTfs = corpus.zipWithIndex.map { case (t, i) =>
+      (i.toLong, graft.analysis.Tokenizer.docLength(t.text),
+        graft.analysis.Tokenizer.termFreqs(t.text))
+    }
+    val nDocs = corpus.length.toLong
+    val avgdl = docTfs.map(_._2).sum.toDouble / nDocs
+    val dfs = docTfs.flatMap(_._3.keys).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val boosts = Seq("user" -> 3.0, "la" -> 1.0, "ma" -> 0.25)
+    // brute force with the engine's exact association: (b·idf)·tfNorm,
+    // summed in ascending term order
+    val bm = boosts.toMap
+    val terms = bm.keys.toSeq.sorted
+    val want = docTfs.flatMap { case (id, dl, tfs) =>
+      var s = 0.0; var m = false
+      terms.foreach { t =>
+        val tf = tfs.getOrElse(t, 0)
+        if (tf > 0) {
+          m = true
+          s += (bm(t) * BM25.idf(dfs(t), nDocs)) * BM25.tfNorm(tf, dl, avgdl)
+        }
+      }
+      if (m) Some((id, s)) else None
+    }.sortBy { case (id, s) => (-s, id) }.take(10).toVector
+    val got = rdr.searchBoosted(boosts, 10).map(h => (h.doc_id, h.score))
+    assert(got == want)
+    assert(got.nonEmpty)
+    // all-1.0 boosts == plain search, bit-equal
+    assert(rdr.searchBoosted(Seq("user" -> 1.0, "la" -> 1.0), 10)
+      .map(h => (h.doc_id, h.score)) ==
+      rdr.search("user la", 10).map(h => (h.doc_id, h.score)))
+    // boosts actually reorder vs the unboosted ranking on this corpus
+    assert(got.map(_._1) != rdr.search("user la ma", 10).map(_.doc_id))
+    // zero boost keeps the term matching at zero contribution
+    val gotZero = rdr.searchBoosted(Seq("user" -> 0.0, "la" -> 1.0), 10)
+      .map(h => (h.doc_id, h.score))
+    assert(gotZero == rdr.searchBoosted(Seq("la" -> 1.0, "user" -> 0.0), 10)
+      .map(h => (h.doc_id, h.score)))
+    intercept[IllegalArgumentException] { rdr.searchBoosted(Seq("user" -> -1.0)) }
+    intercept[IllegalArgumentException] {
+      rdr.searchBoosted(Seq("user" -> 1.0, "user" -> 2.0))
+    }
+  }
+
   test("suggest: nearest dictionary terms, (distance, df desc, term) order") {
     val (rdr, corpus) = fixture("idx-suggest")
     val dfs = corpus.map(t => graft.analysis.Tokenizer.termFreqs(t.text).keySet)
