@@ -721,6 +721,16 @@ object SparkEntry {
     hitsTop20DF(s, rdr.searchFuzzy("spork", 2, 1000000))
   }
 
+  /** Result grouping (Solr group.field/group.limit): the top 3 hits
+    * per `source` over the FULL scored match set — the perGroup > 1
+    * generalization of ft_collapse, scores rounded BEFORE the group
+    * rank so both engines select identically. */
+  private def ftGroupTopK(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rdr.searchGroupTopK(FtQuery, tbl(s, dir, "documents"), "doc_id", "source",
+      perGroup = 3, scoreKey = c => round(c, 4))
+  }
+
   /** Minimum-should-match query (the Solr/Lucene `mm` parameter): at
     * least 2 of the 3 query terms required, scored over the matching
     * terms only — between the pure disjunction (ft_bm25_topk) and the
@@ -912,6 +922,7 @@ object SparkEntry {
     "ft_bm25_boosted" -> (ftBm25Boosted _),
     "ft_more_like_this" -> (ftMoreLikeThis _),
     "ft_collapse" -> (ftCollapse _),
+    "ft_group_topk" -> (ftGroupTopK _),
     "ft_facet_stats" -> (ftFacetStats _),
     "ft_facet_pivot" -> (ftFacetPivot _),
     "ft_facet_range" -> (ftFacetRange _),
@@ -1119,6 +1130,28 @@ object SparkEntry {
          |  count(*) OVER (PARTITION BY d.source) AS n_matches
          | FROM scores sc JOIN documents d USING (doc_id))
          |SELECT source, doc_id, score, n_matches FROM r WHERE rn = 1""".stripMargin
+
+    // result grouping: collapse's window generalized to top-3 per
+    // group, rank emitted as grank
+    val ftGroupSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftTermsIn GROUP BY 1),
+         |scores AS (
+         | SELECT tf.doc_id,
+         |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+         | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         | GROUP BY tf.doc_id),
+         |r AS (
+         | SELECT d.source, sc.doc_id, round(sc.s, 4) AS score,
+         |  row_number() OVER (PARTITION BY d.source
+         |    ORDER BY round(sc.s, 4) DESC, sc.doc_id ASC) AS grank
+         | FROM scores sc JOIN documents d USING (doc_id))
+         |SELECT source, grank::BIGINT AS grank, doc_id, score
+         |FROM r WHERE grank <= 3""".stripMargin
 
     // boolean: both must-terms required, the not-term excluding;
     // scores over must terms only
@@ -1681,6 +1714,7 @@ object SparkEntry {
       "ft_bm25_boosted" -> ftBoostedSql,
       "ft_more_like_this" -> ftMltSql,
       "ft_collapse" -> ftCollapseSql,
+      "ft_group_topk" -> ftGroupSql,
 
       "ft_bm25_phrase" -> ftPhraseSql,
 

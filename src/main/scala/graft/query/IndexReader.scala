@@ -815,6 +815,32 @@ class IndexReader(spark: SparkSession, dir: String,
         max(col("score")).as("score"),
         count(lit(1)).as("n_matches"))
 
+  /** Result grouping (Solr group.field / group.limit, Lucene
+    * grouping): the top `perGroup` hits per metadata group by
+    * (score desc, doc_id asc), over the FULL scored match set — the
+    * generalization of [[searchCollapse]] (perGroup = 1 selects the
+    * same docs). One rank window per group after the match-set ⨝
+    * metadata join: the shuffle carries matched (docId, score) pairs
+    * partitioned BY GROUP — never a global sort, never the driver.
+    * `scoreKey` as in [[searchCollapse]] (rounding before the rank
+    * keeps engine and oracle selections identical). */
+  def searchGroupTopK(query: String, meta: DataFrame, idCol: String,
+                      groupCol: String, perGroup: Int, minMatch: Int = 1,
+                      scoreKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+                        = identity): DataFrame = {
+    require(perGroup > 0, "perGroup must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scoredDocs(query, minMatch)
+      .withColumn("score", scoreKey(col("score")))
+      .join(meta.select(col(idCol).cast("long").as("doc_id"), col(groupCol)),
+        Seq("doc_id"))
+      .withColumn("grank", row_number().over(w).cast("long"))
+      .filter(col("grank") <= perGroup)
+      .select(col(groupCol), col("grank"), col("doc_id"), col("score"))
+  }
+
   /** Facet counts over a boolean query's match set — the Solr/Lucene
     * faceting shape the reference's search sinks expose: matching docs
     * grouped by a metadata column. Computed as match-set ⨝ metadata →

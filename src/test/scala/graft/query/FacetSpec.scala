@@ -101,6 +101,40 @@ class FacetSpec extends SparkFunSuite {
     assert(got.size > 1)
   }
 
+  test("searchGroupTopK: per-group top-N over the scored match set; N=1 == collapse") {
+    val (rdr, corpus) = fixture("idx-group")
+    val docTfs = corpus.zipWithIndex.map { case (t, i) =>
+      (i.toLong, graft.analysis.Tokenizer.docLength(t.text),
+        graft.analysis.Tokenizer.termFreqs(t.text))
+    }
+    val nDocs = corpus.length.toLong
+    val avgdl = docTfs.map(_._2).sum.toDouble / nDocs
+    val dfs = docTfs.flatMap(_._3.keys).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val q = "user la"
+    val terms = graft.analysis.Tokenizer.tokenize(q).distinct.sorted
+    val scored = BM25.bruteForceTopK(terms, docTfs, dfs, nDocs, avgdl, Int.MaxValue)
+    val meta = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t.role) }.toSeq.toDF("doc_id", "role")
+    val want = scored.groupBy { case (id, _) => corpus(id.toInt).role }
+      .flatMap { case (role, hits) =>
+        hits.sortBy { case (id, s) => (-s, id) }.take(3).zipWithIndex
+          .map { case ((id, s), i) => (role, (i + 1).toLong, id, s) }
+      }.toSet
+    val got = rdr.searchGroupTopK(q, meta, "doc_id", "role", perGroup = 3)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(got.size > 3) // multiple groups actually contribute
+    // perGroup = 1 selects exactly the collapse winners
+    val collapsed = rdr.searchCollapse(q, meta, "doc_id", "role")
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val top1 = rdr.searchGroupTopK(q, meta, "doc_id", "role", perGroup = 1)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._3)).toSet
+    assert(top1 == collapsed)
+  }
+
   test("searchPrefix: dictionary expansion == brute-force over expanded terms") {
     val (rdr, corpus) = fixture("idx-prefix")
     val docTfs = corpus.zipWithIndex.map { case (t, i) =>
