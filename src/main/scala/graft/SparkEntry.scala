@@ -721,6 +721,19 @@ object SparkEntry {
     hitsTop20DF(s, rdr.searchFuzzy("spork", 2, 1000000))
   }
 
+  /** Wildcard query (Lucene WildcardQuery): 's?a*' expands against
+    * the dictionary ({scan, small, spark} in this corpus's closed
+    * vocabulary — a PROPER subset of the 's' prefix family, so the
+    * entry proves the mid-pattern constraint bound) and runs through
+    * the disjunctive WAND core with per-term idfs. The literal
+    * prefix 's' pushes to Parquet; the oracle mirrors the expansion
+    * with RE2 `regexp_matches(term, '^s.a.*$')` — same anchored
+    * regex Spark's rlike evaluates. */
+  private def ftBm25Wildcard(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    hitsTop20DF(s, rdr.searchWildcard("s?a*", 1000000))
+  }
+
   /** Result grouping (Solr group.field/group.limit): the top 3 hits
     * per `source` over the FULL scored match set — the perGroup > 1
     * generalization of ft_collapse, scores rounded BEFORE the group
@@ -729,6 +742,33 @@ object SparkEntry {
     val rdr = FtIndex.reader(s, dir)
     rdr.searchGroupTopK(FtQuery, tbl(s, dir, "documents"), "doc_id", "source",
       perGroup = 3, scoreKey = c => round(c, 4))
+  }
+
+  /** Deep paging (Solr cursorMark): PAGE 2 of the flagship query —
+    * the cursor is page 1's last (rounded score, doc_id) hit, and the
+    * page-2 hits are ranked 1-20 within the page. Scores rounded to
+    * 4dp on BOTH sides before the cursor compare so the cursor means
+    * the same thing to both engines; the oracle selects absolute
+    * ranks 21-40 and re-ranks them. Proves the cursor filter skips
+    * exactly one page — no overlap, no gap. */
+  private def ftSearchAfter(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    val r4 = (c: org.apache.spark.sql.Column) => round(c, 4)
+    val page1 = rdr.searchAfter(FtQuery, 20, None, scoreKey = r4)
+    val cur = page1.last
+    hitsTop20DF(s,
+      rdr.searchAfter(FtQuery, 20, Some((cur.score, cur.doc_id)), scoreKey = r4))
+  }
+
+  /** Facet queries (Solr facet.query): three named boolean subqueries'
+    * match-set counts side by side — arbitrary-predicate facet buckets
+    * (each an independent distributed count, unioned). */
+  private def ftFacetQuery(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rdr.facetQueries(Seq(
+      ("dup_and_window", "dup window", ""),
+      ("spark_not_dup", "spark", "dup"),
+      ("all_three", FtQuery, "")))
   }
 
   /** Minimum-should-match query (the Solr/Lucene `mm` parameter): at
@@ -918,11 +958,14 @@ object SparkEntry {
     "ft_bm25_boolean" -> (ftBm25Boolean _),
     "ft_bm25_mm" -> (ftBm25Mm _),
     "ft_bm25_prefix" -> (ftBm25Prefix _),
+    "ft_bm25_wildcard" -> (ftBm25Wildcard _),
     "ft_bm25_fuzzy" -> (ftBm25Fuzzy _),
     "ft_bm25_boosted" -> (ftBm25Boosted _),
     "ft_more_like_this" -> (ftMoreLikeThis _),
     "ft_collapse" -> (ftCollapse _),
     "ft_group_topk" -> (ftGroupTopK _),
+    "ft_search_after" -> (ftSearchAfter _),
+    "ft_facet_query" -> (ftFacetQuery _),
     "ft_facet_stats" -> (ftFacetStats _),
     "ft_facet_pivot" -> (ftFacetPivot _),
     "ft_facet_range" -> (ftFacetRange _),
@@ -1032,6 +1075,26 @@ object SparkEntry {
          |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
          |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
          |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term LIKE 's%' GROUP BY 1),
+         |scores AS (
+         | SELECT tf.doc_id,
+         |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+         | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         | GROUP BY tf.doc_id)
+         |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+         | doc_id, round(s, 4) AS score
+         |FROM scores ORDER BY rank LIMIT 20""".stripMargin
+
+    // wildcard query: the dfs CTE restricts to terms matching the
+    // anchored RE2 regex '^s.a.*$' (glob 's?a*') — the oracle's
+    // analog of the dictionary expansion
+    val ftWildcardSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf
+         |  WHERE regexp_matches(term, '^s.a.*$$') GROUP BY 1),
          |scores AS (
          | SELECT tf.doc_id,
          |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
@@ -1152,6 +1215,42 @@ object SparkEntry {
          | FROM scores sc JOIN documents d USING (doc_id))
          |SELECT source, grank::BIGINT AS grank, doc_id, score
          |FROM r WHERE grank <= 3""".stripMargin
+
+    // deep paging: absolute ranks 21-40 of the flagship ordering
+    // (scores rounded BEFORE the cut, like the engine's cursor),
+    // re-ranked 1-20 within the page
+    val ftSearchAfterSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftTermsIn GROUP BY 1),
+         |scores AS (
+         | SELECT tf.doc_id,
+         |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+         | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         | GROUP BY tf.doc_id),
+         |ranked AS (
+         | SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS arank,
+         |  doc_id, round(s, 4) AS score
+         | FROM scores)
+         |SELECT (arank - 20)::BIGINT AS rank, doc_id, score
+         |FROM ranked WHERE arank BETWEEN 21 AND 40 ORDER BY rank""".stripMargin
+
+    // facet.query: three named boolean subqueries' match-set counts
+    val ftFacetQuerySql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tsets AS (SELECT doc_id, list(DISTINCT term) AS ts FROM toks GROUP BY 1)
+         |SELECT 'dup_and_window' AS facet, count(*)::BIGINT AS n_docs FROM tsets
+         | WHERE list_contains(ts, 'dup') AND list_contains(ts, 'window')
+         |UNION ALL
+         |SELECT 'spark_not_dup' AS facet, count(*)::BIGINT AS n_docs FROM tsets
+         | WHERE list_contains(ts, 'spark') AND NOT list_contains(ts, 'dup')
+         |UNION ALL
+         |SELECT 'all_three' AS facet, count(*)::BIGINT AS n_docs FROM tsets
+         | WHERE list_contains(ts, 'dup') AND list_contains(ts, 'window')
+         |  AND list_contains(ts, 'spark')""".stripMargin
 
     // boolean: both must-terms required, the not-term excluding;
     // scores over must terms only
@@ -1710,11 +1809,14 @@ object SparkEntry {
       "ft_bm25_boolean" -> ftBooleanSql,
       "ft_bm25_mm" -> ftMmSql,
       "ft_bm25_prefix" -> ftPrefixSql,
+      "ft_bm25_wildcard" -> ftWildcardSql,
       "ft_bm25_fuzzy" -> ftFuzzySql,
       "ft_bm25_boosted" -> ftBoostedSql,
       "ft_more_like_this" -> ftMltSql,
       "ft_collapse" -> ftCollapseSql,
       "ft_group_topk" -> ftGroupSql,
+      "ft_search_after" -> ftSearchAfterSql,
+      "ft_facet_query" -> ftFacetQuerySql,
 
       "ft_bm25_phrase" -> ftPhraseSql,
 

@@ -181,6 +181,42 @@ class IndexReader(spark: SparkSession, dir: String,
   }
 
   /**
+   * Wildcard top-k — Lucene WildcardQuery under the same
+   * scoring-boolean rewrite as [[searchPrefix]]: the glob pattern
+   * (`*` = any run, `?` = one character) expands against the
+   * dictionary and the expansion runs through the shared disjunctive
+   * WAND core with each expanded term keeping its own idf. The
+   * pattern's literal prefix (the characters before the first
+   * wildcard) pushes to Parquet as a `startsWith` range scan — the
+   * columnar analog of Lucene seeking the term enum to the common
+   * prefix — and the full anchored regex then runs only on that
+   * slice. A leading-wildcard pattern is accepted (full dictionary
+   * scan, exactly Lucene's cost caveat) but the scan still touches
+   * the DICTIONARY only, never a posting list. The pattern is
+   * lowercased but NOT analyzed (Lucene wildcard-term semantics).
+   * More than `maxExpansions` matching terms throws rather than
+   * silently truncating the match set.
+   */
+  def searchWildcard(pattern: String, k: Int = 10,
+                     maxExpansions: Int = 1024): Vector[QueryHit] = {
+    val p = pattern.toLowerCase(java.util.Locale.ROOT)
+    require(p.exists(c => c != '*' && c != '?'),
+      s"wildcard pattern '$pattern' has no literal characters")
+    if (stats.n_docs == 0) return Vector.empty
+    val litPrefix = p.takeWhile(c => c != '*' && c != '?')
+    val base =
+      if (litPrefix.nonEmpty) dictionary.filter(col("term").startsWith(litPrefix))
+      else dictionary
+    val expanded = base.filter(col("term").rlike(Wand.globToRegex(p)))
+      .select("term").as[String].collect().sorted.toSeq
+    require(expanded.length <= maxExpansions,
+      s"wildcard '$p' expands to ${expanded.length} terms (> $maxExpansions) — " +
+        "tighten the pattern or raise maxExpansions")
+    if (expanded.isEmpty) Vector.empty
+    else mergeDriver(searchTermsCollect(expanded, k), k)
+  }
+
+  /**
    * Query-time term boosting (Lucene's `term^boost` syntax): each
    * term's score contribution scales by its boost, implemented by
    * scaling the term's idf before it enters the shared WAND core — so
@@ -839,6 +875,56 @@ class IndexReader(spark: SparkSession, dir: String,
       .withColumn("grank", row_number().over(w).cast("long"))
       .filter(col("grank") <= perGroup)
       .select(col(groupCol), col("grank"), col("doc_id"), col("score"))
+  }
+
+  /** Deep paging (Solr cursorMark / Lucene searchAfter): the next `k`
+    * hits strictly AFTER a `(score, docId)` cursor in (score desc,
+    * doc_id asc) order — the stateless pagination that stays O(k) per
+    * page regardless of page depth, where `start=N` offset paging
+    * costs O(N + k). Computed over the full scored match set with the
+    * cursor as a FILTER, then `orderBy.limit(k)` — Spark plans that
+    * as a distributed TakeOrdered (per-partition heaps, k rows to the
+    * driver), so no page ever materializes more than k rows anywhere.
+    * Hits come back page-ordered. Pass the last hit of a page as the
+    * next page's cursor; with `scoreKey` rounding (recommended — it
+    * makes the cursor representation-stable across engines) ties are
+    * broken by doc_id exactly as the ordering does, so pages never
+    * skip or repeat a document. */
+  def searchAfter(query: String, k: Int = 10,
+                  after: Option[(Double, Long)] = None, minMatch: Int = 1,
+                  scoreKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+                    = identity): Vector[QueryHit] = {
+    require(k > 0, "k must be positive")
+    val scored = scoredDocs(query, minMatch)
+      .withColumn("score", scoreKey(col("score")))
+    val paged = after match {
+      case Some((s, id)) =>
+        scored.filter(col("score") < s ||
+          (col("score") === s && col("doc_id") > id))
+      case None => scored
+    }
+    paged.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .collect().iterator
+      .map(r => QueryHit(r.getLong(r.fieldIndex("doc_id")),
+        r.getDouble(r.fieldIndex("score"))))
+      .toVector
+  }
+
+  /** Facet queries (Solr `facet.query`): the match-set COUNT of each
+    * named boolean (must, not) subquery — arbitrary-predicate facet
+    * buckets next to [[facetCounts]]'s field buckets. One distributed
+    * count per subquery (matchingDocs → map-side-combinable count —
+    * one 8-byte row per task reaches the shuffle), unioned; the union
+    * of K single-row aggregates is K independent tiny jobs, never a
+    * cross-query shuffle. */
+  def facetQueries(queries: Seq[(String, String, String)]): DataFrame = {
+    require(queries.nonEmpty, "facetQueries needs at least one subquery")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate facet name")
+    queries.map { case (name, must, not) =>
+      matchingDocs(must, not).agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("facet"), col("n_docs"))
+    }.reduce(_ unionAll _)
   }
 
   /** Facet counts over a boolean query's match set — the Solr/Lucene

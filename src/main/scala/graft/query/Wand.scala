@@ -623,4 +623,22 @@ object Wand extends Serializable {
     }
     prev(s.length) <= max
   }
+
+  /** Translate a Lucene-style glob (`*` = any run, `?` = exactly one
+    * character) into an anchored regex. Literal characters are
+    * escaped one-by-one with a backslash (never `\Q…\E`, which RE2
+    * engines don't support) so the same string means the same thing
+    * to Java regex (Spark `rlike`) and to DuckDB's RE2
+    * `regexp_matches` — the wildcard specs and the gate oracle pin
+    * that parity. */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    glob.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if c.isLetterOrDigit => sb.append(c)
+      case c => sb.append('\\').append(c)
+    }
+    sb.append('$').toString
+  }
 }

@@ -163,6 +163,107 @@ class FacetSpec extends SparkFunSuite {
     intercept[IllegalArgumentException] { rdr.searchPrefix("*", 10) }
   }
 
+  test("searchAfter: cursor pages tile the full ordering — no overlap, no gap") {
+    val (rdr, corpus) = fixture("idx-after")
+    val docTfs = corpus.zipWithIndex.map { case (t, i) =>
+      (i.toLong, graft.analysis.Tokenizer.docLength(t.text),
+        graft.analysis.Tokenizer.termFreqs(t.text))
+    }
+    val nDocs = corpus.length.toLong
+    val avgdl = docTfs.map(_._2).sum.toDouble / nDocs
+    val dfs = docTfs.flatMap(_._3.keys).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val q = "user la"
+    val terms = graft.analysis.Tokenizer.tokenize(q).distinct.sorted
+    val all = BM25.bruteForceTopK(terms, docTfs, dfs, nDocs, avgdl, Int.MaxValue)
+    assert(all.size > 20)
+    // exact scores (identity scoreKey): page walk reproduces the full
+    // ordering as consecutive slices
+    var cursor: Option[(Double, Long)] = None
+    val walked = Iterator.continually {
+      val page = rdr.searchAfter(q, 7, cursor)
+      cursor = page.lastOption.map(h => (h.score, h.doc_id))
+      page
+    }.takeWhile(_.nonEmpty).flatten.map(h => (h.doc_id, h.score)).toVector
+    assert(walked == all.toVector)
+    // first page == plain top-k
+    assert(rdr.searchAfter(q, 7).map(h => (h.doc_id, h.score)) ==
+      rdr.search(q, 7).map(h => (h.doc_id, h.score)))
+    // rounded scoreKey: page 2 == rounded-ordering ranks k+1..2k
+    val r4 = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.round(c, 4)
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rounded = all.map { case (id, s) => (id, round4(s)) }
+      .sortBy { case (id, s) => (-s, id) }
+    val p1 = rdr.searchAfter(q, 7, None, scoreKey = r4)
+    val p2 = rdr.searchAfter(q, 7,
+      Some((p1.last.score, p1.last.doc_id)), scoreKey = r4)
+    assert(p2.map(h => (h.doc_id, h.score)) == rounded.slice(7, 14).toVector)
+    // cursor past the end → empty page
+    assert(rdr.searchAfter(q, 7, Some((-1.0, Long.MaxValue))).isEmpty)
+  }
+
+  test("facetQueries: named subquery counts == brute-force boolean counts") {
+    val (rdr, corpus) = fixture("idx-facetq")
+    val tokSets = corpus.map(t => graft.analysis.Tokenizer.termFreqs(t.text).keySet)
+    val subs = Seq(("a", "user la", "bash"), ("b", "la ma", ""), ("c", "user", "la"))
+    val want = subs.map { case (name, mq, nq) =>
+      val must = graft.analysis.Tokenizer.tokenize(mq).distinct
+      val not = graft.analysis.Tokenizer.tokenize(nq).distinct
+      name -> corpus.indices
+        .count(i => must.forall(tokSets(i)) && !not.exists(tokSets(i))).toLong
+    }.toMap
+    assert(want.values.forall(_ > 0), "degenerate fixture")
+    val got = rdr.facetQueries(subs).as[(String, Long)].collect().toMap
+    assert(got == want)
+    intercept[IllegalArgumentException] { rdr.facetQueries(Seq.empty) }
+    intercept[IllegalArgumentException] {
+      rdr.facetQueries(Seq(("x", "la", ""), ("x", "ma", "")))
+    }
+  }
+
+  /** Spec-local reference glob matcher — direct recursive descent, an
+    * independent implementation from Wand.globToRegex + regex. */
+  private def refGlob(pat: String, s: String): Boolean =
+    if (pat.isEmpty) s.isEmpty
+    else pat.head match {
+      case '*' => refGlob(pat.tail, s) || (s.nonEmpty && refGlob(pat, s.tail))
+      case '?' => s.nonEmpty && refGlob(pat.tail, s.tail)
+      case c => s.nonEmpty && s.head == c && refGlob(pat.tail, s.tail)
+    }
+
+  test("searchWildcard: glob expansion == brute-force over expanded terms") {
+    val (rdr, corpus) = fixture("idx-wildcard")
+    val docTfs = corpus.zipWithIndex.map { case (t, i) =>
+      (i.toLong, graft.analysis.Tokenizer.docLength(t.text),
+        graft.analysis.Tokenizer.termFreqs(t.text))
+    }
+    val nDocs = corpus.length.toLong
+    val avgdl = docTfs.map(_._2).sum.toDouble / nDocs
+    val dfs = docTfs.flatMap(_._3.keys).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val vocab = dfs.keys.toSeq.sorted
+    // mid-pattern '?', leading '*' (no prefix pushdown), trailing '*'
+    Seq("?a", "*sh", "u*", "b?s*") .foreach { pat =>
+      val expanded = vocab.filter(refGlob(pat, _))
+      assert(expanded.nonEmpty, s"degenerate glob '$pat'")
+      val want = BM25.bruteForceTopK(expanded, docTfs, dfs, nDocs, avgdl, 10)
+      val got = rdr.searchWildcard(pat, 10).map(h => (h.doc_id, h.score))
+      assert(got == want, s"glob '$pat'")
+      // uppercase input is lowercased, same result
+      assert(rdr.searchWildcard(pat.toUpperCase, 10)
+        .map(h => (h.doc_id, h.score)) == want)
+    }
+    // wildcard-free pattern degenerates to the plain term query
+    assert(rdr.searchWildcard("user", 10).map(h => (h.doc_id, h.score)) ==
+      rdr.search("user", 10).map(h => (h.doc_id, h.score)))
+    assert(rdr.searchWildcard("zz?qq*", 10).isEmpty)
+    intercept[IllegalArgumentException] { rdr.searchWildcard("?a", 10, maxExpansions = 1) }
+    intercept[IllegalArgumentException] { rdr.searchWildcard("*", 10) }
+    intercept[IllegalArgumentException] { rdr.searchWildcard("?*", 10) }
+  }
+
   /** Spec-local reference edit distance — full unbanded Wagner–Fischer
     * matrix, an independent implementation from Wand.editDistanceWithin's
     * two-row early-bail form. */
