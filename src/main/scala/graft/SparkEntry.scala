@@ -760,6 +760,21 @@ object SparkEntry {
       rdr.searchAfter(FtQuery, 20, Some((cur.score, cur.doc_id)), scoreKey = r4))
   }
 
+  /** Highlighting (the Solr highlighter): the flagship top-20 with a
+    * 10-token snippet of the stored text around the first query-term
+    * hit, matched terms wrapped in `<em>` — selection identical to
+    * ft_bm25_topk (rounded + re-ranked), snippets computed as column
+    * expressions over ONE id-filtered doc-store scan. The oracle
+    * rebuilds each snippet with the same sentinel/least/slice/wrap
+    * arithmetic over DuckDB's list functions. */
+  private def ftHighlight(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    val ranked = hitsTop20DF(s, rdr.search(FtQuery, 1000000))
+    val ids = ranked.select("doc_id").collect().map(_.getLong(0)).toSeq
+    ranked.join(rdr.snippets(FtQuery, ids, 10), Seq("doc_id"))
+      .select("rank", "doc_id", "score", "snippet")
+  }
+
   /** Facet queries (Solr facet.query): three named boolean subqueries'
     * match-set counts side by side — arbitrary-predicate facet buckets
     * (each an independent distributed count, unioned). */
@@ -966,6 +981,7 @@ object SparkEntry {
     "ft_group_topk" -> (ftGroupTopK _),
     "ft_search_after" -> (ftSearchAfter _),
     "ft_facet_query" -> (ftFacetQuery _),
+    "ft_highlight" -> (ftHighlight _),
     "ft_facet_stats" -> (ftFacetStats _),
     "ft_facet_pivot" -> (ftFacetPivot _),
     "ft_facet_range" -> (ftFacetRange _),
@@ -1237,6 +1253,40 @@ object SparkEntry {
          | FROM scores)
          |SELECT (arank - 20)::BIGINT AS rank, doc_id, score
          |FROM ranked WHERE arank BETWEEN 21 AND 40 ORDER BY rank""".stripMargin
+
+    // highlighting: flagship top-20 + 10-token snippet around the
+    // first query-term occurrence (sentinel 999999999 for absent
+    // terms, start = greatest(1, mpos-5), matched terms <em>-wrapped)
+    val ftHighlightSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftTermsIn GROUP BY 1),
+         |scores AS (
+         | SELECT tf.doc_id,
+         |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+         | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         | GROUP BY tf.doc_id),
+         |top AS (
+         | SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+         |  doc_id, round(s, 4) AS score
+         | FROM scores ORDER BY rank LIMIT 20),
+         |dts AS (SELECT doc_id, $ToksSql AS ts FROM documents
+         |        WHERE doc_id IN (SELECT doc_id FROM top)),
+         |mp AS (SELECT doc_id, ts, least(
+         |  CASE WHEN list_position(ts, 'dup') = 0 THEN 999999999 ELSE list_position(ts, 'dup') END,
+         |  CASE WHEN list_position(ts, 'spark') = 0 THEN 999999999 ELSE list_position(ts, 'spark') END,
+         |  CASE WHEN list_position(ts, 'window') = 0 THEN 999999999 ELSE list_position(ts, 'window') END) AS fp
+         | FROM dts),
+         |sn AS (SELECT doc_id, array_to_string(list_transform(
+         |   list_slice(ts, greatest(1, (CASE WHEN fp = 999999999 THEN 1 ELSE fp END) - 5),
+         |              greatest(1, (CASE WHEN fp = 999999999 THEN 1 ELSE fp END) - 5) + 9),
+         |   x -> CASE WHEN x IN $ftTermsIn THEN '<em>' || x || '</em>' ELSE x END), ' ') AS snippet
+         | FROM mp)
+         |SELECT t.rank, t.doc_id, t.score, sn.snippet
+         |FROM top t JOIN sn USING (doc_id) ORDER BY t.rank""".stripMargin
 
     // facet.query: three named boolean subqueries' match-set counts
     val ftFacetQuerySql =
@@ -1817,6 +1867,7 @@ object SparkEntry {
       "ft_group_topk" -> ftGroupSql,
       "ft_search_after" -> ftSearchAfterSql,
       "ft_facet_query" -> ftFacetQuerySql,
+      "ft_highlight" -> ftHighlightSql,
 
       "ft_bm25_phrase" -> ftPhraseSql,
 

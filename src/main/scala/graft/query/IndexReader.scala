@@ -910,6 +910,54 @@ class IndexReader(spark: SparkSession, dir: String,
       .toVector
   }
 
+  /** Snippet generation (the Solr highlighter / Lucene
+    * FastVectorHighlighter shape): for the given doc ids, a `width`-
+    * token window of the STORED text centered on the first query-term
+    * occurrence, matched terms wrapped in `<em>`. All column
+    * expressions over the doc store (one Parquet scan filtered to the
+    * k hit ids — an id IN-filter Parquet can evaluate against row-
+    * group stats): v1 tokens → first-match position (array_position
+    * per term, 0 = absent mapped to a sentinel, least) → slice →
+    * per-token wrap → join. Tokens come from the V1 chain of the
+    * stored text, and a token is marked iff it equals an ANALYZED
+    * query term — exact for v1-chain indexes (the common case); under
+    * a stemming chain morphological variants score but are not
+    * marked, the classic highlighter/analyzer mismatch Lucene
+    * documents for its own highlighters. */
+  def snippets(query: String, docIds: Seq[Long], width: Int = 10): DataFrame = {
+    require(width > 0, "width must be positive")
+    val terms = analyzer.tokenize(query).distinct.sorted
+    val Big = 999999999L
+    val toks = graft.operators.TextAnalysis.tokensCol(col("text"))
+    val firstPos = least(terms.map { t =>
+      val ap = array_position(col("ts"), t)
+      when(ap === 0, Big).otherwise(ap)
+    }: _*)
+    IndexBuilder.readDocs(spark, dir)
+      .filter(col("doc_id").isInCollection(docIds))
+      .withColumn("ts", toks)
+      .withColumn("mpos",
+        when(firstPos === Big, 1L).otherwise(firstPos))
+      .withColumn("start", greatest(lit(1L), col("mpos") - lit(width / 2)))
+      .withColumn("sn", slice(col("ts"), col("start").cast("int"), lit(width)))
+      .withColumn("snippet", array_join(
+        transform(col("sn"), t =>
+          when(t.isInCollection(terms), concat(lit("<em>"), t, lit("</em>")))
+            .otherwise(t)), " "))
+      .select(col("doc_id"), col("snippet"))
+  }
+
+  /** Highlighted top-k serving: [[search]]'s hits joined with their
+    * [[snippets]] — (doc_id, score, snippet), score-desc order left
+    * to the caller (the k-row join output is driver-sized). */
+  def highlight(query: String, k: Int = 10, width: Int = 10): DataFrame = {
+    val hits = search(query, k)
+    val hitsDF = spark.createDataFrame(hits.map(h => (h.doc_id, h.score)))
+      .toDF("doc_id", "score")
+    hitsDF.join(snippets(query, hits.map(_.doc_id), width), Seq("doc_id"))
+      .select("doc_id", "score", "snippet")
+  }
+
   /** Facet queries (Solr `facet.query`): the match-set COUNT of each
     * named boolean (must, not) subquery — arbitrary-predicate facet
     * buckets next to [[facetCounts]]'s field buckets. One distributed

@@ -204,6 +204,32 @@ class FacetSpec extends SparkFunSuite {
     assert(rdr.searchAfter(q, 7, Some((-1.0, Long.MaxValue))).isEmpty)
   }
 
+  test("snippets/highlight: width-token window on first hit, matches wrapped") {
+    val (rdr, corpus) = fixture("idx-hl")
+    val q = "user la"
+    val terms = graft.analysis.Tokenizer.tokenize(q).distinct.toSet
+    val hits = rdr.search(q, 8)
+    val ids = hits.map(_.doc_id)
+    val width = 6
+    val want = ids.map { id =>
+      val toks = graft.analysis.Tokenizer.tokenize(corpus(id.toInt).text)
+      val fp = toks.indexWhere(terms) // 0-based, -1 if absent
+      val m = if (fp < 0) 1 else fp + 1 // 1-based, sentinel -> 1
+      val start0 = math.max(1, m - width / 2) - 1
+      val sn = toks.slice(start0, start0 + width)
+        .map(t => if (terms(t)) s"<em>$t</em>" else t).mkString(" ")
+      id -> sn
+    }.toMap
+    val got = rdr.snippets(q, ids, width).as[(Long, String)].collect().toMap
+    assert(got == want)
+    assert(want.values.exists(_.contains("<em>")), "degenerate fixture")
+    // highlight = hits joined with their snippets
+    val hl = rdr.highlight(q, 8, width).as[(Long, Double, String)].collect()
+      .map(r => (r._1, (r._2, r._3))).toMap
+    assert(hl == hits.map(h => h.doc_id -> ((h.score, want(h.doc_id)))).toMap)
+    intercept[IllegalArgumentException] { rdr.snippets(q, ids, 0) }
+  }
+
   test("facetQueries: named subquery counts == brute-force boolean counts") {
     val (rdr, corpus) = fixture("idx-facetq")
     val tokSets = corpus.map(t => graft.analysis.Tokenizer.termFreqs(t.text).keySet)
