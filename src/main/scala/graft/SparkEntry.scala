@@ -802,6 +802,16 @@ object SparkEntry {
     hitsTop20DF(s, rdr.searchPhrase("batch window", 1000000))
   }
 
+  /** Ordered proximity query (SpanNearQuery inOrder): "batch window"~2
+    * — 'window' within 3 positions after 'batch'. Matches a strict
+    * SUPERSET of ft_bm25_phrase's docs (slop 0 ⊂ slop 2), so the entry
+    * proves the slop bound actually widens the span window; scoring is
+    * the phrase scorer with tf = span count. */
+  private def ftBm25Near(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    hitsTop20DF(s, rdr.searchNear("batch window", 2, 1000000))
+  }
+
   /** BM25 over an index built with the NON-DEFAULT v1+stop analysis
     * chain (the mirrorable half of the reference's text_en): stopword
     * removal changes dl/avgdl, so a build that silently ignored the
@@ -988,6 +998,7 @@ object SparkEntry {
     "ft_sort_by_field" -> (ftSortByField _),
     "ft_suggest" -> (ftSuggest _),
     "ft_bm25_phrase" -> (ftBm25Phrase _),
+    "ft_bm25_near" -> (ftBm25Near _),
     "ft_bm25_stop" -> (ftBm25Stop _),
     "ft_bm25_stem" -> (ftBm25Stem _),
     "ft_bm25_mixed" -> (ftBm25Mixed _),
@@ -1331,6 +1342,31 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
          |p AS (SELECT doc_id, len(toks)::BIGINT AS dl,
          |  len(list_filter(range(1, len(toks)), i -> toks[i] = 'batch' AND toks[i+1] = 'window'))::BIGINT AS pf
+         | FROM t),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM p) / (SELECT count(*) FROM documents) AS avgdl),
+         |tf AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf
+         |        WHERE term IN ('batch', 'window') GROUP BY 1),
+         |scores AS (
+         | SELECT p.doc_id,
+         |  ((SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5)) FROM dfs WHERE term = 'batch')
+         |   + (SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5)) FROM dfs WHERE term = 'window'))
+         |  * (pf / (pf + 1.2 * (1 - 0.75 + 0.75 * p.dl / stats.avgdl))) AS s
+         | FROM p CROSS JOIN stats WHERE pf > 0)
+         |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+         | doc_id, round(s, 4) AS score
+         |FROM scores ORDER BY rank LIMIT 20""".stripMargin
+
+    // ordered proximity "batch window"~2: a batch-position matches
+    // when a window-position exists within the next 3 slots (maxWidth
+    // = (m-1)+slop = 3; exists == the engine's greedy minimal chain
+    // for m = 2); scoring = the phrase scorer with tf = span count
+    val ftNearSql =
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+         |  len(list_filter(range(1, len(toks) + 1), i -> toks[i] = 'batch' AND
+         |    len(list_filter(range(i + 1, i + 4), j -> j <= len(toks) AND toks[j] = 'window')) > 0))::BIGINT AS pf
          | FROM t),
          |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
          |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM p) / (SELECT count(*) FROM documents) AS avgdl),
@@ -1870,6 +1906,7 @@ object SparkEntry {
       "ft_highlight" -> ftHighlightSql,
 
       "ft_bm25_phrase" -> ftPhraseSql,
+      "ft_bm25_near" -> ftNearSql,
 
       // the one-job mixed batch = the six per-shape oracles tagged
       // by query_id (searchManyMixed must equal per-shape serving)

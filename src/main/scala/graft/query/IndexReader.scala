@@ -724,9 +724,26 @@ class IndexReader(spark: SparkSession, dir: String,
    * PhraseQuery semantics: tf = phrase frequency, idf = Σ idf(term_i)
    * over the phrase's terms in order (duplicates counted).
    */
-  def searchPhrase(phrase: String, k: Int = 10): Vector[QueryHit] = {
+  def searchPhrase(phrase: String, k: Int = 10): Vector[QueryHit] =
+    searchNear(phrase, 0, k)
+
+  /**
+   * Ordered proximity top-k (Lucene SpanNearQuery inOrder=true / the
+   * sloppy-phrase family): the phrase's terms must appear IN ORDER
+   * within a span of at most (m−1)+slop positions; `slop = 0` IS the
+   * exact phrase query ([[searchPhrase]] delegates here). Same
+   * index-only execution as the exact path — conjunctive leapfrog
+   * over the distinct terms, then greedy minimal-chain span counting
+   * over the v3 position lists ([[Wand.topKPhrase]]) with block-max
+   * early termination — and the same PhraseQuery scoring (tf = span
+   * count, idf = Σ idf(term_i) in phrase order). Each matching start
+   * position counts 1 (the span count — reproducible in plain SQL),
+   * not Lucene's 1/(1+dist) sloppyFreq weighting.
+   */
+  def searchNear(phrase: String, slop: Int, k: Int = 10): Vector[QueryHit] = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
     require(positionsStored,
-      s"index at $dir was built with storePositions=false — phrase " +
+      s"index at $dir was built with storePositions=false — phrase/near " +
         "queries need position lists; rebuild with storePositions=true")
     val terms = analyzer.tokenize(phrase) // ordered, duplicates kept
     if (terms.isEmpty || stats.n_docs == 0) return Vector.empty
@@ -737,6 +754,7 @@ class IndexReader(spark: SparkSession, dir: String,
     val idfSum = terms.foldLeft(0.0)((s, t) => s + BM25.idf(dfs(t), stats.n_docs))
     val avgdl = stats.avgdl
     val kk = k
+    val sl = slop
     val seq = terms.toIndexedSeq
 
     val g = groupSize
@@ -748,7 +766,7 @@ class IndexReader(spark: SparkSession, dir: String,
         val merger = new Wand.TopKMerger(kk)
         Wand.bySegment(rows).foreach { case (_, byTerm) =>
           merger.offerAll(Wand.topKPhrase(byTerm, seq, idfSum, avgdl, kk,
-            initialThreshold = merger.threshold))
+            initialThreshold = merger.threshold, slop = sl))
         }
         merger.result.iterator
       }

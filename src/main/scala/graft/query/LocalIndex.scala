@@ -85,7 +85,13 @@ class LocalIndex private (stats: CorpusStats,
 
   /** In-process exact phrase top-k over the v3 positional postings;
     * bit-identical to IndexReader.searchPhrase. */
-  def searchPhrase(phrase: String, k: Int = 10): Vector[QueryHit] = {
+  def searchPhrase(phrase: String, k: Int = 10): Vector[QueryHit] =
+    searchNear(phrase, 0, k)
+
+  /** In-process ordered proximity top-k (slop 0 = exact phrase);
+    * bit-identical to IndexReader.searchNear. */
+  def searchNear(phrase: String, slop: Int, k: Int = 10): Vector[QueryHit] = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
     require(positionsStored, "index was built with storePositions=false — " +
       "phrase queries need position lists; rebuild with storePositions=true")
     val terms = analyzer.tokenize(phrase)
@@ -95,7 +101,7 @@ class LocalIndex private (stats: CorpusStats,
     val idfSum = terms.foldLeft(0.0)((s, t) => s + BM25.idf(dfs.get(t), stats.n_docs))
     val blocks = terms.distinct.iterator
       .flatMap(t => Option(byTerm.get(t)).map(t -> _)).toMap
-    Wand.topKPhrase(blocks, terms, idfSum, stats.avgdl, k)
+    Wand.topKPhrase(blocks, terms, idfSum, stats.avgdl, k, slop = slop)
   }
 }
 

@@ -492,11 +492,25 @@ object Wand extends Serializable {
    * (duplicates counted), so scores are identical to the previous
    * candidate-verify implementation — but with no candidate cap and no
    * re-read of document text.
+   *
+   * `slop > 0` generalizes to ORDERED proximity (the SpanNearQuery
+   * inOrder=true shape): a start position p₀ of t₀ matches when the
+   * greedy minimal chain p₀ < p₁ < … < p₋₁ (each pₛ the SMALLEST
+   * position of tₛ after pₛ₋₁ — minimal pₛ is optimal for the width
+   * test, so greedy is exact) spans at most (m−1)+slop positions;
+   * pf counts matching starts, each weighted 1 (the span count —
+   * simpler than Lucene's 1/(1+dist) sloppyFreq, and reproducible in
+   * plain SQL; slop = 0 degenerates to exact adjacency, bit-equal to
+   * the phrase path). With slop, a later term's position may serve
+   * several starts, so the early-termination bound uses only t₀'s
+   * block bound (pf ≤ tf(t₀) always; the min-over-terms bound of the
+   * exact case no longer holds).
    */
   def topKPhrase(blocks: Map[String, IndexedSeq[PostingBlockRow]],
                  phraseTerms: Seq[String], idfSum: Double, avgdl: Double,
                  k: Int,
-                 initialThreshold: Double = Double.NegativeInfinity): Vector[QueryHit] = {
+                 initialThreshold: Double = Double.NegativeInfinity,
+                 slop: Int = 0): Vector[QueryHit] = {
     if (phraseTerms.isEmpty || k <= 0) return Vector.empty
     val distinct = phraseTerms.distinct.sorted
     if (!distinct.forall(t => blocks.get(t).exists(_.nonEmpty))) return Vector.empty
@@ -537,12 +551,14 @@ object Wand extends Serializable {
       val t = if (heap.size >= k) heap.head.score else initialThreshold
       if (t != Double.NegativeInfinity) {
         var minTfn = Double.MaxValue
-        var i = 0
-        while (i < cursors.length) {
-          val b = cursors(i).maxRemainingTfNorm
-          if (b < minTfn) minTfn = b
-          i += 1
-        }
+        if (slop == 0) {
+          var i = 0
+          while (i < cursors.length) {
+            val b = cursors(i).maxRemainingTfNorm
+            if (b < minTfn) minTfn = b
+            i += 1
+          }
+        } else minTfn = slots(0).maxRemainingTfNorm // pf <= tf(t0) only
         if (!(idfSum * minTfn * (1 + 1e-9) + java.lang.Double.MIN_VALUE > t))
           return heap.dequeueAll.reverseIterator.toVector
       }
@@ -568,22 +584,27 @@ object Wand extends Serializable {
         var pf = 0
         var i0 = froms(0)
         var live = true
+        val maxWidth = (m - 1) + slop
         while (live && i0 < untils(0)) {
           val p0 = flats(0)(i0)
+          var prev = p0
           var ok = true
           s = 1
           while (s < m && ok) {
-            val want = p0 + s
+            // greedy minimal chain: first slot-s position AFTER prev.
+            // prev is non-decreasing across starts (later p0 → later
+            // minimal chain), so the persistent per-slot pointer only
+            // moves forward — each flat array is scanned once per doc.
             var p = ptrs(s)
             val u = untils(s)
             val fl = flats(s)
-            while (p < u && fl(p) < want) p += 1
+            while (p < u && fl(p) <= prev) p += 1
             ptrs(s) = p
             if (p >= u) { ok = false; live = false } // slot exhausted: no later start can match
-            else if (fl(p) != want) ok = false
+            else prev = fl(p)
             s += 1
           }
-          if (ok) pf += 1
+          if (ok && prev - p0 <= maxWidth) pf += 1
           i0 += 1
         }
         if (pf > 0) offer(target, idfSum * BM25.tfNorm(pf, driver.currentDl, avgdl))

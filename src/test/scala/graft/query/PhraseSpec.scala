@@ -111,6 +111,61 @@ class PhraseSpec extends SparkFunSuite {
     assert(rdr.searchPhrase("alpha", 10) == rdr.search("alpha", 10))
   }
 
+  // near oracle: greedy minimal ordered chain, width <= (m-1)+slop,
+  // each matching start counts 1 — independent find-based walk (the
+  // engine uses persistent monotone pointers)
+  private def nearOracle(phrase: String, slop: Int, k: Int): Vector[(Long, Double)] = {
+    val terms = Tokenizer.tokenize(phrase)
+    val m = terms.length
+    val dfs = terms.distinct.map(t => t -> docToks.count(_.contains(t)).toLong).toMap
+    if (dfs.values.exists(_ == 0L)) return Vector.empty
+    val idfSum = terms.foldLeft(0.0)((s, t) => s + BM25.idf(dfs(t), nDocs))
+    val hits = docToks.indices.flatMap { id =>
+      val toks = docToks(id)
+      var pf = 0
+      toks.indices.filter(toks(_) == terms(0)).foreach { p0 =>
+        var prev = p0
+        var ok = true
+        (1 until m).foreach { s =>
+          if (ok) ((prev + 1) until toks.length).find(toks(_) == terms(s)) match {
+            case Some(p) => prev = p
+            case None => ok = false
+          }
+        }
+        if (ok && prev - p0 <= (m - 1) + slop) pf += 1
+      }
+      if (pf > 0) Some((id.toLong, idfSum * BM25.tfNorm(pf, dls(id), avgdl)))
+      else None
+    }
+    hits.sortBy { case (id, s) => (-s, id) }.take(k).toVector
+  }
+
+  test("searchNear: ordered spans within slop == greedy-chain oracle; slop 0 == phrase") {
+    def gotNear(q: String, slop: Int, k: Int) =
+      rdr.searchNear(q, slop, k).map(h => (h.doc_id, h.score))
+    // slop 0 is the exact phrase path, bit-equal
+    for (q <- Seq("alpha beta", "go go", "one two three"))
+      assert(gotNear(q, 0, 10000) == got(q, 10000), s"slop0 '$q'")
+    // slop 1 picks up the 'alpha green beta' gapped docs
+    val s0 = gotNear("alpha beta", 0, 100000)
+    val s1 = gotNear("alpha beta", 1, 100000)
+    assert(s1 == nearOracle("alpha beta", 1, 100000))
+    assert(s1.map(_._1).toSet == s0.map(_._1).toSet) // all docs already match at slop 0...
+    assert(s1.toSet != s0.toSet) // ...but gapped docs now score HIGHER (pf grew)
+    // reversed order never matches regardless of slop width
+    assert(gotNear("beta alpha", 3, 100000) == nearOracle("beta alpha", 3, 100000))
+    // 3-term chains with slop
+    for (slop <- Seq(1, 2, 5))
+      assert(gotNear("one two three", slop, 100000) ==
+        nearOracle("one two three", slop, 100000), s"3-term slop $slop")
+    // repeated-term chain: second 'go' must sit strictly after the first
+    assert(gotNear("go go", 2, 100000) == nearOracle("go go", 2, 100000))
+    // degenerate shapes
+    assert(rdr.searchNear("alpha", 2, 10) == rdr.search("alpha", 10))
+    assert(gotNear("alpha missingword", 2, 10).isEmpty)
+    intercept[IllegalArgumentException] { rdr.searchNear("alpha beta", -1, 10) }
+  }
+
   test("LocalIndex phrase/boolean serving paths are bit-identical to the cluster path") {
     val local = LocalIndex.load(spark, dir)
     for (q <- Seq("alpha beta", "beta alpha", "one two three", "go go")) {
@@ -119,5 +174,7 @@ class PhraseSpec extends SparkFunSuite {
     assert(local.searchBoolean("alpha one", "go", 10) ==
       rdr.searchBoolean("alpha one", "go", 10))
     assert(local.search("alpha one", 10) == rdr.search("alpha one", 10))
+    for ((q, sl) <- Seq(("alpha beta", 1), ("one two three", 2), ("go go", 3)))
+      assert(local.searchNear(q, sl, 10) == rdr.searchNear(q, sl, 10), s"near '$q'~$sl")
   }
 }
