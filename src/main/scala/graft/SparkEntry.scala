@@ -786,6 +786,23 @@ object SparkEntry {
       ("all_three", FtQuery, "")))
   }
 
+  /** Term vectors (Solr TermVectorComponent): (term, tf, df) rows for
+    * docs 0-2 — tf recomputed from stored text, df joined from the
+    * index dictionary, so the entry cross-checks the dictionary's df
+    * against the oracle's from-scratch count. */
+  private def ftTermVectors(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rdr.termVectors(Seq(0L, 1L, 2L))
+  }
+
+  /** Join query (Solr {!join}): every doc sharing a `source` with any
+    * 'dup AND window' boolean match — match set → distinct join keys
+    * → semi-join back onto the metadata. */
+  private def ftJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rdr.searchJoin("dup window", "", tbl(s, dir, "documents"), "doc_id", "source")
+  }
+
   /** Minimum-should-match query (the Solr/Lucene `mm` parameter): at
     * least 2 of the 3 query terms required, scored over the matching
     * terms only — between the pure disjunction (ft_bm25_topk) and the
@@ -992,6 +1009,8 @@ object SparkEntry {
     "ft_search_after" -> (ftSearchAfter _),
     "ft_facet_query" -> (ftFacetQuery _),
     "ft_highlight" -> (ftHighlight _),
+    "ft_term_vectors" -> (ftTermVectors _),
+    "ft_join" -> (ftJoinQuery _),
     "ft_facet_stats" -> (ftFacetStats _),
     "ft_facet_pivot" -> (ftFacetPivot _),
     "ft_facet_range" -> (ftFacetRange _),
@@ -1298,6 +1317,22 @@ object SparkEntry {
          | FROM mp)
          |SELECT t.rank, t.doc_id, t.score, sn.snippet
          |FROM top t JOIN sn USING (doc_id) ORDER BY t.rank""".stripMargin
+
+    // term vectors: (term, tf, df) for docs 0-2, df from scratch
+    val ftTermVectorsSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+         |SELECT doc_id, term, tf, df FROM tf JOIN dfs USING (term)
+         |WHERE doc_id IN (0, 1, 2)""".stripMargin
+
+    // join query: docs sharing a source with any 'dup AND window' match
+    val ftJoinSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tsets AS (SELECT doc_id, list(DISTINCT term) AS ts FROM toks GROUP BY 1)
+         |SELECT d.doc_id FROM documents d WHERE d.source IN (
+         | SELECT DISTINCT m.source FROM documents m JOIN tsets USING (doc_id)
+         | WHERE list_contains(ts, 'dup') AND list_contains(ts, 'window'))""".stripMargin
 
     // facet.query: three named boolean subqueries' match-set counts
     val ftFacetQuerySql =
@@ -1904,6 +1939,8 @@ object SparkEntry {
       "ft_search_after" -> ftSearchAfterSql,
       "ft_facet_query" -> ftFacetQuerySql,
       "ft_highlight" -> ftHighlightSql,
+      "ft_term_vectors" -> ftTermVectorsSql,
+      "ft_join" -> ftJoinSql,
 
       "ft_bm25_phrase" -> ftPhraseSql,
       "ft_bm25_near" -> ftNearSql,

@@ -895,6 +895,41 @@ class IndexReader(spark: SparkSession, dir: String,
       .select(col(groupCol), col("grank"), col("doc_id"), col("score"))
   }
 
+  /** Term vectors (the Solr TermVectorComponent): per-document
+    * (term, tf, df) rows for the given doc ids — tf recomputed from
+    * the STORED text under the v1 chain (Solr's own fallback when
+    * vectors aren't indexed reads stored fields the same way), df
+    * joined from the index dictionary. One id-filtered doc-store
+    * scan → explode → count, one broadcast-sized dictionary join —
+    * never a postings read (our postings are term-major; walking
+    * them doc-ward would scan the whole index for k docs). Like
+    * [[snippets]], exact for v1-chain indexes; a stemming chain's
+    * dictionary holds stems, which won't join raw-token tfs. */
+  def termVectors(docIds: Seq[Long]): DataFrame = {
+    require(docIds.nonEmpty, "termVectors needs at least one doc id")
+    val toks = graft.operators.TextAnalysis.tokensCol(col("text"))
+    IndexBuilder.readDocs(spark, dir)
+      .filter(col("doc_id").isInCollection(docIds))
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .join(dictionary.select(col("term"), col("df")), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"))
+  }
+
+  /** Join query (Solr's `{!join from=f to=f}` over one collection):
+    * every document whose `joinCol` value appears among the boolean
+    * query's matches — match set ⨝ metadata → DISTINCT join keys →
+    * left-semi back onto the metadata. The key set is bounded by the
+    * join column's cardinality (never the match set), so the semi-
+    * join side is broadcastable at any corpus size. */
+  def searchJoin(mustQuery: String, notQuery: String, meta: DataFrame,
+                 idCol: String, joinCol: String): DataFrame = {
+    val m = meta.select(col(idCol).cast("long").as("doc_id"), col(joinCol))
+    val keys = matchingDocs(mustQuery, notQuery)
+      .join(m, Seq("doc_id")).select(joinCol).distinct()
+    m.join(keys, Seq(joinCol), "left_semi").select("doc_id")
+  }
+
   /** Deep paging (Solr cursorMark / Lucene searchAfter): the next `k`
     * hits strictly AFTER a `(score, docId)` cursor in (score desc,
     * doc_id asc) order — the stateless pagination that stays O(k) per

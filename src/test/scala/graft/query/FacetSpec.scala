@@ -249,6 +249,38 @@ class FacetSpec extends SparkFunSuite {
     }
   }
 
+  test("termVectors: per-doc (term, tf, df) == brute force over the corpus") {
+    val (rdr, corpus) = fixture("idx-tv")
+    val ids = Seq(0L, 5L, 17L)
+    val allTfs = corpus.map(t => graft.analysis.Tokenizer.termFreqs(t.text))
+    val dfs = allTfs.flatMap(_.keys).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val want = ids.flatMap { id =>
+      allTfs(id.toInt).map { case (t, tf) => (id, t, tf.toLong, dfs(t)) }
+    }.toSet
+    val got = rdr.termVectors(ids).as[(Long, String, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.size > 10)
+    intercept[IllegalArgumentException] { rdr.termVectors(Seq.empty) }
+  }
+
+  test("searchJoin: docs sharing a join key with any boolean match") {
+    val (rdr, corpus) = fixture("idx-join")
+    val tokSets = corpus.map(t => graft.analysis.Tokenizer.termFreqs(t.text).keySet)
+    val meta = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t.role) }.toSeq.toDF("doc_id", "role")
+    val matchedRoles = corpus.indices
+      .filter(i => Seq("user", "la").forall(tokSets(i)) && !tokSets(i)("bash"))
+      .map(i => corpus(i).role).toSet
+    assert(matchedRoles.nonEmpty && matchedRoles.size < corpus.map(_.role).distinct.size,
+      "degenerate fixture: join must be selective")
+    val want = corpus.indices.filter(i => matchedRoles(corpus(i).role))
+      .map(_.toLong).toSet
+    val got = rdr.searchJoin("user la", "bash", meta, "doc_id", "role")
+      .as[Long].collect().toSet
+    assert(got == want)
+  }
+
   /** Spec-local reference glob matcher — direct recursive descent, an
     * independent implementation from Wand.globToRegex + regex. */
   private def refGlob(pat: String, s: String): Boolean =
