@@ -313,6 +313,10 @@ object Bench {
       phrases.foreach(p => rdr.searchPhrase(p, 10)) // warm
       results += "ft_phrase_p95" -> p95Of(
         phrases.map(p => timed(rdr.searchPhrase(p, 10))._2))
+      // ordered proximity at slop 2 over the same real bigrams — the
+      // sloppy kernel pays a wider chain walk than exact adjacency
+      results += "ft_near_p95" -> p95Of(
+        phrases.map(p => timed(rdr.searchNear(p, 2, 10))._2))
       // single-node serving path (the reference's Lucene analog):
       // index loaded once, WAND in-process — p95 in ms territory
       if (includeLocal) {
