@@ -786,6 +786,37 @@ object SparkEntry {
       ("all_three", FtQuery, "")))
   }
 
+  /** First 20 rows of an ALREADY-ORDERED (doc_id, score) serving
+    * DataFrame, with driver-assigned ranks — the DataFrame siblings
+    * of hitsTop20DF. */
+  private def rankTop20DF(s: SparkSession, df: DataFrame): DataFrame = {
+    import s.implicits._
+    df.as[(Long, Double)].collect().take(20).zipWithIndex
+      .map { case ((id, sc), i) => ((i + 1).toLong, id, sc) }
+      .toSeq.toDF("rank", "doc_id", "score")
+  }
+
+  /** Function-query boosting (Solr boost=): flagship scores times
+    * ln(1 + n_chars) — a per-DOCUMENT metadata boost outside the WAND
+    * core (vs ft_bm25_boosted's per-term weights inside it). Rounded
+    * AFTER the multiply on both sides. */
+  private def ftBoostByField(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rankTop20DF(s, rdr.searchBoostBy(FtQuery, tbl(s, dir, "documents"),
+      "doc_id", log(lit(1.0) + col("n_chars")), 1000000,
+      scoreKey = c => round(c, 4)))
+  }
+
+  /** Re-ranking (Solr ReRankQParser): the flagship top-50 re-ordered
+    * by score + 2·score("merge vector"), unmatched rescore docs keep
+    * their base score — both cutoffs on 4dp-rounded scores so the
+    * engines cut identically. */
+  private def ftRerank(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rankTop20DF(s, rdr.rerank(FtQuery, "merge vector", 50, 2.0, 20,
+      scoreKey = c => round(c, 4)))
+  }
+
   /** Term vectors (Solr TermVectorComponent): (term, tf, df) rows for
     * docs 0-2 — tf recomputed from stored text, df joined from the
     * index dictionary, so the entry cross-checks the dictionary's df
@@ -1011,6 +1042,8 @@ object SparkEntry {
     "ft_highlight" -> (ftHighlight _),
     "ft_term_vectors" -> (ftTermVectors _),
     "ft_join" -> (ftJoinQuery _),
+    "ft_boost_by_field" -> (ftBoostByField _),
+    "ft_rerank" -> (ftRerank _),
     "ft_facet_stats" -> (ftFacetStats _),
     "ft_facet_pivot" -> (ftFacetPivot _),
     "ft_facet_range" -> (ftFacetRange _),
@@ -1333,6 +1366,54 @@ object SparkEntry {
          |SELECT d.doc_id FROM documents d WHERE d.source IN (
          | SELECT DISTINCT m.source FROM documents m JOIN tsets USING (doc_id)
          | WHERE list_contains(ts, 'dup') AND list_contains(ts, 'window'))""".stripMargin
+
+    // function-query boost: score × ln(1 + n_chars), rounded after
+    // the multiply
+    val ftBoostByFieldSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftTermsIn GROUP BY 1),
+         |scores AS (
+         | SELECT tf.doc_id,
+         |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+         | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         | GROUP BY tf.doc_id)
+         |SELECT row_number() OVER (ORDER BY round(s * ln(1 + n_chars), 4) DESC, doc_id ASC) AS rank,
+         | doc_id, round(s * ln(1 + n_chars), 4) AS score
+         |FROM scores JOIN documents USING (doc_id)
+         |ORDER BY rank LIMIT 20""".stripMargin
+
+    // rerank: flagship top-50 (rounded cut) + 2×score('merge vector'),
+    // unmatched keep the base score; combined re-rounded
+    val ftRerankSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs1 AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftTermsIn GROUP BY 1),
+         |s1 AS (
+         | SELECT tf.doc_id,
+         |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+         | FROM tf JOIN dfs1 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         | GROUP BY tf.doc_id),
+         |dfs2 AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ('merge', 'vector') GROUP BY 1),
+         |s2 AS (
+         | SELECT tf.doc_id,
+         |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+         | FROM tf JOIN dfs2 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         | GROUP BY tf.doc_id),
+         |cut AS (SELECT doc_id, round(s, 4) AS sc1 FROM s1
+         |        ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 50),
+         |comb AS (SELECT cut.doc_id,
+         |  round(sc1 + 2.0 * coalesce(s2.s, 0), 4) AS score
+         | FROM cut LEFT JOIN s2 USING (doc_id))
+         |SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         | doc_id, score
+         |FROM comb ORDER BY rank LIMIT 20""".stripMargin
 
     // facet.query: three named boolean subqueries' match-set counts
     val ftFacetQuerySql =
@@ -1941,6 +2022,8 @@ object SparkEntry {
       "ft_highlight" -> ftHighlightSql,
       "ft_term_vectors" -> ftTermVectorsSql,
       "ft_join" -> ftJoinSql,
+      "ft_boost_by_field" -> ftBoostByFieldSql,
+      "ft_rerank" -> ftRerankSql,
 
       "ft_bm25_phrase" -> ftPhraseSql,
       "ft_bm25_near" -> ftNearSql,

@@ -895,6 +895,59 @@ class IndexReader(spark: SparkSession, dir: String,
       .select(col(groupCol), col("grank"), col("doc_id"), col("score"))
   }
 
+  /** Function-query boosting (Solr's `boost=` / Lucene
+    * FunctionScoreQuery): each match's relevance score MULTIPLIED by
+    * a caller-supplied column expression over document metadata
+    * (recency decay, popularity, length priors…) — scored match set ⨝
+    * metadata → `score · boost` → distributed TakeOrdered, never a
+    * global sort. Unlike [[searchBoosted]] (per-TERM weights inside
+    * the WAND core), the function is per-DOCUMENT and outside the
+    * core, so it composes with any boost shape at the cost of scoring
+    * the full match set (the price Lucene pays too — a function query
+    * can't be bounded by term upper bounds). `scoreKey` (e.g. 4dp
+    * rounding) applies AFTER the multiply, so engine and oracle rank
+    * the same values. */
+  def searchBoostBy(query: String, meta: DataFrame, idCol: String,
+                    boost: org.apache.spark.sql.Column, k: Int = 10,
+                    minMatch: Int = 1,
+                    scoreKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+                      = identity): DataFrame = {
+    require(k > 0, "k must be positive")
+    scoredDocs(query, minMatch)
+      .join(meta.select(col(idCol).cast("long").as("doc_id"),
+        boost.cast("double").as("boost_v")), Seq("doc_id"))
+      .withColumn("score", scoreKey(col("score") * col("boost_v")))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .select("doc_id", "score")
+  }
+
+  /** Re-ranking (the Solr ReRankQParser / Lucene QueryRescorer): the
+    * main query's top `n` hits re-ordered by `score₁ + weight·score₂`
+    * where score₂ comes from a second (usually more expensive) query;
+    * docs the second query doesn't match keep score₁ — exactly
+    * Solr's additive reRank semantics. The top-n cut runs on the
+    * FIRST query's (rounded) scores via distributed TakeOrdered; the
+    * rescore is a LEFT join of the n-row cut against the second
+    * query's scored match set, so the expensive side never exceeds n
+    * rows in the join. `scoreKey` applies to score₁ BEFORE the cut
+    * and to the combined score, keeping both cutoffs engine-stable. */
+  def rerank(query: String, rescoreQuery: String, n: Int, weight: Double,
+             k: Int = 10,
+             scoreKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+               = identity): DataFrame = {
+    require(n > 0 && k > 0, "n and k must be positive")
+    val base = scoredDocs(query)
+      .withColumn("score", scoreKey(col("score")))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(n)
+    val re = scoredDocs(rescoreQuery)
+      .withColumnRenamed("score", "score2")
+    base.join(re, Seq("doc_id"), "left")
+      .withColumn("score", scoreKey(
+        col("score") + lit(weight) * coalesce(col("score2"), lit(0.0))))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .select("doc_id", "score")
+  }
+
   /** Term vectors (the Solr TermVectorComponent): per-document
     * (term, tf, df) rows for the given doc ids — tf recomputed from
     * the STORED text under the v1 chain (Solr's own fallback when

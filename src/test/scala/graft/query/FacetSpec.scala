@@ -249,6 +249,61 @@ class FacetSpec extends SparkFunSuite {
     }
   }
 
+  test("searchBoostBy: per-doc function boost == brute force over the scored set") {
+    val (rdr, corpus) = fixture("idx-boostby")
+    val docTfs = corpus.zipWithIndex.map { case (t, i) =>
+      (i.toLong, graft.analysis.Tokenizer.docLength(t.text),
+        graft.analysis.Tokenizer.termFreqs(t.text))
+    }
+    val nDocs = corpus.length.toLong
+    val avgdl = docTfs.map(_._2).sum.toDouble / nDocs
+    val dfs = docTfs.flatMap(_._3.keys).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val q = "user la"
+    val terms = graft.analysis.Tokenizer.tokenize(q).distinct.sorted
+    val scored = BM25.bruteForceTopK(terms, docTfs, dfs, nDocs, avgdl, Int.MaxValue)
+    val meta = corpus.indices
+      .map(i => (i.toLong, (i % 7 + 1).toDouble)).toDF("doc_id", "w")
+    val want = scored.map { case (id, s) => (id, s * (id % 7 + 1).toDouble) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).toVector
+    val got = rdr.searchBoostBy(q, meta, "doc_id", org.apache.spark.sql.functions.col("w"), 10)
+      .as[(Long, Double)].collect().toVector
+    assert(got == want) // bit-equal: same double multiply
+    // the boost actually reorders relative to the plain ranking
+    assert(got.map(_._1) != scored.sortBy { case (id, s) => (-s, id) }
+      .take(10).map(_._1).toVector)
+    intercept[IllegalArgumentException] {
+      rdr.searchBoostBy(q, meta, "doc_id", org.apache.spark.sql.functions.col("w"), 0)
+    }
+  }
+
+  test("rerank: top-n cut rescored by a second query == brute force") {
+    val (rdr, corpus) = fixture("idx-rerank")
+    val docTfs = corpus.zipWithIndex.map { case (t, i) =>
+      (i.toLong, graft.analysis.Tokenizer.docLength(t.text),
+        graft.analysis.Tokenizer.termFreqs(t.text))
+    }
+    val nDocs = corpus.length.toLong
+    val avgdl = docTfs.map(_._2).sum.toDouble / nDocs
+    val dfs = docTfs.flatMap(_._3.keys).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    def full(q: String): Map[Long, Double] = {
+      val ts = graft.analysis.Tokenizer.tokenize(q).distinct.sorted
+      BM25.bruteForceTopK(ts, docTfs, dfs, nDocs, avgdl, Int.MaxValue).toMap
+    }
+    val (q1, q2, n, w, k) = ("user la", "ma", 25, 3.0, 10)
+    val s1 = full(q1); val s2 = full(q2)
+    val cut = s1.toSeq.sortBy { case (id, s) => (-s, id) }.take(n)
+    val want = cut.map { case (id, s) => (id, s + w * s2.getOrElse(id, 0.0)) }
+      .sortBy { case (id, s) => (-s, id) }.take(k).toVector
+    val got = rdr.rerank(q1, q2, n, w, k).as[(Long, Double)].collect().toVector
+    assert(got == want)
+    // the rescore actually moved something inside the cut
+    assert(got.map(_._1) != cut.take(k).map(_._1).toVector)
+    assert(want.exists { case (id, s) => s != s1(id) }, "degenerate: no q2 overlap")
+    intercept[IllegalArgumentException] { rdr.rerank(q1, q2, 0, w, k) }
+  }
+
   test("termVectors: per-doc (term, tf, df) == brute force over the corpus") {
     val (rdr, corpus) = fixture("idx-tv")
     val ids = Seq(0L, 5L, 17L)
