@@ -552,6 +552,24 @@ object SparkEntry {
         "source", "doc_id", "ws_tokens", budget = 512)
       .select("doc_id", "source", "tokens_before", "bin", "bin_offset")
 
+  /** Per-domain document caps (the Gopher/FineWeb crawl-pipeline
+    * stage): at most 30 docs per source, kept by (n_chars desc,
+    * doc_id asc) — one group-partitioned rank window, mirrored by the
+    * oracle's QUALIFY. */
+  private def pDomainCap(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerGroup(tbl(s, dir, "documents"), "source",
+        Seq(col("n_chars").desc, col("doc_id").asc), 30)
+      .select("doc_id", "source")
+
+  /** Spellcheck collation (Solr spellcheck.collate): 'dup windoq
+    * sprak' → each term's best dictionary suggestion (distance asc,
+    * df desc, term asc; in-dictionary terms are their own distance-0
+    * suggestion) + the corrected query's boolean hit count. */
+  private def ftCollate(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rdr.collate("dup windoq sprak", 2)
+  }
+
   // ---------- multimodal / scan extensions ----------
 
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -1020,6 +1038,8 @@ object SparkEntry {
     "p_pipeline" -> (pPipeline _),
     "p_sample_stratified" -> (pSampleStratified _),
     "p_pack" -> (pPack _),
+    "p_domain_cap" -> (pDomainCap _),
+    "ft_collate" -> (ftCollate _),
     "mm_features" -> (mmFeatures _),
     "mm_frame_sample" -> (mmFrameSample _),
     "s_pre_analyze" -> (sPreAnalyze _),
@@ -1414,6 +1434,26 @@ object SparkEntry {
          |SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
          | doc_id, score
          |FROM comb ORDER BY rank LIMIT 20""".stripMargin
+
+    // spellcheck collation: best suggestion per raw term (distance
+    // asc, df desc, term asc; in-dictionary terms self-correct at
+    // distance 0), then the corrected query's all-terms hit count
+    val ftCollateSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |q(pos, term) AS (VALUES (1, 'dup'), (2, 'windoq'), (3, 'sprak')),
+         |corr AS (SELECT q.pos, coalesce((
+         |   SELECT d.term FROM dfs d
+         |   WHERE levenshtein(d.term, q.term) <= 2
+         |   ORDER BY levenshtein(d.term, q.term) ASC, d.df DESC, d.term ASC
+         |   LIMIT 1), q.term) AS cterm
+         |  FROM q),
+         |coll AS (SELECT string_agg(cterm, ' ' ORDER BY pos) AS collated FROM corr),
+         |tsets AS (SELECT doc_id, list(DISTINCT term) AS ts FROM toks GROUP BY 1),
+         |hits AS (SELECT count(*)::BIGINT AS n_hits FROM tsets
+         |  WHERE NOT EXISTS (SELECT 1 FROM corr WHERE NOT list_contains(ts, cterm)))
+         |SELECT collated, n_hits FROM coll CROSS JOIN hits""".stripMargin
 
     // facet.query: three named boolean subqueries' match-set counts
     val ftFacetQuerySql =
@@ -2024,6 +2064,13 @@ object SparkEntry {
       "ft_join" -> ftJoinSql,
       "ft_boost_by_field" -> ftBoostByFieldSql,
       "ft_rerank" -> ftRerankSql,
+      "ft_collate" -> ftCollateSql,
+      "p_domain_cap" ->
+        """SELECT doc_id, source FROM (
+          | SELECT doc_id, source,
+          |  row_number() OVER (PARTITION BY source
+          |    ORDER BY n_chars DESC, doc_id ASC) AS rn
+          | FROM documents) WHERE rn <= 30""".stripMargin,
 
       "ft_bm25_phrase" -> ftPhraseSql,
       "ft_bm25_near" -> ftNearSql,

@@ -56,6 +56,28 @@ object Sampling {
     }
     df.filter(bucketOf(col(idCol), crossEngine) < threshold)
   }
+
+  /** Per-group document caps — the "at most N documents per domain"
+    * stage of a crawl-derived pretraining pipeline (the Gopher /
+    * FineWeb per-domain cap): within each `groupCol` value keep the
+    * top `n` rows under the caller's DETERMINISTIC `rankCols` order
+    * (quality desc + a unique tie-break — an ambiguous order would
+    * make the kept set parallelism-dependent). One rank window
+    * partitioned by the group — the shuffle carries each group's rows
+    * to one task, bounded by the largest group, and nothing global.
+    * A hot group (one domain = half the crawl) should be pre-capped
+    * with [[sampleByHash]] before this window; the cap itself cannot
+    * avoid materializing the group's rows in its task. */
+  def capPerGroup(df: DataFrame, groupCol: String,
+                  rankCols: Seq[Column], n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(rankCols.nonEmpty, "capPerGroup needs a deterministic order")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(rankCols: _*)
+    df.withColumn("_cap_rn", row_number().over(w))
+      .filter(col("_cap_rn") <= n)
+      .drop("_cap_rn")
+  }
 }
 
 /**

@@ -265,6 +265,32 @@ class IndexReader(spark: SparkSession, dir: String,
       .limit(n)
   }
 
+  /** Whole-query spellcheck collation (Solr `spellcheck.collate`):
+    * every query term replaced by its BEST dictionary suggestion
+    * under the [[suggest]] order (edit distance asc, df desc, term
+    * asc) — a term already in the dictionary is its own suggestion at
+    * distance 0, so correct terms pass through unchanged and no
+    * separate presence check is needed — plus the corrected query's
+    * boolean (all-terms) hit count, Solr's "collation with hits"
+    * response shape. One banded dictionary scan per DISTINCT term
+    * (O(terms) driver work, like every query-rewrite path) and one
+    * distributed match-set count. A term with no suggestion within
+    * `maxEdits` stays as typed; the collation then counts 0 hits,
+    * exactly Solr's response for an uncorrectable term. */
+  def collate(query: String, maxEdits: Int = 2): DataFrame = {
+    import spark.implicits._
+    val raw = analyzer.tokenize(query)
+    val bestOf = raw.distinct.map { t =>
+      t -> suggest(t, maxEdits, 1).collect().headOption.map(_.getString(0))
+    }.toMap
+    val corrected = raw.map(t => bestOf(t).getOrElse(t))
+    val collation = corrected.mkString(" ")
+    val nHits = if (corrected.isEmpty) 0L else matchingDocs(collation).count()
+    // column named `collated`: COLLATION is a reserved word in ANSI
+    // SQL engines, which would break the cross-engine oracle
+    Seq((collation, nHits)).toDF("collated", "n_hits")
+  }
+
   /**
    * More-like-this (the Lucene/Solr MLT component): find documents
    * similar to a SEED document by (1) selecting the seed's most

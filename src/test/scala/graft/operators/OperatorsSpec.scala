@@ -628,6 +628,33 @@ class SamplingPackingSpec extends graft.SparkFunSuite {
     assert(s1 > 20 && s1 < 80, s"src1 at 0.5 wildly off: $s1")
   }
 
+  test("capPerGroup: top-n per group under a deterministic order") {
+    val df = (0L until 200L)
+      .map(i => (i, s"d${i % 5}", (i * 37 % 101))).toDF("id", "domain", "q")
+    val want = (0L until 200L).map(i => (i, s"d${i % 5}", i * 37 % 101))
+      .groupBy(_._2).values.flatMap(_.sortBy { case (id, _, q) => (-q, id) }.take(7))
+      .map(_._1).toSet
+    val got = Sampling.capPerGroup(df, "domain",
+        Seq(org.apache.spark.sql.functions.col("q").desc,
+          org.apache.spark.sql.functions.col("id").asc), 7)
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.size == 35) // 5 domains x 7
+    // cap larger than any group keeps everything, schema unchanged
+    assert(Sampling.capPerGroup(df, "domain",
+      Seq(org.apache.spark.sql.functions.col("id").asc), 1000).count() == 200)
+    assert(Sampling.capPerGroup(df, "domain",
+      Seq(org.apache.spark.sql.functions.col("id").asc), 7)
+      .columns.toSeq == Seq("id", "domain", "q"))
+    intercept[IllegalArgumentException] {
+      Sampling.capPerGroup(df, "domain", Seq.empty, 7)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.capPerGroup(df, "domain",
+        Seq(org.apache.spark.sql.functions.col("id").asc), 0)
+    }
+  }
+
   test("packByBudget: hand-computed bins/offsets, shards independent") {
     val df = Seq(
       ("a", 1L, 3L), ("a", 2L, 2L), ("a", 3L, 4L), // prefix 0,3,5

@@ -230,6 +230,35 @@ class FacetSpec extends SparkFunSuite {
     intercept[IllegalArgumentException] { rdr.snippets(q, ids, 0) }
   }
 
+  test("collate: best suggestion per term + corrected-query hit count") {
+    val (rdr, corpus) = fixture("idx-collate")
+    val tokSets = corpus.map(t => graft.analysis.Tokenizer.termFreqs(t.text).keySet)
+    val dfs = tokSets.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val vocab = dfs.keys.toSeq.sorted
+    def best(t: String): String =
+      vocab.filter(v => refLev(v, t) <= 2)
+        .sortBy(v => (refLev(v, t), -dfs(v), v)).headOption.getOrElse(t)
+    for (q <- Seq("usr la", "user la", "laq mb user")) {
+      val corrected = graft.analysis.Tokenizer.tokenize(q).map(best)
+      val wantColl = corrected.mkString(" ")
+      val wantHits = corpus.indices
+        .count(i => corrected.distinct.forall(tokSets(i))).toLong
+      val Array((gotColl, gotHits)) =
+        rdr.collate(q, 2).as[(String, Long)].collect()
+      assert(gotColl == wantColl, s"collation for '$q'")
+      assert(gotHits == wantHits, s"hits for '$q'")
+      assert(wantHits > 0, s"degenerate fixture for '$q'")
+    }
+    // an in-dictionary query self-corrects to itself
+    val Array((same, _)) = rdr.collate("user la", 2).as[(String, Long)].collect()
+    assert(same == "user la")
+    // uncorrectable terms stay as typed and count zero hits
+    val Array((uc, ucHits)) =
+      rdr.collate("user zzzzqqqzz", 2).as[(String, Long)].collect()
+    assert(uc == "user zzzzqqqzz" && ucHits == 0L)
+  }
+
   test("facetQueries: named subquery counts == brute-force boolean counts") {
     val (rdr, corpus) = fixture("idx-facetq")
     val tokSets = corpus.map(t => graft.analysis.Tokenizer.termFreqs(t.text).keySet)
