@@ -868,6 +868,15 @@ object SparkEntry {
     hitsTop20DF(s, rdr.searchPhrase("batch window", 1000000))
   }
 
+  /** Unordered proximity (SpanNearQuery inOrder=false): window and
+    * batch within 3 positions in EITHER order, pf anchored on
+    * 'window' occurrences — matches docs the ordered entry can't
+    * (batch after window), so the pair proves the order flag. */
+  private def ftBm25NearUnordered(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    hitsTop20DF(s, rdr.searchNearUnordered("window", "batch", 2, 1000000))
+  }
+
   /** Ordered proximity query (SpanNearQuery inOrder): "batch window"~2
     * — 'window' within 3 positions after 'batch'. Matches a strict
     * SUPERSET of ft_bm25_phrase's docs (slop 0 ⊂ slop 2), so the entry
@@ -1071,6 +1080,7 @@ object SparkEntry {
     "ft_suggest" -> (ftSuggest _),
     "ft_bm25_phrase" -> (ftBm25Phrase _),
     "ft_bm25_near" -> (ftBm25Near _),
+    "ft_bm25_near_unordered" -> (ftBm25NearUnordered _),
     "ft_bm25_stop" -> (ftBm25Stop _),
     "ft_bm25_stem" -> (ftBm25Stem _),
     "ft_bm25_mixed" -> (ftBm25Mixed _),
@@ -1533,6 +1543,30 @@ object SparkEntry {
          | SELECT p.doc_id,
          |  ((SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5)) FROM dfs WHERE term = 'batch')
          |   + (SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5)) FROM dfs WHERE term = 'window'))
+         |  * (pf / (pf + 1.2 * (1 - 0.75 + 0.75 * p.dl / stats.avgdl))) AS s
+         | FROM p CROSS JOIN stats WHERE pf > 0)
+         |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+         | doc_id, round(s, 4) AS score
+         |FROM scores ORDER BY rank LIMIT 20""".stripMargin
+
+    // unordered proximity: pf = 'window' positions with a 'batch'
+    // within +-3 slots (either order); idf(window) + idf(batch) in
+    // anchor-first order
+    val ftNearUnorderedSql =
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+         |  len(list_filter(range(1, len(toks) + 1), i -> toks[i] = 'window' AND
+         |    len(list_filter(range(greatest(1, i - 3), i + 4), j -> j <= len(toks) AND toks[j] = 'batch')) > 0))::BIGINT AS pf
+         | FROM t),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM p) / (SELECT count(*) FROM documents) AS avgdl),
+         |tf AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf
+         |        WHERE term IN ('batch', 'window') GROUP BY 1),
+         |scores AS (
+         | SELECT p.doc_id,
+         |  ((SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5)) FROM dfs WHERE term = 'window')
+         |   + (SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5)) FROM dfs WHERE term = 'batch'))
          |  * (pf / (pf + 1.2 * (1 - 0.75 + 0.75 * p.dl / stats.avgdl))) AS s
          | FROM p CROSS JOIN stats WHERE pf > 0)
          |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
@@ -2074,6 +2108,7 @@ object SparkEntry {
 
       "ft_bm25_phrase" -> ftPhraseSql,
       "ft_bm25_near" -> ftNearSql,
+      "ft_bm25_near_unordered" -> ftNearUnorderedSql,
 
       // the one-job mixed batch = the six per-shape oracles tagged
       // by query_id (searchManyMixed must equal per-shape serving)

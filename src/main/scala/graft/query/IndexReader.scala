@@ -802,6 +802,52 @@ class IndexReader(spark: SparkSession, dir: String,
   }
 
   /**
+   * Two-term UNORDERED proximity top-k (SpanNearQuery inOrder=false):
+   * the terms must co-occur within |q − p| ≤ slop + 1 positions in
+   * EITHER order — pf counts `termA`'s qualifying occurrences
+   * ([[Wand.topKNearUnordered2]]), scored like the phrase family
+   * (tf = pf, idf = idf(A) + idf(B)). Same index-only execution as
+   * [[searchNear]]. Each term is analyzed singly and must survive as
+   * one distinct token.
+   */
+  def searchNearUnordered(termA: String, termB: String, slop: Int,
+                          k: Int = 10): Vector[QueryHit] = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    require(positionsStored,
+      s"index at $dir was built with storePositions=false — proximity " +
+        "queries need position lists; rebuild with storePositions=true")
+    val ts = Seq(termA, termB).map { raw =>
+      val t = analyzer.tokenize(raw)
+      require(t.length == 1, s"near term '$raw' analyzed to ${t.length} tokens")
+      t.head
+    }
+    val (a, b) = (ts(0), ts(1))
+    require(a != b, "unordered near needs two distinct terms")
+    if (stats.n_docs == 0) return Vector.empty
+    val dfs = docFreqs(Seq(a, b).distinct)
+    if (dfs.size < 2) return Vector.empty
+    val idfSum = BM25.idf(dfs(a), stats.n_docs) + BM25.idf(dfs(b), stats.n_docs)
+    val avgdl = stats.avgdl
+    val kk = k
+    val sl = slop
+    val g = groupSize
+    val perTask = postings
+      .filter(col("term").isInCollection(Seq(a, b)))
+      .as[PostingBlockRow]
+      .groupByKey(_.segment / g)
+      .flatMapGroups { (_, rows) =>
+        val merger = new Wand.TopKMerger(kk)
+        Wand.bySegment(rows).foreach { case (_, byTerm) =>
+          merger.offerAll(Wand.topKNearUnordered2(byTerm, a, b, sl,
+            idfSum, avgdl, kk, initialThreshold = merger.threshold))
+        }
+        merger.result.iterator
+      }
+      .collect()
+    mergeDriver(perTask, k)
+  }
+
+  /**
    * The FULL match set of a boolean query as a DataFrame of docIds —
    * search as a relational operator. No scoring, no top-k heap, and
    * crucially NO driver collect: per-segment leapfrog intersection

@@ -614,6 +614,67 @@ object Wand extends Serializable {
     heap.dequeueAll.reverseIterator.toVector
   }
 
+  /** Two-term UNORDERED proximity top-k over one segment
+    * (SpanNearQuery inOrder=false at m = 2): pf counts positions p of
+    * `termA` with ANY `termB` position within |q − p| ≤ slop + 1 —
+    * the symmetric within-window test, anchored on termA's
+    * occurrences so each A-position counts once and pf ≤ tf(A) (the
+    * early-termination bound). Two monotone pointers over the aligned
+    * doc's position lists — each list scanned once per doc, like the
+    * ordered kernel. Scoring is the phrase family's: tf = pf, idf =
+    * idf(A) + idf(B). The m-term generalization needs a min-window
+    * walk over m lists; two terms cover the dominant unordered use
+    * and keep the semantics SQL-reproducible. */
+  def topKNearUnordered2(blocks: Map[String, IndexedSeq[PostingBlockRow]],
+                         termA: String, termB: String, slop: Int,
+                         idfSum: Double, avgdl: Double, k: Int,
+                         initialThreshold: Double = Double.NegativeInfinity): Vector[QueryHit] = {
+    require(termA != termB, "unordered near needs two distinct terms")
+    if (k <= 0) return Vector.empty
+    if (!blocks.get(termA).exists(_.nonEmpty) ||
+        !blocks.get(termB).exists(_.nonEmpty)) return Vector.empty
+    val ca = new Cursor(termA, 0.0, blocks(termA).sortBy(_.max_doc_id), avgdl)
+    val cb = new Cursor(termB, 0.0, blocks(termB).sortBy(_.max_doc_id), avgdl)
+    val d = slop + 1
+    val heap = mutable.PriorityQueue.empty[QueryHit](worstFirst.reverse)
+    def offer(doc: Long, s: Double): Unit = {
+      if (heap.size < k) { if (s > initialThreshold) heap.enqueue(QueryHit(doc, s)) }
+      else {
+        val worst = heap.head
+        if (s > worst.score || (s == worst.score && doc < worst.doc_id)) {
+          heap.dequeue(); heap.enqueue(QueryHit(doc, s))
+        }
+      }
+    }
+    while (!ca.exhausted && !cb.exhausted) {
+      val t = if (heap.size >= k) heap.head.score else initialThreshold
+      if (t != Double.NegativeInfinity) {
+        val bound = idfSum * ca.maxRemainingTfNorm // pf <= tf(A)
+        if (!(bound * (1 + 1e-9) + java.lang.Double.MIN_VALUE > t))
+          return heap.dequeueAll.reverseIterator.toVector
+      }
+      if (ca.docId < cb.docId) ca.advance(cb.docId)
+      else if (cb.docId < ca.docId) cb.advance(ca.docId)
+      else {
+        val doc = ca.docId
+        val (fa, froma, untila) = ca.currentPositions
+        val (fb, fromb, untilb) = cb.currentPositions
+        var pf = 0
+        var ia = froma
+        var ib = fromb
+        while (ia < untila) {
+          val p = fa(ia)
+          while (ib < untilb && fb(ib) < p - d) ib += 1
+          if (ib < untilb && fb(ib) <= p + d) pf += 1
+          ia += 1
+        }
+        if (pf > 0) offer(doc, idfSum * BM25.tfNorm(pf, ca.currentDl, avgdl))
+        ca.next()
+      }
+    }
+    heap.dequeueAll.reverseIterator.toVector
+  }
+
   /** Unit-cost Levenshtein "within max" test (classic Wagner–Fischer
     * two-row DP with an early bail when a full row exceeds `max`) —
     * used to assign batch-wide fuzzy dictionary matches back to their

@@ -166,6 +166,42 @@ class PhraseSpec extends SparkFunSuite {
     intercept[IllegalArgumentException] { rdr.searchNear("alpha beta", -1, 10) }
   }
 
+  // unordered oracle: pf = a-positions with any b within +-(slop+1)
+  private def nearUnorderedOracle(a: String, b: String, slop: Int,
+                                  k: Int): Vector[(Long, Double)] = {
+    val dfs = Seq(a, b).map(t => t -> docToks.count(_.contains(t)).toLong).toMap
+    if (dfs.values.exists(_ == 0L)) return Vector.empty
+    val idfSum = BM25.idf(dfs(a), nDocs) + BM25.idf(dfs(b), nDocs)
+    val d = slop + 1
+    val hits = docToks.indices.flatMap { id =>
+      val toks = docToks(id)
+      val bpos = toks.indices.filter(toks(_) == b).toSet
+      val pf = toks.indices.count(i => toks(i) == a &&
+        (math.max(0, i - d) to (i + d)).exists(bpos))
+      if (pf > 0) Some((id.toLong, idfSum * BM25.tfNorm(pf, dls(id), avgdl)))
+      else None
+    }
+    hits.sortBy { case (id, s) => (-s, id) }.take(k).toVector
+  }
+
+  test("searchNearUnordered: either-order window == anchored oracle") {
+    def gotU(a: String, b: String, slop: Int, k: Int) =
+      rdr.searchNearUnordered(a, b, slop, k).map(h => (h.doc_id, h.score))
+    for ((a, b, sl) <- Seq(("alpha", "beta", 0), ("alpha", "beta", 1),
+        ("beta", "alpha", 1), ("one", "three", 1), ("alpha", "green", 2)))
+      assert(gotU(a, b, sl, 100000) == nearUnorderedOracle(a, b, sl, 100000),
+        s"unordered ($a, $b)~$sl")
+    // the reversed 'beta alpha' appendix (i % 5 docs) adds unordered
+    // pf that the ordered count can't see — scores must differ
+    val ordScores = rdr.searchNear("alpha beta", 0, 100000)
+      .map(h => (h.doc_id, h.score)).toSet
+    assert(gotU("alpha", "beta", 0, 100000).toSet != ordScores,
+      "unordered must count reversed adjacencies")
+    assert(gotU("alpha", "missingword", 2, 10).isEmpty)
+    intercept[IllegalArgumentException] { rdr.searchNearUnordered("alpha", "alpha", 1, 10) }
+    intercept[IllegalArgumentException] { rdr.searchNearUnordered("alpha", "beta", -1, 10) }
+  }
+
   test("LocalIndex phrase/boolean serving paths are bit-identical to the cluster path") {
     val local = LocalIndex.load(spark, dir)
     for (q <- Seq("alpha beta", "beta alpha", "one two three", "go go")) {
