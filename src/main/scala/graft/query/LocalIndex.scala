@@ -69,6 +69,132 @@ class LocalIndex private (stats: CorpusStats,
     Wand.topK(blocks, idfs, stats.avgdl, k, allow = allow)
   }
 
+  /** The in-process disjunctive core the rewrite paths feed their
+    * expanded/weighted term sets into — [[IndexReader]]'s
+    * searchTermsCollect analog over the whole-corpus cursors. */
+  private def searchTerms(terms: Seq[String], k: Int,
+                          boost: String => Double = _ => 1.0): Vector[QueryHit] = {
+    if (terms.isEmpty || stats.n_docs == 0) return Vector.empty
+    val blocks = terms.iterator.flatMap { t =>
+      Option(byTerm.get(t)).map(t -> _)
+    }.toMap
+    if (blocks.isEmpty) return Vector.empty
+    val idfs = terms.flatMap { t =>
+      Option(dfs.get(t)).filter(_ != 0L)
+        .map(df => t -> boost(t) * BM25.idf(df, stats.n_docs))
+    }.toMap
+    Wand.topK(blocks, idfs, stats.avgdl, k)
+  }
+
+  /** The corpus vocabulary (dictionary terms), sorted — the local
+    * analog of the cluster dictionary scan the rewrite paths expand
+    * against. */
+  private lazy val vocab: Array[String] = {
+    val a = new Array[String](dfs.size)
+    val it = dfs.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { a(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(a, java.util.Comparator.naturalOrder[String])
+    a
+  }
+
+  /** In-process prefix query; same expansion + scoring as
+    * IndexReader.searchPrefix (bit-identical hits). */
+  def searchPrefix(prefix: String, k: Int = 10,
+                   maxExpansions: Int = 1024): Vector[QueryHit] = {
+    val p = prefix.toLowerCase(java.util.Locale.ROOT).stripSuffix("*")
+    require(p.nonEmpty, "empty prefix")
+    val expanded = vocab.filter(_.startsWith(p)).toSeq
+    require(expanded.length <= maxExpansions,
+      s"prefix '$p*' expands to ${expanded.length} terms (> $maxExpansions)")
+    searchTerms(expanded, k)
+  }
+
+  /** In-process wildcard query; same glob semantics as
+    * IndexReader.searchWildcard. */
+  def searchWildcard(pattern: String, k: Int = 10,
+                     maxExpansions: Int = 1024): Vector[QueryHit] = {
+    val p = pattern.toLowerCase(java.util.Locale.ROOT)
+    require(p.exists(c => c != '*' && c != '?'),
+      s"wildcard pattern '$pattern' has no literal characters")
+    val re = Wand.globToRegex(p).r
+    val expanded = vocab.filter(t => re.matches(t)).toSeq
+    require(expanded.length <= maxExpansions,
+      s"wildcard '$p' expands to ${expanded.length} terms (> $maxExpansions)")
+    searchTerms(expanded, k)
+  }
+
+  /** In-process fuzzy query; same banded-Levenshtein expansion as
+    * IndexReader.searchFuzzy ([[Wand.editDistanceWithin]] is the
+    * same unit-cost distance as the engines'). */
+  def searchFuzzy(term: String, maxEdits: Int = 2, k: Int = 10,
+                  maxExpansions: Int = 1024): Vector[QueryHit] = {
+    require(maxEdits >= 0 && maxEdits <= 2, s"maxEdits $maxEdits not in 0..2")
+    val q = term.toLowerCase(java.util.Locale.ROOT)
+    require(q.nonEmpty, "empty fuzzy term")
+    val expanded = vocab.filter(t =>
+      math.abs(t.length - q.length) <= maxEdits &&
+        Wand.editDistanceWithin(t, q, maxEdits)).toSeq
+    require(expanded.length <= maxExpansions,
+      s"'$q'~$maxEdits expands to ${expanded.length} terms (> $maxExpansions)")
+    searchTerms(expanded, k)
+  }
+
+  /** In-process query-time term boosting; same boost×idf pre-core
+    * scaling as IndexReader.searchBoosted. */
+  def searchBoosted(boosts: Seq[(String, Double)], k: Int = 10): Vector[QueryHit] = {
+    require(boosts.forall(_._2 >= 0), "boosts must be >= 0")
+    val termBoosts = boosts.map { case (raw, b) =>
+      val ts = analyzer.tokenize(raw)
+      require(ts.length == 1, s"boosted term '$raw' analyzed to ${ts.length} tokens")
+      ts.head -> b
+    }
+    require(termBoosts.map(_._1).distinct.length == termBoosts.length,
+      "duplicate boosted term")
+    val bm = termBoosts.toMap
+    searchTerms(bm.keys.toSeq.sorted, k, bm)
+  }
+
+  /** In-process minimum-should-match; bit-identical to
+    * IndexReader.searchMinShouldMatch. */
+  def searchMinShouldMatch(query: String, minMatch: Int,
+                           k: Int = 10): Vector[QueryHit] = {
+    val mm = math.max(1, minMatch)
+    val terms = analyzer.tokenize(query).distinct.sorted
+    if (terms.isEmpty || stats.n_docs == 0) return Vector.empty
+    val blocks = terms.iterator.flatMap { t =>
+      Option(byTerm.get(t)).map(t -> _)
+    }.toMap
+    if (blocks.size < mm) return Vector.empty
+    val idfs = terms.flatMap { t =>
+      Option(dfs.get(t)).filter(_ != 0L).map(df => t -> BM25.idf(df, stats.n_docs))
+    }.toMap
+    Wand.topK(blocks, idfs, stats.avgdl, k, minMatch = mm)
+  }
+
+  /** In-process two-term unordered proximity; bit-identical to
+    * IndexReader.searchNearUnordered. */
+  def searchNearUnordered(termA: String, termB: String, slop: Int,
+                          k: Int = 10): Vector[QueryHit] = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    require(positionsStored, "index was built with storePositions=false — " +
+      "proximity queries need position lists; rebuild with storePositions=true")
+    val ts = Seq(termA, termB).map { raw =>
+      val t = analyzer.tokenize(raw)
+      require(t.length == 1, s"near term '$raw' analyzed to ${t.length} tokens")
+      t.head
+    }
+    val (a, b) = (ts(0), ts(1))
+    require(a != b, "unordered near needs two distinct terms")
+    if (stats.n_docs == 0) return Vector.empty
+    if (!dfs.containsKey(a) || !dfs.containsKey(b)) return Vector.empty
+    val idfSum = BM25.idf(dfs.get(a), stats.n_docs) + BM25.idf(dfs.get(b), stats.n_docs)
+    val blocks = Seq(a, b).iterator.flatMap { t =>
+      Option(byTerm.get(t)).map(t -> _)
+    }.toMap
+    Wand.topKNearUnordered2(blocks, a, b, slop, idfSum, stats.avgdl, k)
+  }
+
   /** In-process boolean (AND/NOT) BM25 top-k; bit-identical to
     * IndexReader.searchBoolean. */
   def searchBoolean(mustQuery: String, notQuery: String = "",

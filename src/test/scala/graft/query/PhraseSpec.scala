@@ -212,5 +212,18 @@ class PhraseSpec extends SparkFunSuite {
     assert(local.search("alpha one", 10) == rdr.search("alpha one", 10))
     for ((q, sl) <- Seq(("alpha beta", 1), ("one two three", 2), ("go go", 3)))
       assert(local.searchNear(q, sl, 10) == rdr.searchNear(q, sl, 10), s"near '$q'~$sl")
+    // rewrite-family parity: same expansions, bit-identical hits
+    assert(local.searchPrefix("gr", 10) == rdr.searchPrefix("gr", 10))
+    assert(local.searchWildcard("?ed", 10) == rdr.searchWildcard("?ed", 10))
+    assert(local.searchWildcard("t*", 10) == rdr.searchWildcard("t*", 10))
+    assert(local.searchFuzzy("grean", 1, 10) == rdr.searchFuzzy("grean", 1, 10))
+    assert(local.searchBoosted(Seq("alpha" -> 2.0, "green" -> 0.5), 10) ==
+      rdr.searchBoosted(Seq("alpha" -> 2.0, "green" -> 0.5), 10))
+    assert(local.searchMinShouldMatch("alpha one red", 2, 10) ==
+      rdr.searchMinShouldMatch("alpha one red", 2, 10))
+    assert(local.searchNearUnordered("alpha", "beta", 1, 10) ==
+      rdr.searchNearUnordered("alpha", "beta", 1, 10))
+    assert(local.searchPrefix("gr", 10).nonEmpty &&
+      local.searchFuzzy("grean", 1, 10).nonEmpty) // expansions actually hit
   }
 }
