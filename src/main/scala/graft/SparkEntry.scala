@@ -852,6 +852,18 @@ object SparkEntry {
     rdr.searchJoin("dup window", "", tbl(s, dir, "documents"), "doc_id", "source")
   }
 
+  /** Query-string parsing + dispatch (the Lucene classic syntax the
+    * reference's Solr users type): 'dup^2 wind* sprak~2 spark' — a
+    * boosted term, a wildcard expansion, a fuzzy expansion, and a
+    * plain term, accumulated into ONE disjunctive query with per-term
+    * boosts SUMMED across clauses (spark gets 1+1 from fuzzy+plain:
+    * Lucene's additive clause scoring). The oracle rebuilds the
+    * accumulation with a UNION ALL candidate table. */
+  private def ftQueryString(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    hitsTop20DF(s, rdr.searchParsed("dup^2 wind* sprak~2 spark", 1000000))
+  }
+
   /** Minimum-should-match query (the Solr/Lucene `mm` parameter): at
     * least 2 of the 3 query terms required, scored over the matching
     * terms only — between the pure disjunction (ft_bm25_topk) and the
@@ -1061,6 +1073,7 @@ object SparkEntry {
     "ft_bm25_mm" -> (ftBm25Mm _),
     "ft_bm25_prefix" -> (ftBm25Prefix _),
     "ft_bm25_wildcard" -> (ftBm25Wildcard _),
+    "ft_query_string" -> (ftQueryString _),
     "ft_bm25_fuzzy" -> (ftBm25Fuzzy _),
     "ft_bm25_boosted" -> (ftBm25Boosted _),
     "ft_more_like_this" -> (ftMoreLikeThis _),
@@ -1444,6 +1457,32 @@ object SparkEntry {
          |SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
          | doc_id, score
          |FROM comb ORDER BY rank LIMIT 20""".stripMargin
+
+    // query string 'dup^2 wind* sprak~2 spark': candidate terms with
+    // per-clause boosts, SUMMED per term, then the boosted scorer
+    val ftQueryStringSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+         |alldf AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |cand AS (
+         | SELECT term, 2.0::DOUBLE AS b FROM alldf WHERE term = 'dup'
+         | UNION ALL SELECT term, 1.0 FROM alldf WHERE regexp_matches(term, '^wind.*$$')
+         | UNION ALL SELECT term, 1.0 FROM alldf WHERE levenshtein(term, 'sprak') <= 2
+         | UNION ALL SELECT term, 1.0 FROM alldf WHERE term = 'spark'),
+         |boosts AS (SELECT term, sum(b) AS b FROM cand GROUP BY 1),
+         |dfs AS (SELECT term, df FROM alldf WHERE term IN (SELECT term FROM boosts)),
+         |scores AS (
+         | SELECT tf.doc_id,
+         |  sum((b * ln(1 + (n - df + 0.5) / (df + 0.5))) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+         | FROM tf JOIN dfs USING (term) JOIN boosts USING (term)
+         |  JOIN dl USING (doc_id) CROSS JOIN stats
+         | GROUP BY tf.doc_id)
+         |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+         | doc_id, round(s, 4) AS score
+         |FROM scores ORDER BY rank LIMIT 20""".stripMargin
 
     // spellcheck collation: best suggestion per raw term (distance
     // asc, df desc, term asc; in-dictionary terms self-correct at
@@ -2086,6 +2125,7 @@ object SparkEntry {
       "ft_bm25_mm" -> ftMmSql,
       "ft_bm25_prefix" -> ftPrefixSql,
       "ft_bm25_wildcard" -> ftWildcardSql,
+      "ft_query_string" -> ftQueryStringSql,
       "ft_bm25_fuzzy" -> ftFuzzySql,
       "ft_bm25_boosted" -> ftBoostedSql,
       "ft_more_like_this" -> ftMltSql,

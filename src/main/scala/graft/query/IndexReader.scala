@@ -141,6 +141,41 @@ class IndexReader(spark: SparkSession, dir: String,
     else mergeDriver(searchTermsCollect(expanded, k), k)
   }
 
+  /** The wildcard dictionary expansion ([[searchWildcard]]'s scan),
+    * shared with the query-string parser. */
+  private def expandWildcard(pattern: String, maxExpansions: Int): Seq[String] = {
+    val p = pattern.toLowerCase(java.util.Locale.ROOT)
+    require(p.exists(c => c != '*' && c != '?'),
+      s"wildcard pattern '$pattern' has no literal characters")
+    val litPrefix = p.takeWhile(c => c != '*' && c != '?')
+    val base =
+      if (litPrefix.nonEmpty) dictionary.filter(col("term").startsWith(litPrefix))
+      else dictionary
+    val expanded = base.filter(col("term").rlike(Wand.globToRegex(p)))
+      .select("term").as[String].collect().sorted.toSeq
+    require(expanded.length <= maxExpansions,
+      s"wildcard '$p' expands to ${expanded.length} terms (> $maxExpansions) — " +
+        "tighten the pattern or raise maxExpansions")
+    expanded
+  }
+
+  /** The fuzzy dictionary expansion ([[searchFuzzy]]'s banded scan),
+    * shared with the query-string parser. */
+  private def expandFuzzy(term: String, maxEdits: Int,
+                          maxExpansions: Int): Seq[String] = {
+    require(maxEdits >= 0 && maxEdits <= 2, s"maxEdits $maxEdits not in 0..2")
+    val q = term.toLowerCase(java.util.Locale.ROOT)
+    require(q.nonEmpty, "empty fuzzy term")
+    val expanded = dictionary
+      .filter(length(col("term")).between(q.length - maxEdits, q.length + maxEdits))
+      .filter(levenshtein(col("term"), lit(q)) <= maxEdits)
+      .select("term").as[String].collect().sorted.toSeq
+    require(expanded.length <= maxExpansions,
+      s"'$q'~$maxEdits expands to ${expanded.length} terms (> $maxExpansions) — " +
+        "lower maxEdits or raise maxExpansions")
+    expanded
+  }
+
   /**
    * Fuzzy top-k — Lucene FuzzyQuery under the same scoring-boolean
    * rewrite as [[searchPrefix]]: the term expands against the
@@ -166,16 +201,9 @@ class IndexReader(spark: SparkSession, dir: String,
   def searchFuzzy(term: String, maxEdits: Int = 2, k: Int = 10,
                   maxExpansions: Int = 1024): Vector[QueryHit] = {
     require(maxEdits >= 0 && maxEdits <= 2, s"maxEdits $maxEdits not in 0..2")
-    val q = term.toLowerCase(java.util.Locale.ROOT)
-    require(q.nonEmpty, "empty fuzzy term")
+    require(term.nonEmpty, "empty fuzzy term")
     if (stats.n_docs == 0) return Vector.empty
-    val expanded = dictionary
-      .filter(length(col("term")).between(q.length - maxEdits, q.length + maxEdits))
-      .filter(levenshtein(col("term"), lit(q)) <= maxEdits)
-      .select("term").as[String].collect().sorted.toSeq
-    require(expanded.length <= maxExpansions,
-      s"'$q'~$maxEdits expands to ${expanded.length} terms (> $maxExpansions) — " +
-        "lower maxEdits or raise maxExpansions")
+    val expanded = expandFuzzy(term, maxEdits, maxExpansions)
     if (expanded.isEmpty) Vector.empty
     else mergeDriver(searchTermsCollect(expanded, k), k)
   }
@@ -199,19 +227,12 @@ class IndexReader(spark: SparkSession, dir: String,
    */
   def searchWildcard(pattern: String, k: Int = 10,
                      maxExpansions: Int = 1024): Vector[QueryHit] = {
-    val p = pattern.toLowerCase(java.util.Locale.ROOT)
-    require(p.exists(c => c != '*' && c != '?'),
-      s"wildcard pattern '$pattern' has no literal characters")
-    if (stats.n_docs == 0) return Vector.empty
-    val litPrefix = p.takeWhile(c => c != '*' && c != '?')
-    val base =
-      if (litPrefix.nonEmpty) dictionary.filter(col("term").startsWith(litPrefix))
-      else dictionary
-    val expanded = base.filter(col("term").rlike(Wand.globToRegex(p)))
-      .select("term").as[String].collect().sorted.toSeq
-    require(expanded.length <= maxExpansions,
-      s"wildcard '$p' expands to ${expanded.length} terms (> $maxExpansions) — " +
-        "tighten the pattern or raise maxExpansions")
+    if (stats.n_docs == 0) {
+      require(pattern.exists(c => c != '*' && c != '?'),
+        s"wildcard pattern '$pattern' has no literal characters")
+      return Vector.empty
+    }
+    val expanded = expandWildcard(pattern, maxExpansions)
     if (expanded.isEmpty) Vector.empty
     else mergeDriver(searchTermsCollect(expanded, k), k)
   }
@@ -263,6 +284,63 @@ class IndexReader(spark: SparkSession, dir: String,
       .select("term", "distance", "df")
       .orderBy(col("distance").asc, col("df").desc, col("term").asc)
       .limit(n)
+  }
+
+  /**
+   * Query-STRING entry point: parse Lucene classic syntax
+   * ([[QueryParser]]) and dispatch to the matching execution path.
+   * Supported shapes (the engine's executors are per-shape, so the
+   * parser enforces the combinations that have exact semantics
+   * rather than silently approximating Lucene's free mixing):
+   *
+   *  - any `+term` / `-term` present → boolean query: `+` terms AND
+   *    plain terms are all required, `-` terms exclude
+   *    ([[searchBoolean]]); other clause kinds are rejected.
+   *  - a single `"phrase"` / `"phrase"~N` clause → exact phrase /
+   *    ordered proximity ([[searchNear]]).
+   *  - otherwise (plain, `^boost`, wildcard, `~fuzzy` clauses) → ONE
+   *    disjunctive query: wildcards and fuzzies expand against the
+   *    dictionary, and per-term boosts SUM across clauses — exactly
+   *    Lucene's additive clause scoring, since two SHOULD clauses on
+   *    the same term contribute (b₁+b₂)·idf·tfNorm — then everything
+   *    runs through the shared WAND core with boost-scaled idfs.
+   */
+  def searchParsed(q: String, k: Int = 10,
+                   maxExpansions: Int = 1024): Vector[QueryHit] = {
+    import QueryParser._
+    val clauses = parse(q)
+    require(clauses.nonEmpty, "empty query string")
+    val musts = clauses.collect { case Must(t) => t }
+    val nots = clauses.collect { case Not(t) => t }
+    val phrases = clauses.collect { case p: Phrase => p }
+    if (musts.nonEmpty || nots.nonEmpty) {
+      require(clauses.forall {
+        case _: Must | _: Not | _: Bare => true
+        case _ => false
+      }, "+/- (boolean) queries combine only with plain terms in this engine")
+      val bares = clauses.collect { case Bare(t) => t }
+      searchBoolean((musts ++ bares).mkString(" "), nots.mkString(" "), k)
+    } else if (phrases.nonEmpty) {
+      require(clauses.size == 1, "a phrase clause must stand alone")
+      searchNear(phrases.head.text, phrases.head.slop, k)
+    } else {
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      def add(t: String, b: Double): Unit =
+        acc.update(t, acc.getOrElse(t, 0.0) + b)
+      clauses.foreach {
+        case Bare(t) => analyzer.tokenize(t).distinct.foreach(add(_, 1.0))
+        case Boosted(t, b) =>
+          val ts = analyzer.tokenize(t)
+          require(ts.length == 1, s"boosted term '$t' analyzed to ${ts.length} tokens")
+          add(ts.head, b)
+        case Wild(p) => expandWildcard(p, maxExpansions).foreach(add(_, 1.0))
+        case Fuzzy(t, me) => expandFuzzy(t, me, maxExpansions).foreach(add(_, 1.0))
+        case _ => ()
+      }
+      if (acc.isEmpty || stats.n_docs == 0) return Vector.empty
+      val bm = acc.toMap
+      mergeDriver(searchTermsCollect(bm.keys.toSeq.sorted, k, bm), k)
+    }
   }
 
   /** Whole-query spellcheck collation (Solr `spellcheck.collate`):
