@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
  * spark-submit entry point (SURVEY.md §7.1):
  *
  *   graft.Main build <outDir> [nConvs] [seed]   build index over a synthetic transcript corpus
- *   graft.Main query <indexDir> <query...>      BM25 top-10 against a built index
+ *   graft.Main query <indexDir> <query...>      BM25 top-10 against a built index;
+ *                                               Lucene syntax (plus, minus, quotes,
+ *                                               tilde, caret, star, question) is parsed
  *   graft.Main serve <indexDir>                 serving-node REPL (LocalIndex, in-process WAND)
  *   graft.Main sim-build <embParquet> <outDir> [k] [kmeansIters]   persisted IVF index
  *   graft.Main sim-query <idxDir> <embParquet> <id> [k] [nprobe]   probe it by row id
@@ -86,9 +88,20 @@ object Main {
       spark.stop()
     case "query" :: dir :: qs if qs.nonEmpty =>
       val spark = session()
-      val hits = new IndexReader(spark, dir).searchRanked(qs.mkString(" "), 10)
-      hits.foreach(h => println(f"${h.score}%12.6f  doc=${h.doc_id}%-8d ${h.conv_id}#${h.turn_idx}"))
-      if (hits.isEmpty) println("(no hits)")
+      val q = qs.mkString(" ")
+      val rdr = new IndexReader(spark, dir)
+      // Lucene-operator characters route through the query-string
+      // parser (+must -not "phrase"~slop term^boost wild* fuzzy~1);
+      // plain words keep the ranked turn output
+      if (q.exists(c => "+-\"^~*?".indexOf(c.toInt) >= 0)) {
+        val hits = rdr.searchParsed(q, 10)
+        hits.foreach(h => println(f"${h.score}%12.6f  doc=${h.doc_id}"))
+        if (hits.isEmpty) println("(no hits)")
+      } else {
+        val hits = rdr.searchRanked(q, 10)
+        hits.foreach(h => println(f"${h.score}%12.6f  doc=${h.doc_id}%-8d ${h.conv_id}#${h.turn_idx}"))
+        if (hits.isEmpty) println("(no hits)")
+      }
       spark.stop()
     case "serve" :: dir :: Nil =>
       // serving-node mode: load once, answer queries from stdin
