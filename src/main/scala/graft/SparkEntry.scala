@@ -570,6 +570,15 @@ object SparkEntry {
     rdr.collate("dup windoq sprak", 2)
   }
 
+  /** Bigram-LM perplexity filter (the Gopher/CCNet LM quality score):
+    * add-0.1-smoothed corpus-trained bigram model, per-doc mean
+    * negative log-likelihood — nll rounded to 6dp on both sides (the
+    * per-doc mean's summation order differs across engines; 6dp is
+    * far above the ~1e-13 reassociation noise). */
+  private def taLmQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScores(tbl(s, dir, "documents"), "doc_id", "text", 0.1)
+      .withColumn("nll", round(col("nll"), 6))
+
   // ---------- multimodal / scan extensions ----------
 
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -852,6 +861,15 @@ object SparkEntry {
     rdr.searchJoin("dup window", "", tbl(s, dir, "documents"), "doc_id", "source")
   }
 
+  /** Term enumeration (Solr terms component): the 15 most frequent
+    * 's'-prefixed dictionary terms with their dfs — cross-checks the
+    * dictionary df against the oracle's from-scratch count at a
+    * deterministic (df desc, term asc) cut. */
+  private def ftTerms(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rdr.terms("s", 15)
+  }
+
   /** Query-string parsing + dispatch (the Lucene classic syntax the
     * reference's Solr users type): 'dup^2 wind* sprak~2 spark' — a
     * boosted term, a wildcard expansion, a fuzzy expansion, and a
@@ -1060,6 +1078,7 @@ object SparkEntry {
     "p_sample_stratified" -> (pSampleStratified _),
     "p_pack" -> (pPack _),
     "p_domain_cap" -> (pDomainCap _),
+    "ta_lm_quality" -> (taLmQuality _),
     "ft_collate" -> (ftCollate _),
     "mm_features" -> (mmFeatures _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -1074,6 +1093,7 @@ object SparkEntry {
     "ft_bm25_prefix" -> (ftBm25Prefix _),
     "ft_bm25_wildcard" -> (ftBm25Wildcard _),
     "ft_query_string" -> (ftQueryString _),
+    "ft_terms" -> (ftTerms _),
     "ft_bm25_fuzzy" -> (ftBm25Fuzzy _),
     "ft_bm25_boosted" -> (ftBm25Boosted _),
     "ft_more_like_this" -> (ftMoreLikeThis _),
@@ -2126,6 +2146,12 @@ object SparkEntry {
       "ft_bm25_prefix" -> ftPrefixSql,
       "ft_bm25_wildcard" -> ftWildcardSql,
       "ft_query_string" -> ftQueryStringSql,
+      "ft_terms" ->
+        s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+           |tf AS (SELECT doc_id, term FROM toks GROUP BY 1, 2)
+           |SELECT term, count(*)::BIGINT AS df FROM tf
+           |WHERE term LIKE 's%' GROUP BY 1
+           |ORDER BY df DESC, term ASC LIMIT 15""".stripMargin,
       "ft_bm25_fuzzy" -> ftFuzzySql,
       "ft_bm25_boosted" -> ftBoostedSql,
       "ft_more_like_this" -> ftMltSql,
@@ -2139,6 +2165,22 @@ object SparkEntry {
       "ft_boost_by_field" -> ftBoostByFieldSql,
       "ft_rerank" -> ftRerankSql,
       "ft_collate" -> ftCollateSql,
+      "ta_lm_quality" ->
+        s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+           |bi AS (SELECT doc_id,
+           |  unnest(list_slice(ts, 1, len(ts) - 1)) AS a,
+           |  unnest(list_slice(ts, 2, len(ts))) AS b
+           | FROM t WHERE len(ts) >= 2),
+           |cab AS (SELECT a, b, count(*)::BIGINT AS c_ab FROM bi GROUP BY 1, 2),
+           |ca AS (SELECT a, count(*)::BIGINT AS c_a FROM bi GROUP BY 1),
+           |v AS (SELECT count(DISTINCT term)::BIGINT AS vs
+           |      FROM (SELECT unnest(ts) AS term FROM t)),
+           |lp AS (SELECT bi.doc_id,
+           |  ln((c_ab + 0.1) / (c_a + 0.1 * vs)) AS lp
+           | FROM bi JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v)
+           |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           | round(-avg(lp), 6) AS nll
+           |FROM lp GROUP BY 1""".stripMargin,
       "p_domain_cap" ->
         """SELECT doc_id, source FROM (
           | SELECT doc_id, source,

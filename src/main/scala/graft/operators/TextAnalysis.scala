@@ -209,4 +209,44 @@ object TextAnalysis {
     * for streaming dedup windows. Cross-engine: see
     * [[graft.operators.Hashing.polyHash]] for the DuckDB mirror. */
   def rollingHash(text: Column): Column = Hashing.polyHash(text)
+
+  /** Bigram-LM quality scoring — the "perplexity filter" of the
+    * published pretraining pipelines (Gopher/CCNet score documents
+    * under a language model and drop the tails), with the LM an
+    * add-α-smoothed BIGRAM model trained on the corpus itself so the
+    * whole computation is self-contained and SQL-reproducible:
+    * nll(doc) = −mean over the doc's token bigrams of
+    * ln[(c(a,b) + α) / (c(a) + α·V)], where c(·) are corpus bigram /
+    * bigram-left counts and V the distinct-token vocabulary size.
+    * Low nll = the document reads like the corpus; high = gibberish
+    * relative to it. Emits (doc_id, n_bigrams, nll); documents with
+    * fewer than two tokens have no bigrams and are absent.
+    *
+    * Scale shape: one explode to the bigram stream, two
+    * map-side-combinable count aggregates for the model, one
+    * broadcast-sized scalar (V), and a per-doc mean — shuffles on
+    * bigram keys and doc ids only, never wider than the token stream.
+    * At 100 TB the model counts would train on a hash sample
+    * (`Sampling.sampleByHash`) instead of the full corpus; the
+    * scoring join is unchanged. */
+  def lmScores(df: DataFrame, idCol: String, textCol: String,
+               alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      tokensCol(col(textCol)).as("ts"))
+    val n1 = greatest(size(col("ts")) - 1, lit(0))
+    val bi = base.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("ts"), lit(1), n1), slice(col("ts"), lit(2), n1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("a"), col("bg.1").as("b"))
+    val cab = bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val ca = bi.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val v = base.select(explode(col("ts")).as("t"))
+      .agg(countDistinct(col("t"))).first().getLong(0)
+    bi.join(cab, Seq("a", "b")).join(ca, Seq("a"))
+      .withColumn("lp",
+        log((col("c_ab") + lit(alpha)) / (col("c_a") + lit(alpha * v))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), (lit(0.0) - avg(col("lp"))).as("nll"))
+  }
 }

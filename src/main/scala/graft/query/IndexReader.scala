@@ -343,6 +343,23 @@ class IndexReader(spark: SparkSession, dir: String,
     }
   }
 
+  /** Term enumeration (the Solr terms component / Lucene TermsEnum):
+    * dictionary terms matching an optional prefix, with their
+    * document frequencies, ordered df-desc then term-asc (Solr's
+    * `terms.sort=count`) and capped at `limit` — a pure dictionary
+    * scan (prefix pushes to Parquet; `orderBy.limit` plans as a
+    * distributed TakeOrdered), postings never touched. */
+  def terms(prefix: String = "", limit: Int = 10): DataFrame = {
+    require(limit > 0, "limit must be positive")
+    val base =
+      if (prefix.isEmpty) dictionary
+      else dictionary.filter(col("term").startsWith(
+        prefix.toLowerCase(java.util.Locale.ROOT)))
+    base.select(col("term"), col("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(limit)
+  }
+
   /** Whole-query spellcheck collation (Solr `spellcheck.collate`):
     * every query term replaced by its BEST dictionary suggestion
     * under the [[suggest]] order (edit distance asc, df desc, term

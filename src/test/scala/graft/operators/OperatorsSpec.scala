@@ -334,6 +334,33 @@ class OperatorsSpec extends SparkFunSuite {
     assert(!r5.getAs[Boolean]("quality_ok"))
   }
 
+  test("lmScores: hand-computed add-alpha bigram NLL; short docs absent") {
+    val lm = Seq((0L, "a b a"), (1L, "b a"), (2L, "c"), (3L, ""))
+      .toDF("doc_id", "text")
+    // bigrams: doc0 (a,b),(b,a); doc1 (b,a); c(a,b)=1 c(b,a)=2;
+    // c(a)=1 c(b)=2; V=3 (a,b,c)
+    val alpha = 0.5
+    val pba = (1 + alpha) / (1 + alpha * 3) // P(b|a)
+    val pab = (2 + alpha) / (2 + alpha * 3) // P(a|b)
+    val want = Map(
+      0L -> (2L, -(math.log(pba) + math.log(pab)) / 2),
+      1L -> (1L, -math.log(pab)))
+    val got = TextAnalysis.lmScores(lm, "doc_id", "text", alpha)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == want.keySet) // docs 2 (one token) and 3 (none) absent
+    want.foreach { case (id, (n, nll)) =>
+      assert(got(id)._1 == n, s"n_bigrams doc $id")
+      assert(math.abs(got(id)._2 - nll) < 1e-12, s"nll doc $id")
+    }
+    // a repeated common pattern scores lower (more likely) than a
+    // one-off pattern: doc1's single (b,a) is the corpus's modal bigram
+    assert(got(1L)._2 < got(0L)._2)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.lmScores(lm, "doc_id", "text", 0.0)
+    }
+  }
+
   test("TokenStatsExpr: one-pass stats match the declarative HOF forms on edge cases") {
     // mixed case, digits, unicode (multi-byte must not split or join
     // ASCII runs), punctuation-only, empty, and null text

@@ -230,6 +230,21 @@ class FacetSpec extends SparkFunSuite {
     intercept[IllegalArgumentException] { rdr.snippets(q, ids, 0) }
   }
 
+  test("terms: prefix-filtered dictionary enumeration, (df desc, term) order") {
+    val (rdr, corpus) = fixture("idx-terms")
+    val dfs = corpus.map(t => graft.analysis.Tokenizer.termFreqs(t.text).keySet)
+      .flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = dfs.filter(_._1.startsWith("la")).toSeq
+      .sortBy { case (t, df) => (-df, t) }.take(5)
+    assert(want.size > 1, "degenerate prefix")
+    val got = rdr.terms("la", 5).as[(String, Long)].collect().toSeq
+    assert(got == want)
+    // no prefix = global top terms
+    val wantAll = dfs.toSeq.sortBy { case (t, df) => (-df, t) }.take(8)
+    assert(rdr.terms("", 8).as[(String, Long)].collect().toSeq == wantAll)
+    intercept[IllegalArgumentException] { rdr.terms("la", 0) }
+  }
+
   test("collate: best suggestion per term + corrected-query hit count") {
     val (rdr, corpus) = fixture("idx-collate")
     val tokSets = corpus.map(t => graft.analysis.Tokenizer.termFreqs(t.text).keySet)
