@@ -177,4 +177,28 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!plan.contains("Join"), plan.take(2000))
     assert(plan.contains("TakeOrderedAndProject")) // top-k, not a global sort
   }
+
+  test("serving relational ops: group-partitioned window, TakeOrdered top-k, no cartesian") {
+    val rdr = new graft.query.IndexReader(spark, idxDir)
+    val meta = spark.range(0, 3000).toDF("doc_id")
+      .withColumn("role", concat(lit("r"), pmod(col("doc_id"), lit(4))))
+      .withColumn("w", (pmod(col("doc_id"), lit(7)) + 1).cast("double"))
+    // result grouping: the rank window shuffles BY GROUP — never a
+    // global (range-partitioned) sort of the match set
+    val gp = planOf(rdr.searchGroupTopK("user la", meta, "doc_id", "role", 3))
+    assert(gp.contains("hashpartitioning(role"), gp.take(2500))
+    assert(!gp.contains("rangepartitioning"), "group top-N must not global-sort")
+    // function-boost and rerank top-k plans are distributed
+    // TakeOrdered (per-partition heaps), never Sort+CollectLimit
+    val bp = planOf(rdr.searchBoostBy("user la", meta, "doc_id", col("w"), 10))
+    assert(bp.contains("TakeOrderedAndProject"), bp.take(2500))
+    assert(!bp.contains("CartesianProduct"))
+    val rp = planOf(rdr.rerank("user la", "ma", 25, 2.0, 10))
+    assert(rp.contains("TakeOrderedAndProject"), rp.take(2500))
+    assert(!rp.contains("CartesianProduct"))
+    // join query: a semi-join against the bounded key set, no cartesian
+    val jp = planOf(rdr.searchJoin("user la", "", meta, "doc_id", "role"))
+    assert(jp.contains("LeftSemi"), jp.take(2500))
+    assert(!jp.contains("CartesianProduct"))
+  }
 }
