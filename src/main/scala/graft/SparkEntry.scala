@@ -338,6 +338,16 @@ object SparkEntry {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Paragraph-level exact dedup over 2-token chunks: the synthetic
+    * 31-word vocabulary makes 2-token chunks collide densely (within
+    * and across documents), so the gate exercises real drops —
+    * election, survivor filtering, and reassembly all verified by the
+    * oracle's identical construction. Production default is wider
+    * chunks (or newline paragraphs); the width only changes the unit. */
+  private def dChunkDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedup(tbl(s, dir, "documents"), "doc_id", "text",
+      chunkTokens = 2)
+
   private def dEmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings").filter(col("vec_id") < 300)
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
@@ -853,6 +863,30 @@ object SparkEntry {
     rdr.termVectors(Seq(0L, 1L, 2L))
   }
 
+  /** Query elevation (Solr QueryElevationComponent): docs 42 then 7
+    * pinned ahead of the flagship organic ranking — scores 4dp-rounded
+    * before the cut, elevated-but-unmatched docs surface with score 0
+    * (none in this corpus at gate scales; the spec pins that case on a
+    * fixture). Rank assigned positionally from the engine's final
+    * order, which the oracle reproduces with an elevation-first sort. */
+  private def ftElevate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rdr = FtIndex.reader(s, dir)
+    rdr.elevate(FtQuery, Seq(42L, 7L), 20, scoreKey = c => round(c, 4))
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) =>
+        ((i + 1).toLong, r.getLong(0), r.getDouble(1), r.getBoolean(2)) }
+      .toDF("rank", "doc_id", "score", "elevated")
+  }
+
+  /** Keyword extraction (MoreLikeThis interesting-terms / tv.tf_idf):
+    * top-5 stored-text terms per doc by tf·ln(N/df) for docs 0-4,
+    * 4dp-rounded before the per-doc cut, ties term-ascending. */
+  private def ftKeywords(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rdr.keywords(Seq(0L, 1L, 2L, 3L, 4L), 5)
+  }
+
   /** Join query (Solr {!join}): every doc sharing a `source` with any
     * 'dup AND window' boolean match — match set → distinct join keys
     * → semi-join back onto the metadata. */
@@ -1059,6 +1093,7 @@ object SparkEntry {
     "d_simhash" -> (dSimhash _),
     "d_simhash_pairs" -> (dSimhashPairs _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
+    "d_chunk_dedup" -> (dChunkDedup _),
     "d_embedding_neardup" -> (dEmbeddingNeardup _),
     "d_embedding_neardup_lsh" -> (dEmbeddingNeardupLsh _),
     "d_decontaminate" -> (dDecontaminate _),
@@ -1103,6 +1138,8 @@ object SparkEntry {
     "ft_facet_query" -> (ftFacetQuery _),
     "ft_highlight" -> (ftHighlight _),
     "ft_term_vectors" -> (ftTermVectors _),
+    "ft_elevate" -> (ftElevate _),
+    "ft_keywords" -> (ftKeywords _),
     "ft_join" -> (ftJoinQuery _),
     "ft_boost_by_field" -> (ftBoostByField _),
     "ft_rerank" -> (ftRerank _),
@@ -1429,6 +1466,48 @@ object SparkEntry {
          |SELECT d.doc_id FROM documents d WHERE d.source IN (
          | SELECT DISTINCT m.source FROM documents m JOIN tsets USING (doc_id)
          | WHERE list_contains(ts, 'dup') AND list_contains(ts, 'window'))""".stripMargin
+
+    // query elevation: docs 42 then 7 pinned first (in list order),
+    // then the organic rounded ranking; an elevated doc absent from
+    // the match set would surface with score 0
+    val ftElevateSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftTermsIn GROUP BY 1),
+         |scores AS (
+         | SELECT tf.doc_id,
+         |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+         | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         | GROUP BY tf.doc_id),
+         |elev(e_id, elev_pos) AS (VALUES (42, 1), (7, 2)),
+         |alld AS (
+         | SELECT coalesce(e.e_id, s.doc_id)::BIGINT AS doc_id,
+         |  round(coalesce(s.s, 0), 4) AS score, e.elev_pos
+         | FROM scores s FULL OUTER JOIN elev e ON s.doc_id = e.e_id)
+         |SELECT row_number() OVER (ORDER BY
+         |  CASE WHEN elev_pos IS NULL THEN 1 ELSE 0 END,
+         |  elev_pos ASC NULLS LAST, score DESC, doc_id ASC) AS rank,
+         | doc_id, score, (elev_pos IS NOT NULL) AS elevated
+         |FROM alld ORDER BY rank LIMIT 20""".stripMargin
+
+    // keyword extraction: per-doc top-5 terms by tf·ln(N/df), rounded
+    // before the cut, ties term-ascending (mirrors IndexReader.keywords)
+    val ftKeywordsSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |tv AS (SELECT doc_id, term, round(tf * ln(n / df), 4) AS tfidf
+         |  FROM tf JOIN dfs USING (term) CROSS JOIN nn
+         |  WHERE doc_id IN (0, 1, 2, 3, 4)),
+         |r AS (SELECT doc_id, term, tfidf,
+         |  row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term ASC) AS krank FROM tv)
+         |SELECT doc_id, krank::BIGINT AS krank, term, tfidf
+         |FROM r WHERE krank <= 5""".stripMargin
 
     // function-query boost: score × ln(1 + n_chars), rounded after
     // the multiply
@@ -1856,6 +1935,27 @@ object SparkEntry {
            |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
            |WHERE a.doc_id % 2 = 0""".stripMargin,
 
+      // paragraph-level exact dedup over 2-token chunks: first
+      // occurrence by (doc_id, idx) survives, survivors rejoined in
+      // document order (mirrors Dedup.chunkDedup(chunkTokens = 2))
+      "d_chunk_dedup" ->
+        s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+           |nch AS (SELECT doc_id, ts, ((len(ts) + 1) // 2) AS nc FROM t),
+           |ex AS (SELECT doc_id, unnest(range(1, nc + 1)) AS i, ts FROM nch),
+           |ch AS (SELECT doc_id, (i - 1)::BIGINT AS idx,
+           |  array_to_string(list_slice(ts, (i - 1) * 2 + 1, least(i * 2, len(ts))), ' ') AS chunk
+           | FROM ex),
+           |win AS (SELECT doc_id, idx, chunk,
+           |  row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn FROM ch),
+           |kept AS (SELECT doc_id, idx, chunk FROM win WHERE rn = 1),
+           |ka AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+           |  string_agg(chunk, ' ' ORDER BY idx) AS text_dedup FROM kept GROUP BY 1),
+           |tot AS (SELECT doc_id, nc::BIGINT AS n_units FROM nch)
+           |SELECT tot.doc_id, tot.n_units,
+           | (tot.n_units - coalesce(ka.n_kept, 0))::BIGINT AS n_dropped,
+           | coalesce(ka.text_dedup, '') AS text_dedup
+           |FROM tot LEFT JOIN ka USING (doc_id)""".stripMargin,
+
       "d_embedding_neardup" ->
         s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 300)
            |SELECT id_a, id_b, cosine FROM (
@@ -2161,6 +2261,8 @@ object SparkEntry {
       "ft_facet_query" -> ftFacetQuerySql,
       "ft_highlight" -> ftHighlightSql,
       "ft_term_vectors" -> ftTermVectorsSql,
+      "ft_elevate" -> ftElevateSql,
+      "ft_keywords" -> ftKeywordsSql,
       "ft_join" -> ftJoinSql,
       "ft_boost_by_field" -> ftBoostByFieldSql,
       "ft_rerank" -> ftRerankSql,

@@ -300,6 +300,66 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** Paragraph-level exact dedup (the CCNet / MassiveText stage that
+    * drops every repeated paragraph corpus-wide, keeping the first
+    * occurrence — finer-grained than [[exactDedup]]'s whole-document
+    * hash, so boilerplate shared by otherwise-distinct documents is
+    * removed without dropping the documents). The unit is a
+    * fixed-width non-overlapping run of `chunkTokens` analyzer tokens
+    * (ragged tail kept): on corpora with real line structure the
+    * caller would split on newlines instead, but the unit definition
+    * is the only thing that changes — election, filtering, and
+    * reassembly are unit-agnostic. First occurrence = lowest
+    * (doc_id, chunk_idx), deterministic at any parallelism.
+    *
+    * Returns every input document as (doc_id, n_units, n_dropped,
+    * text_dedup) with text_dedup the surviving chunks rejoined in
+    * document order (empty when everything was dropped or the doc had
+    * no tokens).
+    *
+    * Scale shape: winner election is a map-side-combinable
+    * min-aggregate keyed by chunk value — NOT a window — so a
+    * boilerplate chunk repeated across millions of documents partial-
+    * aggregates to one row per map task instead of piling every copy
+    * into a single sort partition; the survivor check re-joins on the
+    * same chunk key (AQE skew-splittable), and reassembly shuffles
+    * (doc_id, idx, chunk) rows once. Nothing is ever wider than the
+    * exploded chunk stream. */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 8): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val ts = tokens(col(textCol))
+    val nCh = ceil(size(col("ts")).cast("double") / chunkTokens).cast("int")
+    val chunksCol = when(size(col("ts")) > 0,
+      transform(sequence(lit(1), nCh), i =>
+        array_join(slice(col("ts"), (i - lit(1)) * lit(chunkTokens) + lit(1),
+          lit(chunkTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val withChunks = df
+      .select(col(idCol).cast("long").as("doc_id"), ts.as("ts"))
+      .select(col("doc_id"), chunksCol.as("chunks"))
+    val ex = withChunks
+      .select(col("doc_id"), posexplode(col("chunks")))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "chunk")
+    val winners = ex.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+    val kept = ex.join(winners, Seq("chunk"))
+      .filter(col("doc_id") === col("w.doc_id") && col("idx") === col("w.idx"))
+      .select("doc_id", "idx", "chunk")
+    val keptAgg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("chunk")))),
+        s => s.getField("chunk")), " ").as("text_dedup"))
+    withChunks
+      .select(col("doc_id"), size(col("chunks")).cast("long").as("n_units"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_units"),
+        (col("n_units") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** Embedding near-dup: cosine ≥ threshold among LSH-bucketed
     * candidates (random-hyperplane LSH; see Similarity.cosineLsh).
     * Single-shuffle + capped, exactly like [[simHashNearDupsFrom]]:

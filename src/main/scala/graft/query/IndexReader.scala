@@ -1115,6 +1115,44 @@ class IndexReader(spark: SparkSession, dir: String,
       .select("doc_id", "score")
   }
 
+  /** Query elevation (the Solr QueryElevationComponent): editorially
+    * pinned documents first, in the given order, then the organic
+    * ranking. Elevated documents are included even when they do not
+    * match the query (Solr's component injects them by id), with
+    * organic score 0.0; elevated documents that DO match keep their
+    * BM25 score but rank by elevation position. Implementation: the
+    * scored match set unioned with the (tiny) elevation list as
+    * zero-score rows, one map-side-combinable max-aggregate collapses
+    * the overlap (BM25 scores are strictly positive, so a matching
+    * elevated doc's real score wins), elevation position looked up
+    * from a literal map, then ONE TakeOrdered — O(k) to the driver,
+    * never the match set. Returns (doc_id, score, elevated) in final
+    * rank order. */
+  def elevate(query: String, elevated: Seq[Long], k: Int = 10,
+              scoreKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+                = identity): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(elevated.nonEmpty, "elevation list must be non-empty")
+    require(elevated.distinct.size == elevated.size,
+      "elevation list must not repeat a doc id")
+    import spark.implicits._
+    val posMap = typedLit(elevated.zipWithIndex
+      .map { case (id, i) => id -> (i + 1).toLong }.toMap)
+    val eDf = elevated.map(id => (id, 0.0)).toDF("doc_id", "score")
+    scoredDocs(query)
+      .withColumn("score", scoreKey(col("score")))
+      .union(eDf)
+      .groupBy("doc_id").agg(max(col("score")).as("score"))
+      .withColumn("elev_pos", element_at(posMap, col("doc_id")))
+      .orderBy(
+        when(col("elev_pos").isNotNull, lit(0)).otherwise(lit(1)).asc,
+        col("elev_pos").asc_nulls_last,
+        col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("score"),
+        col("elev_pos").isNotNull.as("elevated"))
+  }
+
   /** Term vectors (the Solr TermVectorComponent): per-document
     * (term, tf, df) rows for the given doc ids — tf recomputed from
     * the STORED text under the v1 chain (Solr's own fallback when
@@ -1134,6 +1172,29 @@ class IndexReader(spark: SparkSession, dir: String,
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .join(dictionary.select(col("term"), col("df")), Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"), col("df"))
+  }
+
+  /** Per-document significant terms (tf·idf keyword extraction — the
+    * Lucene MoreLikeThis "interesting terms" / Solr tv.tf_idf shape):
+    * for each given document, the top `k` stored-text terms by
+    * tf · ln(N/df), built on [[termVectors]] (one id-filtered
+    * doc-store scan + a broadcast-sized dictionary join). Scores are
+    * rounded to 4 decimals BEFORE the per-doc cut so the ranking is
+    * representation-stable across engines; ties break term-ascending.
+    * The window partitions by doc_id over ≤ |docIds| · vocab rows —
+    * bounded by the request, never the corpus. */
+  def keywords(docIds: Seq[Long], k: Int = 5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val n = stats.n_docs
+    val tv = termVectors(docIds)
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tv.withColumn("krank", row_number().over(w).cast("long"))
+      .filter(col("krank") <= k)
+      .select(col("doc_id"), col("krank"), col("term"), col("tfidf"))
   }
 
   /** Join query (Solr's `{!join from=f to=f}` over one collection):

@@ -236,6 +236,29 @@ class OperatorsSpec extends SparkFunSuite {
     assert(survivors == Set(0L, 2L, 3L, 4L, 5L))
   }
 
+  test("chunkDedup: first-occurrence election, within-doc repeats, reassembly") {
+    val df = Seq(
+      (0L, "aa bb cc dd aa bb"), // idx2 repeats idx0 within the doc
+      (1L, "cc dd ee ff"),       // "cc dd" loses to doc 0 idx 1
+      (2L, "aa bb"),             // everything dropped
+      (3L, "gg"),                // ragged single-token chunk kept
+      (4L, "")                   // no tokens: 0 units, empty text
+    ).toDF("doc_id", "text")
+    val want = Seq(
+      (0L, 3L, 1L, "aa bb cc dd"),
+      (1L, 2L, 1L, "ee ff"),
+      (2L, 1L, 1L, ""),
+      (3L, 1L, 0L, "gg"),
+      (4L, 0L, 0L, ""))
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == want)
+    // deterministic at any parallelism (election is a min-aggregate)
+    val out7 = Dedup.chunkDedup(df.repartition(7), "doc_id", "text", chunkTokens = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out7 == want)
+  }
+
   test("minHash: exact dups get identical signatures and est_jaccard 1.0") {
     val sigs = Dedup.minHashSignaturesPoly(docs, "doc_id", "text")
     val s0 = sigs.filter($"doc_id" === 0).head().toSeq.tail

@@ -348,6 +348,51 @@ class FacetSpec extends SparkFunSuite {
     intercept[IllegalArgumentException] { rdr.rerank(q1, q2, 0, w, k) }
   }
 
+  test("elevate: pinned docs first in list order, unmatched elevated at score 0") {
+    val (rdr, corpus) = fixture("idx-elevate")
+    val tokSets = corpus.map(t => graft.analysis.Tokenizer.termFreqs(t.text).keySet)
+    // a (term, doc) pair where the doc does NOT match the one-term query
+    val vocab = tokSets.flatten.distinct.sorted
+    val (qt, nmIdx) = (for {
+      t <- vocab.iterator; i <- corpus.indices.iterator if !tokSets(i)(t)
+    } yield (t, i)).next()
+    val nonMatch = nmIdx.toLong
+    val scored = rdr.scoredDocs(qt).as[(Long, Double)].collect().toMap
+    assert(!scored.contains(nonMatch) && scored.size > 10)
+    val pinned = scored.keys.min // any matched doc, pinned ahead of rank 1
+    val out = rdr.elevate(qt, Seq(pinned, nonMatch), k = 10)
+      .as[(Long, Double, Boolean)].collect().toSeq
+    assert(out(0) == ((pinned, scored(pinned), true)))
+    assert(out(1) == ((nonMatch, 0.0, true)))
+    val organicRest = scored.removed(pinned).toSeq
+      .sortBy { case (id, s) => (-s, id) }.take(8)
+      .map { case (id, s) => (id, s, false) }
+    assert(out.drop(2) == organicRest)
+  }
+
+  test("keywords: per-doc top-k terms by tf·ln(N/df), rounded before the cut") {
+    val (rdr, corpus) = fixture("idx-keywords")
+    val n = corpus.length.toDouble
+    val docTfs = corpus.zipWithIndex.map { case (t, i) =>
+      i.toLong -> graft.analysis.Tokenizer.termFreqs(t.text)
+    }.toMap
+    val dfs = docTfs.values.flatMap(_.keys).groupBy(identity).view
+      .mapValues(_.size).toMap
+    val ids = Seq(0L, 1L, 2L)
+    val want = ids.flatMap { id =>
+      docTfs(id).toSeq.map { case (t, tf) =>
+        val r = BigDecimal(tf * math.log(n / dfs(t)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (t, r)
+      }.sortBy { case (t, s) => (-s, t) }.take(4).zipWithIndex
+        .map { case ((t, s), i) => (id, (i + 1).toLong, t, s) }
+    }.toSet
+    val got = rdr.keywords(ids, 4)
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(got == want)
+    assert(want.size == ids.size * 4)
+  }
+
   test("termVectors: per-doc (term, tf, df) == brute force over the corpus") {
     val (rdr, corpus) = fixture("idx-tv")
     val ids = Seq(0L, 5L, 17L)
