@@ -887,6 +887,18 @@ object SparkEntry {
     rdr.keywords(Seq(0L, 1L, 2L, 3L, 4L), 5)
   }
 
+  /** LM Dirichlet similarity (Solr's per-field similarity alternative,
+    * LMDirichletSimilarity): the flagship terms scored by the
+    * Dirichlet-smoothed language model instead of BM25 — proves the
+    * second scorer end-to-end over the same postings/dictionary/cf
+    * artifacts, 4dp-rounded before the cut like every scored entry. */
+  private def ftLmDirichlet(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rankTop20DF(s, rdr.scoredDocsDirichlet(FtQuery, mu = 500.0)
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(20))
+  }
+
   /** Join query (Solr {!join}): every doc sharing a `source` with any
     * 'dup AND window' boolean match — match set → distinct join keys
     * → semi-join back onto the metadata. */
@@ -1140,6 +1152,7 @@ object SparkEntry {
     "ft_term_vectors" -> (ftTermVectors _),
     "ft_elevate" -> (ftElevate _),
     "ft_keywords" -> (ftKeywords _),
+    "ft_lm_dirichlet" -> (ftLmDirichlet _),
     "ft_join" -> (ftJoinQuery _),
     "ft_boost_by_field" -> (ftBoostByField _),
     "ft_rerank" -> (ftRerank _),
@@ -1508,6 +1521,24 @@ object SparkEntry {
          |    ORDER BY tfidf DESC, term ASC) AS krank FROM tv)
          |SELECT doc_id, krank::BIGINT AS krank, term, tfidf
          |FROM r WHERE krank <= 5""".stripMargin
+
+    // LM Dirichlet: per matched term max(0, ln(1 + tf/(μ·cf/total)) +
+    // ln(μ/(dl+μ))), μ = 500 — mirrors Wand.scoredDocIdsDirichlet
+    val ftLmDirichletSql =
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS tot FROM toks),
+         |cfs AS (SELECT term, count(*)::BIGINT AS cf FROM toks
+         |  WHERE term IN $ftTermsIn GROUP BY 1),
+         |scores AS (
+         | SELECT tf.doc_id,
+         |  sum(greatest(0, ln(1 + tf / (500.0 * (cf / tot::DOUBLE))) + ln(500.0 / (dl + 500.0)))) AS s
+         | FROM tf JOIN cfs USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+         | GROUP BY tf.doc_id)
+         |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+         | doc_id, round(s, 4) AS score
+         |FROM scores ORDER BY rank LIMIT 20""".stripMargin
 
     // function-query boost: score × ln(1 + n_chars), rounded after
     // the multiply
@@ -2263,6 +2294,7 @@ object SparkEntry {
       "ft_term_vectors" -> ftTermVectorsSql,
       "ft_elevate" -> ftElevateSql,
       "ft_keywords" -> ftKeywordsSql,
+      "ft_lm_dirichlet" -> ftLmDirichletSql,
       "ft_join" -> ftJoinSql,
       "ft_boost_by_field" -> ftBoostByFieldSql,
       "ft_rerank" -> ftRerankSql,

@@ -69,6 +69,18 @@ class IndexReader(spark: SparkSession, dir: String,
     dictionary.filter(col("term").isInCollection(terms))
       .select("term", "df").as[(String, Long)].collect().toMap
 
+  /** Collection frequencies (total occurrences) for the given terms —
+    * same range-pruned dictionary lookup as [[docFreqs]]. */
+  def collectionFreqs(terms: Seq[String]): Map[String, Long] =
+    dictionary.filter(col("term").isInCollection(terms))
+      .select("term", "cf").as[(String, Long)].collect().toMap
+
+  /** Total token count of the indexed corpus: Σ cf over the dictionary
+    * (block-footer-derived, one cheap aggregate, cached per reader) —
+    * exact, unlike avgdl·nDocs which reintroduces the double ratio. */
+  lazy val totalTokens: Long =
+    dictionary.agg(coalesce(sum(col("cf")), lit(0L))).as[Long].head()
+
   private def mergeDriver(perTask: Array[QueryHit], k: Int): Vector[QueryHit] =
     perTask.sorted(new Ordering[QueryHit] {
       override def compare(a: QueryHit, b: QueryHit): Int =
@@ -1004,6 +1016,47 @@ class IndexReader(spark: SparkSession, dir: String,
       .flatMapGroups { (_, rows) =>
         Wand.bySegment(rows).iterator.flatMap { case (_, byTerm) =>
           Wand.scoredDocIds(byTerm, idfs, avgdl, mm)
+        }
+      }
+      .toDF("doc_id", "score")
+  }
+
+  /**
+   * The full scored match set under the Dirichlet-smoothed
+   * language-model similarity (Solr's per-field `similarity` config
+   * with LMDirichletSimilarity; Zhai & Lafferty '01) — the engine's
+   * second scorer, sharing the postings/dictionary/segment machinery
+   * with BM25: per matched term max(0, ln(1 + tf/(μ·p(t|C))) +
+   * ln(μ/(dl+μ))), p(t|C) = cf/totalTokens from the dictionary.
+   * Serves through the relational path (match set → TakeOrdered at
+   * the caller), not the WAND heap: the block-max metadata bounds
+   * BM25's tfNorm, not the LM saturation curve, so BM25 remains the
+   * pruned default scorer and the LM is the re-scoring alternative —
+   * at 100 TB a scored MATCH SET is what flows into a shuffle either
+   * way. Same determinism contract as [[scoredDocs]] (ascending-term
+   * summation; clamp per term).
+   */
+  def scoredDocsDirichlet(query: String, mu: Double = 2000.0,
+                          minMatch: Int = 1): DataFrame = {
+    require(mu > 0, "mu must be positive")
+    val mm = math.max(1, minMatch)
+    val terms = analyzer.tokenize(query).distinct.sorted
+    def empty = spark.createDataset(Seq.empty[(Long, Double)]).toDF("doc_id", "score")
+    if (terms.isEmpty || stats.n_docs == 0) return empty
+    val cfs = collectionFreqs(terms)
+    if (cfs.size < mm || cfs.isEmpty) return empty
+    val total = totalTokens
+    if (total <= 0) return empty
+    val ps = cfs.map { case (t, cf) => t -> cf.toDouble / total }
+    val g = groupSize
+    val muL = mu
+    postings
+      .filter(col("term").isInCollection(terms))
+      .as[PostingBlockRow]
+      .groupByKey(_.segment / g)
+      .flatMapGroups { (_, rows) =>
+        Wand.bySegment(rows).iterator.flatMap { case (_, byTerm) =>
+          Wand.scoredDocIdsDirichlet(byTerm, ps, muL, mm)
         }
       }
       .toDF("doc_id", "score")

@@ -65,6 +65,9 @@ object Wand extends Serializable {
     /** Current posting's doc length. */
     def currentDl: Int = decoded.dls(pos)
 
+    /** Current posting's term frequency (for non-BM25 scorers). */
+    def currentTf: Int = decoded.tfs(pos)
+
     /** Current posting's token positions (format v3), zero-copy:
       * (decoded flat array, from, until). Decoding the block's position
       * stream is lazy — only phrase evaluation pays for it. */
@@ -469,6 +472,63 @@ object Wand extends Serializable {
         while (i < cursors.length) { // ascending term order
           val c = cursors(i)
           if (c.docId == min) { s += c.currentScore; matched += 1 }
+          i += 1
+        }
+        if (matched >= mm) out += ((min, s))
+        i = 0
+        while (i < cursors.length) {
+          if (cursors(i).docId == min) cursors(i).next()
+          i += 1
+        }
+      }
+    }
+    out.result().iterator
+  }
+
+  /**
+   * Full scored match set under the Dirichlet-smoothed language-model
+   * similarity (Zhai & Lafferty '01; Lucene LMDirichletSimilarity):
+   * per matched term, max(0, ln(1 + tf/(μ·p(t|C))) + ln(μ/(dl+μ)))
+   * with p(t|C) = cf(t)/totalTokens, the per-term clamp being Lucene's
+   * non-negative-score guarantee. Same ascending-term cursor merge as
+   * [[scoredDocIds]] (deterministic summation order); `ps` carries
+   * each term's collection probability. The LM scorer serves through
+   * the relational path (match set → TakeOrdered), not the WAND heap —
+   * BM25 stays the pruned serving scorer; block-max metadata bounds
+   * tfNorm, not the LM saturation curve.
+   */
+  def scoredDocIdsDirichlet(termBlocks: Map[String, IndexedSeq[PostingBlockRow]],
+                            ps: Map[String, Double], mu: Double,
+                            minMatch: Int = 1): Iterator[(Long, Double)] = {
+    val cursors = termBlocks.toArray.sortBy(_._1).map { case (t, blocks) =>
+      new Cursor(t, ps.getOrElse(t, 0.0), blocks.sortBy(_.max_doc_id), 1.0)
+    }.filterNot(_.exhausted)
+    val mm = math.max(1, minMatch)
+    if (cursors.length < mm) return Iterator.empty
+    val out = Vector.newBuilder[(Long, Double)] // bounded by segment size
+    var live = true
+    while (live) {
+      var min = Long.MaxValue
+      var i = 0
+      while (i < cursors.length) {
+        val d = cursors(i).docId
+        if (d < min) min = d
+        i += 1
+      }
+      if (min == Long.MaxValue) live = false
+      else {
+        var s = 0.0
+        var matched = 0
+        i = 0
+        while (i < cursors.length) { // ascending term order
+          val c = cursors(i)
+          if (c.docId == min) {
+            val tf = c.currentTf; val dl = c.currentDl
+            val term = math.log(1.0 + tf / (mu * c.idf)) +
+              math.log(mu / (dl + mu)) // c.idf carries p(t|C) here
+            s += math.max(0.0, term)
+            matched += 1
+          }
           i += 1
         }
         if (matched >= mm) out += ((min, s))

@@ -201,4 +201,28 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(jp.contains("LeftSemi"), jp.take(2500))
     assert(!jp.contains("CartesianProduct"))
   }
+
+  test("elevate / keywords / chunkDedup plans: TakeOrdered, bounded window, no hot-key window") {
+    val rdr = new graft.query.IndexReader(spark, idxDir)
+    // elevation: one TakeOrdered over the aggregated match set — no
+    // global sort, no window, no cartesian
+    val ep = planOf(rdr.elevate("user la", Seq(3L, 7L), 10))
+    assert(ep.contains("TakeOrderedAndProject"), ep.take(2500))
+    assert(!ep.contains("Window"), "elevate must not plan a window")
+    assert(!ep.contains("CartesianProduct"))
+    // keywords: the only window partitions by doc_id (bounded by the
+    // request), never an empty/global partition
+    val kp = planOf(rdr.keywords(Seq(0L, 1L), 5))
+    assert(kp.contains("Window"), kp.take(2500))
+    assert(kp.contains("hashpartitioning(doc_id"), kp.take(2500))
+    // chunk dedup: winner election is a partial-aggregable min by
+    // chunk value — a window partitioned by chunk would serialize a
+    // corpus-wide boilerplate chunk into one sort partition
+    val docs = Seq((0L, "aa bb cc dd"), (1L, "aa bb")).toDF("doc_id", "text")
+    val cp = planOf(graft.operators.Dedup.chunkDedup(docs, "doc_id", "text", 2))
+    assert(!cp.contains("Window"), "chunkDedup must elect winners by aggregate, not window")
+    assert(cp.contains("partial_min") || cp.contains("partial min") ||
+      cp.toLowerCase.contains("hashaggregate"), cp.take(2500))
+    assert(!cp.contains("CartesianProduct"))
+  }
 }

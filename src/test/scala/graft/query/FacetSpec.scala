@@ -393,6 +393,37 @@ class FacetSpec extends SparkFunSuite {
     assert(want.size == ids.size * 4)
   }
 
+  test("scoredDocsDirichlet: LM similarity == brute force; clamp and p(t|C) exact") {
+    val (rdr, corpus) = fixture("idx-lm")
+    val docTfs = corpus.zipWithIndex.map { case (t, i) =>
+      (i.toLong, graft.analysis.Tokenizer.docLength(t.text),
+        graft.analysis.Tokenizer.termFreqs(t.text))
+    }
+    val total = docTfs.map(_._2.toLong).sum
+    val cfs = docTfs.flatMap(_._3.toSeq).groupBy(_._1).view
+      .mapValues(_.map(_._2.toLong).sum).toMap
+    val q = "user la ma"; val mu = 700.0
+    val terms = graft.analysis.Tokenizer.tokenize(q).distinct.sorted
+    val want = docTfs.flatMap { case (id, dl, tfs) =>
+      val matched = terms.filter(tfs.contains)
+      if (matched.isEmpty) None
+      else {
+        var s = 0.0
+        matched.foreach { t => // ascending term order = cursor order
+          val p = cfs(t).toDouble / total
+          s += math.max(0.0,
+            math.log(1.0 + tfs(t) / (mu * p)) + math.log(mu / (dl + mu)))
+        }
+        Some(id -> s)
+      }
+    }.toMap
+    val got = rdr.scoredDocsDirichlet(q, mu).as[(Long, Double)].collect().toMap
+    assert(got == want) // bit-equal doubles (same summation order)
+    assert(got.size > 10)
+    assert(rdr.totalTokens == total) // Σ cf over the dictionary is exact
+    assert(rdr.scoredDocsDirichlet("nosuchterm", mu).collect().isEmpty)
+  }
+
   test("termVectors: per-doc (term, tf, df) == brute force over the corpus") {
     val (rdr, corpus) = fixture("idx-tv")
     val ids = Seq(0L, 5L, 17L)
