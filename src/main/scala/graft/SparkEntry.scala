@@ -887,6 +887,27 @@ object SparkEntry {
     rdr.keywords(Seq(0L, 1L, 2L, 3L, 4L), 5)
   }
 
+  /** Unigram token entropy (lexical diversity), 6dp-rounded. */
+  private def taEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenEntropy(tbl(s, dir, "documents"), "doc_id", "text")
+      .withColumn("entropy", round(col("entropy"), 6))
+
+  /** Realtime get (Solr RTG): stored docs fetched by id from the
+    * delta-maintained index — reads THROUGH the update/append overlays
+    * (an updated doc returns post-update text, an appended doc is
+    * present), mirroring RTG's see-latest-without-commit semantics.
+    * Ids picked by scale-independent fractions: 0 (unchanged), n/5
+    * (updated by the delta), 9n/10 and n−1 (appended); the oracle
+    * computes the same ids from count(*). */
+  private def ftRtg(s: SparkSession, dir: String): DataFrame = {
+    val idx = FtIndex.ensureIncremental(s, dir)
+    val n = tbl(s, dir, "documents").count()
+    val ids = Seq(0L, n / 5, (n * 9) / 10, n - 1)
+    graft.index.IndexBuilder.readDocs(s, idx)
+      .select(FtIndex.origId(col("conv_id")).as("doc_id"), col("text"))
+      .filter(col("doc_id").isInCollection(ids))
+  }
+
   /** LM Dirichlet similarity (Solr's per-field similarity alternative,
     * LMDirichletSimilarity): the flagship terms scored by the
     * Dirichlet-smoothed language model instead of BM25 — proves the
@@ -1119,6 +1140,7 @@ object SparkEntry {
     "ta_token_counts" -> (taTokenCounts _),
     "ta_fingerprint" -> (taFingerprint _),
     "ta_repetition" -> (taRepetition _),
+    "ta_entropy" -> (taEntropy _),
     "ta_scrub" -> (taScrub _),
     "ta_rolling_hash" -> (taRollingHash _),
     "p_pipeline" -> (pPipeline _),
@@ -1153,6 +1175,7 @@ object SparkEntry {
     "ft_elevate" -> (ftElevate _),
     "ft_keywords" -> (ftKeywords _),
     "ft_lm_dirichlet" -> (ftLmDirichlet _),
+    "ft_rtg" -> (ftRtg _),
     "ft_join" -> (ftJoinQuery _),
     "ft_boost_by_field" -> (ftBoostByField _),
     "ft_rerank" -> (ftRerank _),
@@ -2295,6 +2318,19 @@ object SparkEntry {
       "ft_elevate" -> ftElevateSql,
       "ft_keywords" -> ftKeywordsSql,
       "ft_lm_dirichlet" -> ftLmDirichletSql,
+      // realtime get: by-id doc-store fetch through the delta overlays;
+      // the final corpus equals documents, ids derived from count(*)
+      "ft_rtg" ->
+        """WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents)
+          |SELECT doc_id, text FROM documents, nn
+          |WHERE doc_id IN (0, n // 5, (n * 9) // 10, n - 1)""".stripMargin,
+      // unigram token entropy via H = ln(n) - sum(tf*ln tf)/n
+      "ta_entropy" ->
+        s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)
+           |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+           | round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 6) AS entropy
+           |FROM tf GROUP BY 1""".stripMargin,
       "ft_join" -> ftJoinSql,
       "ft_boost_by_field" -> ftBoostByFieldSql,
       "ft_rerank" -> ftRerankSql,

@@ -210,6 +210,27 @@ object TextAnalysis {
     * [[graft.operators.Hashing.polyHash]] for the DuckDB mirror. */
   def rollingHash(text: Column): Column = Hashing.polyHash(text)
 
+  /** Unigram token entropy — the lexical-diversity quality signal
+    * (low entropy = repetitive/boilerplate text; the complement of
+    * [[repetitionSignals]]' duplicate fractions): H(doc) =
+    * −Σ_t (tf/n)·ln(tf/n), computed by the algebraic identity
+    * H = ln(n) − (Σ_t tf·ln tf)/n so ONE (doc_id, term) count
+    * aggregate plus ONE per-doc aggregate suffice — both map-side
+    * combinable, shuffling only the distinct (doc, term) pairs and
+    * then one row per doc. Emits (doc_id, n_tokens, entropy);
+    * zero-token documents have no defined entropy and are absent. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokensCol(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.groupBy("doc_id").agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf").cast("double") * log(col("tf").cast("double"))).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (log(col("n_tokens").cast("double")) - col("s") / col("n_tokens"))
+          .as("entropy"))
+  }
+
   /** Bigram-LM quality scoring — the "perplexity filter" of the
     * published pretraining pipelines (Gopher/CCNet score documents
     * under a language model and drop the tails), with the LM an

@@ -341,6 +341,17 @@ class OperatorsSpec extends SparkFunSuite {
 
   // ---- TextAnalysis ----
 
+  test("tokenEntropy: H = ln n - sum(tf ln tf)/n; uniform doc at 0; empty doc absent") {
+    val df = Seq((0L, "aa aa bb"), (1L, "cc cc cc cc"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(0L, 1L)) // zero-token doc has no entropy
+    val h0 = math.log(3.0) - (2 * math.log(2.0)) / 3
+    assert(got(0)._2 == 3L && math.abs(got(0)._3 - h0) < 1e-12)
+    assert(got(1)._2 == 4L && math.abs(got(1)._3) < 1e-12) // single type
+  }
+
   test("languageId picks max-stopword-hit language, und for no hits") {
     val out = TextAnalysis.languageId(docs, "text")
       .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
