@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions.col
 class LocalIndex private (stats: CorpusStats,
                           dfs: java.util.HashMap[String, Long],
                           byTerm: java.util.HashMap[String, IndexedSeq[PostingBlockRow]],
-                          positionsStored: Boolean = true) {
+                          positionsStored: Boolean = true,
+                          cfs: java.util.HashMap[String, Long] =
+                            new java.util.HashMap[String, Long](),
+                          totalTokens: Long = -1L) {
 
   val analyzer: Analyzer = Analyzer.parse(stats.analyzer)
   def nDocs: Long = stats.n_docs
@@ -67,6 +70,33 @@ class LocalIndex private (stats: CorpusStats,
       Option(dfs.get(t)).filter(_ != 0L).map(df => t -> BM25.idf(df, stats.n_docs))
     }.toMap
     Wand.topK(blocks, idfs, stats.avgdl, k, allow = allow)
+  }
+
+  /** In-process Dirichlet-LM top-k (the second scorer): the same
+    * per-term max(0, ln(1 + tf/(μ·p)) + ln(μ/(dl+μ))) arithmetic as
+    * [[Wand.scoredDocIdsDirichlet]] over the whole-corpus cursors —
+    * bit-identical to sorting IndexReader.scoredDocsDirichlet's match
+    * set. Requires a FULL load (`totalTokens` = Σ cf needs the whole
+    * dictionary; [[LocalIndex.loadTerms]] partial caches serve BM25
+    * only). In-process the match set is already resident, so
+    * score-all + sort is the right shape. */
+  def searchDirichlet(query: String, mu: Double = 2000.0,
+                      k: Int = 10): Vector[QueryHit] = {
+    val terms = analyzer.tokenize(query).distinct.sorted
+    if (terms.isEmpty || stats.n_docs == 0) return Vector.empty
+    val blocks = terms.iterator.flatMap { t =>
+      Option(byTerm.get(t)).map(t -> _)
+    }.toMap
+    if (blocks.isEmpty) return Vector.empty
+    require(totalTokens > 0,
+      "searchDirichlet requires a fully-loaded index (LocalIndex.load)")
+    val ps = terms.flatMap { t =>
+      Option(cfs.get(t)).filter(_ != 0L)
+        .map(cf => t -> (cf.toDouble / totalTokens))
+    }.toMap
+    Wand.scoredDocIdsDirichlet(blocks, ps, mu)
+      .toVector.sorted(BM25.hitOrdering).take(k)
+      .map { case (id, s) => QueryHit(id, s) }
   }
 
   /** The in-process disjunctive core the rewrite paths feed their
@@ -251,9 +281,13 @@ object LocalIndex {
     import spark.implicits._
     val stats = readStats(spark, dir)
     val dfs = new java.util.HashMap[String, Long]()
+    val cfs = new java.util.HashMap[String, Long]()
+    var totalTokens = 0L
     spark.read.parquet(IndexBuilder.dictionaryDir(dir))
-      .select("term", "df").as[(String, Long)].collect()
-      .foreach { case (t, df) => dfs.put(t, df) }
+      .select("term", "df", "cf").as[(String, Long, Long)].collect()
+      .foreach { case (t, df, cf) =>
+        dfs.put(t, df); cfs.put(t, cf); totalTokens += cf
+      }
     // small enough to collect → ONE parallel job (every executor
     // decodes its partitions concurrently); genuinely large indexes
     // stream partition-at-a-time instead, trading load speed for a
@@ -306,7 +340,7 @@ object LocalIndex {
       // (max_doc_id) ascends across segment boundaries too
       byTerm.put(t, rows.sortBy(_.max_doc_id).toIndexedSeq)
     }
-    new LocalIndex(stats, dfs, byTerm, positionsStored(dir))
+    new LocalIndex(stats, dfs, byTerm, positionsStored(dir), cfs, totalTokens)
   }
 
   /** Load only the blocks for a term subset (partial serving cache —

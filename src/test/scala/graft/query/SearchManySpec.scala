@@ -197,6 +197,29 @@ class LocalIndexSpec extends graft.SparkFunSuite {
     }
   }
 
+  test("LocalIndex.searchDirichlet == sorted IndexReader.scoredDocsDirichlet, bit-identical") {
+    val dir = tmpDir("idx-local-lm")
+    val turns = graft.sources.SyntheticTranscripts.generate(spark, 42L, nConvs = 400)
+    graft.index.IndexBuilder.build(spark, turns,
+      graft.index.BuildConfig(dir, nSegments = 6))
+    val dist = new IndexReader(spark, dir)
+    val local = LocalIndex.load(spark, dir)
+    import graft.SparkTestBase.spark.implicits._
+    Seq("assistant tool error", "user", "la ma na").foreach { q =>
+      val want = dist.scoredDocsDirichlet(q, mu = 800.0)
+        .as[(Long, Double)].collect().toVector
+        .sorted(BM25.hitOrdering).take(10)
+      val got = local.searchDirichlet(q, mu = 800.0, k = 10)
+        .map(h => (h.doc_id, h.score))
+      assert(got == want, s"query '$q'")
+      assert(want.nonEmpty)
+    }
+    assert(local.searchDirichlet("nosuchterm").isEmpty)
+    // a partial cache refuses the LM scorer (needs the full dictionary)
+    val partial = LocalIndex.loadTerms(spark, dir, Seq("la", "ma"))
+    intercept[IllegalArgumentException] { partial.searchDirichlet("la ma") }
+  }
+
   test("serving latency: in-process queries are sub-5ms after load") {
     val dir = tmpDir("idx-local-lat")
     val turns = graft.sources.SyntheticTranscripts.generate(spark, 42L, nConvs = 400)
