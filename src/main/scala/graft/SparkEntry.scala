@@ -338,6 +338,14 @@ object SparkEntry {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Near-dup clustering: connected components over the simhash pair
+    * graph (the exact d_simhash_pairs construction) — pair lists
+    * become dedup groups, component = smallest reachable doc id,
+    * which the oracle reproduces with a recursive transitive
+    * closure. */
+  private def dNeardupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupComponents(dSimhashPairs(s, dir))
+
   /** Paragraph-level exact dedup over 2-token chunks: the synthetic
     * 31-word vocabulary makes 2-token chunks collide densely (within
     * and across documents), so the gate exercises real drops —
@@ -1127,6 +1135,7 @@ object SparkEntry {
     "d_simhash_pairs" -> (dSimhashPairs _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_chunk_dedup" -> (dChunkDedup _),
+    "d_neardup_clusters" -> (dNeardupClusters _),
     "d_embedding_neardup" -> (dEmbeddingNeardup _),
     "d_embedding_neardup_lsh" -> (dEmbeddingNeardupLsh _),
     "d_decontaminate" -> (dDecontaminate _),
@@ -1238,6 +1247,24 @@ object SparkEntry {
         s"THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
     val simhashBits = simhashBitsSql(16)
+
+    // the simhash chunk-banding pair construction (mirrors
+    // Dedup.simHashNearDupsFrom over 32-bit poly fingerprints), shared
+    // by d_simhash_pairs and the d_neardup_clusters closure
+    val simhashPairsCtes =
+      s"""sh_base AS (SELECT doc_id, $ToksSql AS toks FROM documents WHERE doc_id < 200),
+         |sh_h AS (SELECT doc_id, list_transform(list_distinct(toks), t -> ${polySql("t")}) AS th FROM sh_base),
+         |sh_f AS (SELECT doc_id AS id, (${simhashBitsSql(32)})::BIGINT AS fp FROM sh_h),
+         |sh_b AS (SELECT id, fp, c.range AS chunk, (fp >> (c.range * 8)) & 255 AS cv
+         |      FROM sh_f CROSS JOIN range(0, 4) c),
+         |sh_bc AS (SELECT id, fp, chunk, cv FROM (
+         |  SELECT id, fp, chunk, cv,
+         |   row_number() OVER (PARTITION BY chunk, cv ORDER BY id) AS rn FROM sh_b)
+         | WHERE rn <= 64),
+         |sh_p AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+         |       bit_count(xor(a.fp, b2.fp))::BIGINT AS hamming
+         |      FROM sh_bc a JOIN sh_bc b2 ON a.chunk = b2.chunk AND a.cv = b2.cv AND a.id < b2.id),
+         |sh_pairs AS (SELECT id_a, id_b, hamming FROM sh_p WHERE hamming <= 3)""".stripMargin
 
     val ftTermsIn = inList(FtQueryTerms)
     val ftIncTermsIn = inList(FtQueryIncTerms)
@@ -1967,19 +1994,22 @@ object SparkEntry {
       // the 32-bit fingerprint shares one of four exact 8-bit chunks;
       // buckets capped at 64 lowest ids (mirrors maxBucketSize)
       "d_simhash_pairs" ->
-        s"""WITH base AS (SELECT doc_id, $ToksSql AS toks FROM documents WHERE doc_id < 200),
-           |h AS (SELECT doc_id, list_transform(list_distinct(toks), t -> ${polySql("t")}) AS th FROM base),
-           |f AS (SELECT doc_id AS id, (${simhashBitsSql(32)})::BIGINT AS fp FROM h),
-           |b AS (SELECT id, fp, c.range AS chunk, (fp >> (c.range * 8)) & 255 AS cv
-           |      FROM f CROSS JOIN range(0, 4) c),
-           |bc AS (SELECT id, fp, chunk, cv FROM (
-           |  SELECT id, fp, chunk, cv,
-           |   row_number() OVER (PARTITION BY chunk, cv ORDER BY id) AS rn FROM b)
-           | WHERE rn <= 64),
-           |p AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
-           |       bit_count(xor(a.fp, b2.fp))::BIGINT AS hamming
-           |      FROM bc a JOIN bc b2 ON a.chunk = b2.chunk AND a.cv = b2.cv AND a.id < b2.id)
-           |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3""".stripMargin,
+        s"""WITH $simhashPairsCtes
+           |SELECT id_a, id_b, hamming FROM sh_pairs""".stripMargin,
+
+      // near-dup clustering: transitive closure over the simhash pair
+      // graph, component = smallest reachable id (mirrors
+      // Dedup.nearDupComponents' min-label fixpoint)
+      "d_neardup_clusters" ->
+        s"""WITH RECURSIVE $simhashPairsCtes,
+           |edges AS (SELECT id_a AS a, id_b AS b FROM sh_pairs
+           |          UNION SELECT id_b, id_a FROM sh_pairs),
+           |verts AS (SELECT DISTINCT a AS id FROM edges),
+           |reach(id, lbl) AS (
+           |  SELECT id, id FROM verts
+           |  UNION
+           |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b)
+           |SELECT id, min(lbl) AS component FROM reach GROUP BY 1""".stripMargin,
 
       "d_ngram_jaccard" ->
         s"""WITH base AS (SELECT doc_id, $ToksSql AS toks FROM documents),

@@ -300,6 +300,58 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph — the clustering
+    * stage that turns LSH pair lists into dedup GROUPS (keep one
+    * document per component, drop the rest): iterative minimum-label
+    * propagation to the smallest reachable id (the plain-MapReduce CC
+    * construction — Afrati & Ullman / the "hash-to-min" family).
+    * Returns (id, component) for every VERTEX of the pair graph;
+    * singletons never appear in pair lists, so compose with a
+    * left_anti + own-id default for the full-corpus view.
+    *
+    * Scale shape: each iteration is one edge⨝label shuffle plus one
+    * map-side-combinable min-aggregate; labels are monotone
+    * non-increasing, so the rounds converge within the graph diameter
+    * — near-dup components are boilerplate groups with tiny diameters
+    * (2-4 rounds in practice), and `maxIter` bounds pathology. Every
+    * round persists + materializes its label table so the lineage
+    * never deepens (on a real cluster, reliable checkpointing replaces
+    * localized persistence for very deep graphs); the convergence
+    * check is an exact changed-row count. Deterministic at any
+    * parallelism (min is order-free). */
+  def nearDupComponents(pairs: DataFrame, idA: String = "id_a",
+                        idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    require(maxIter > 0, "maxIter must be positive")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = pairs.select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist(lvl)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id")).persist(lvl)
+    labels.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(
+          labels.select(col("id").as("b"), col("component").as("nl")), Seq("b"))
+        .select(col("a").as("id"), col("nl").as("component"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .persist(lvl)
+      val changed = next
+        .join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"nearDupComponents did not converge in $maxIter rounds " +
+      "(graph diameter exceeds the bound — raise maxIter)")
+    labels
+  }
+
   /** Paragraph-level exact dedup (the CCNet / MassiveText stage that
     * drops every repeated paragraph corpus-wide, keeping the first
     * occurrence — finer-grained than [[exactDedup]]'s whole-document

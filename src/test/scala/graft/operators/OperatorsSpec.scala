@@ -259,6 +259,21 @@ class OperatorsSpec extends SparkFunSuite {
     assert(out7 == want)
   }
 
+  test("nearDupComponents: multi-hop chains merge to min id; disjoint groups stay apart") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 6L), // chain {1,2,3,6}, diameter 3
+      (5L, 4L),                                   // pair {4,5}
+      (7L, 8L), (8L, 9L), (9L, 7L)                // triangle {7,8,9}
+    ).toDF("id_a", "id_b")
+    val got = Dedup.nearDupComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 6L -> 1L,
+      4L -> 4L, 5L -> 4L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+    // non-convergence within the bound is an error, not a wrong answer
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupComponents(Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b"),
+        maxIter = 1)
+    }
+  }
+
   test("minHash: exact dups get identical signatures and est_jaccard 1.0") {
     val sigs = Dedup.minHashSignaturesPoly(docs, "doc_id", "text")
     val s0 = sigs.filter($"doc_id" === 0).head().toSeq.tail
