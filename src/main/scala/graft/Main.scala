@@ -90,10 +90,18 @@ object Main {
       val spark = session()
       val q = qs.mkString(" ")
       val rdr = new IndexReader(spark, dir)
-      // Lucene-operator characters route through the query-string
-      // parser (+must -not "phrase"~slop term^boost wild* fuzzy~1);
-      // plain words keep the ranked turn output
-      if (q.exists(c => "+-\"^~*?".indexOf(c.toInt) >= 0)) {
+      // "lm: <terms>" serves the Dirichlet-LM similarity instead of
+      // BM25; Lucene-operator characters route through the
+      // query-string parser (+must -not "phrase"~slop term^boost
+      // wild* fuzzy~1); plain words keep the ranked turn output
+      if (q.startsWith("lm:")) {
+        import org.apache.spark.sql.functions.col
+        val hits = rdr.scoredDocsDirichlet(q.drop(3).trim)
+          .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        hits.foreach { case (id, s) => println(f"$s%12.6f  doc=$id") }
+        if (hits.isEmpty) println("(no hits)")
+      } else if (q.exists(c => "+-\"^~*?".indexOf(c.toInt) >= 0)) {
         val hits = rdr.searchParsed(q, 10)
         hits.foreach(h => println(f"${h.score}%12.6f  doc=${h.doc_id}"))
         if (hits.isEmpty) println("(no hits)")
@@ -113,13 +121,15 @@ object Main {
       System.err.println(f"loaded ${local.nDocs} docs / ${local.nTerms} terms " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s; ready")
       // query shapes: plain line = free text; "p: <phrase>" = exact
-      // phrase; "b: <must terms> ! <not terms>" = boolean AND/NOT
+      // phrase; "b: <must terms> ! <not terms>" = boolean AND/NOT;
+      // "lm: <terms>" = Dirichlet-LM similarity
       scala.io.Source.stdin.getLines().foreach { line =>
         val q = line.trim
         if (q.nonEmpty) {
           val t1 = System.nanoTime()
           val hits =
             if (q.startsWith("p:")) local.searchPhrase(q.drop(2).trim, 10)
+            else if (q.startsWith("lm:")) local.searchDirichlet(q.drop(3).trim, k = 10)
             else if (q.startsWith("b:")) {
               val parts = q.drop(2).split('!')
               local.searchBoolean(parts(0).trim,

@@ -346,6 +346,21 @@ object SparkEntry {
   private def dNeardupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupComponents(dSimhashPairs(s, dir))
 
+  /** The deduplicated corpus view — the end artifact of the pair →
+    * cluster → survivor pipeline: every document of the pair-graph
+    * subset with its component (own id when unpaired) and
+    * keep = "this doc is its component's representative". */
+  private def dNeardupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.nearDupComponents(dSimhashPairs(s, dir))
+      .withColumnRenamed("id", "doc_id")
+    tbl(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        (coalesce(col("component"), col("doc_id")) === col("doc_id")).as("keep"))
+  }
+
   /** Paragraph-level exact dedup over 2-token chunks: the synthetic
     * 31-word vocabulary makes 2-token chunks collide densely (within
     * and across documents), so the gate exercises real drops —
@@ -1136,6 +1151,7 @@ object SparkEntry {
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_chunk_dedup" -> (dChunkDedup _),
     "d_neardup_clusters" -> (dNeardupClusters _),
+    "d_neardup_survivors" -> (dNeardupSurvivors _),
     "d_embedding_neardup" -> (dEmbeddingNeardup _),
     "d_embedding_neardup_lsh" -> (dEmbeddingNeardupLsh _),
     "d_decontaminate" -> (dDecontaminate _),
@@ -2010,6 +2026,23 @@ object SparkEntry {
            |  UNION
            |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b)
            |SELECT id, min(lbl) AS component FROM reach GROUP BY 1""".stripMargin,
+
+      // the survivor view: component for every doc of the subset (own
+      // id when unpaired), keep = doc is its component representative
+      "d_neardup_survivors" ->
+        s"""WITH RECURSIVE $simhashPairsCtes,
+           |edges AS (SELECT id_a AS a, id_b AS b FROM sh_pairs
+           |          UNION SELECT id_b, id_a FROM sh_pairs),
+           |verts AS (SELECT DISTINCT a AS id FROM edges),
+           |reach(id, lbl) AS (
+           |  SELECT id, id FROM verts
+           |  UNION
+           |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b),
+           |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY 1)
+           |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+           | (coalesce(c.component, d.doc_id) = d.doc_id) AS keep
+           |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+           |WHERE d.doc_id < 200""".stripMargin,
 
       "d_ngram_jaccard" ->
         s"""WITH base AS (SELECT doc_id, $ToksSql AS toks FROM documents),
