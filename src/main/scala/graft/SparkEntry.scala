@@ -594,6 +594,18 @@ object SparkEntry {
         Seq(col("n_chars").desc, col("doc_id").asc), 30)
       .select("doc_id", "source")
 
+  /** Temperature mixing: √-scaled per-stratum keep rates, realized by
+    * a cross-engine hash uniform — bit-reproducible keep/drop. The
+    * stratum is a length bucket (n_chars/100) because the synthetic
+    * `source` groups are perfectly uniform (all rates would be 1.0 and
+    * nothing would drop); length buckets are genuinely skewed, so the
+    * entry exercises real drops at both gate scales. */
+  private def pTemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .withColumn("stratum", (col("n_chars") / lit(100.0)).cast("long"))
+    Sampling.temperatureMix(d, "doc_id", "stratum")
+  }
+
   /** Spellcheck collation (Solr spellcheck.collate): 'dup windoq
     * sprak' → each term's best dictionary suggestion (distance asc,
     * df desc, term asc; in-dictionary terms are their own distance-0
@@ -1172,6 +1184,7 @@ object SparkEntry {
     "p_sample_stratified" -> (pSampleStratified _),
     "p_pack" -> (pPack _),
     "p_domain_cap" -> (pDomainCap _),
+    "p_temperature_mix" -> (pTemperatureMix _),
     "ta_lm_quality" -> (taLmQuality _),
     "ft_collate" -> (ftCollate _),
     "mm_features" -> (mmFeatures _),
@@ -2414,6 +2427,18 @@ object SparkEntry {
            |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
            | round(-avg(lp), 6) AS nll
            |FROM lp GROUP BY 1""".stripMargin,
+      // temperature mixing: keep_rate = sqrt(n_s)/max sqrt(n_s); u and
+      // the rate are IEEE-exact on both engines (sqrt + div + 1e6 grid)
+      "p_temperature_mix" ->
+        s"""WITH d AS (SELECT doc_id, (n_chars // 100)::BIGINT AS stratum FROM documents),
+           |c AS (SELECT stratum, count(*)::BIGINT AS n_s FROM d GROUP BY 1),
+           |m AS (SELECT max(sqrt(n_s)) AS mx FROM c),
+           |r AS (SELECT d.doc_id, d.stratum, sqrt(c.n_s) / m.mx AS keep_rate,
+           |  (${polySql("'mix-' || d.doc_id::VARCHAR || '-salt'")} % 1000000)::DOUBLE / 1000000.0 AS u
+           | FROM d JOIN c USING (stratum) CROSS JOIN m)
+           |SELECT doc_id, stratum, round(keep_rate, 6) AS keep_rate
+           |FROM r WHERE u < keep_rate""".stripMargin,
+
       "p_domain_cap" ->
         """SELECT doc_id, source FROM (
           | SELECT doc_id, source,

@@ -68,6 +68,34 @@ object Sampling {
     * A hot group (one domain = half the crawl) should be pre-capped
     * with [[sampleByHash]] before this window; the cap itself cannot
     * avoid materializing the group's rows in its task. */
+  /** Temperature-based source mixing (the multilingual/multi-source
+    * sampling stage of mT5/CC-style pipelines): the largest source
+    * keeps everything, smaller sources keep a fraction that FALLS
+    * SLOWER than their share — keep_rate(s) = √n_s / max_s √n_s
+    * (temperature α = 0.5; relative upsampling of the tail sources) —
+    * realized deterministically per document by comparing a
+    * cross-engine hash uniform u(id) = (polyHash("mix-<id>-salt") mod
+    * 1e6)/1e6 against the rate (the salt SUFFIX matters: it multiplies
+    * every id-digit difference by 257^5 mod p, giving consecutive ids
+    * avalanche-spread u values — the bare hash of a short numeric
+    * string clusters, and an affine rehash steps consecutive ids by a
+    * near-multiple of 1e6). α is fixed at 0.5 because √ is IEEE
+    * correctly-rounded in every engine (pow(x, α) is not), so the
+    * keep/drop decision is bit-reproducible by the SQL oracle.
+    * One count aggregate + one broadcast join + a stateless filter —
+    * nothing shuffles the corpus. */
+  def temperatureMix(df: DataFrame, idCol: String, srcCol: String): DataFrame = {
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_s"))
+    val scale = counts.agg(max(sqrt(col("n_s")))).head().getDouble(0)
+    df.join(broadcast(counts), Seq(srcCol))
+      .withColumn("keep_rate", sqrt(col("n_s")) / lit(scale))
+      .withColumn("u",
+        (Hashing.polyHash(concat(lit("mix-"), col(idCol).cast("string"),
+          lit("-salt"))) % 1000000L).cast("double") / 1000000.0)
+      .filter(col("u") < col("keep_rate"))
+      .select(col(idCol), col(srcCol), round(col("keep_rate"), 6).as("keep_rate"))
+  }
+
   def capPerGroup(df: DataFrame, groupCol: String,
                   rankCols: Seq[Column], n: Int): DataFrame = {
     require(n > 0, "n must be positive")

@@ -693,6 +693,22 @@ class SamplingPackingSpec extends graft.SparkFunSuite {
     }
   }
 
+  test("temperatureMix: sqrt-scaled keep rates; largest stratum keeps all; deterministic") {
+    val df = (0L until 90L).map(i => (i, if (i < 81) "big" else "small"))
+      .toDF("doc_id", "src")
+    val out = Sampling.temperatureMix(df, "doc_id", "src")
+      .as[(Long, String, Double)].collect().toSet
+    val rates = out.map(r => r._2 -> r._3).toMap
+    assert(rates("big") == 1.0) // 81 docs, sqrt 9 = the max
+    assert(math.abs(rates("small") - 0.333333) < 1e-9) // sqrt 3 / sqrt 9, 6dp
+    assert(out.count(_._2 == "big") == 81) // rate 1.0 keeps everything
+    val kept = out.count(_._2 == "small")
+    assert(kept > 0 && kept < 9, s"small stratum should partially drop: $kept")
+    val out7 = Sampling.temperatureMix(df.repartition(7), "doc_id", "src")
+      .as[(Long, String, Double)].collect().toSet
+    assert(out == out7) // deterministic at any parallelism
+  }
+
   test("stratified: per-stratum rates, zero default drops unlisted strata") {
     val got = Sampling.stratified(rows, "stratum", "id",
         Map("src0" -> 1.0, "src1" -> 0.5), defaultFraction = 0.0)
