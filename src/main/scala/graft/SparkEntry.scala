@@ -166,6 +166,19 @@ object SparkEntry {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
 
+  /** Sliding-window event counts (window 2h, slide 1h — Spark's
+    * `window()` operator, the overlapping-windows sibling of
+    * ev_hourly's tumbling date_trunc): every event lands in exactly
+    * two hour-aligned windows, which the oracle reproduces as a
+    * two-offset union. */
+  private def evSliding(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"))
+
   private def evSessions(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     tbl(s, dir, "events")
@@ -1138,6 +1151,7 @@ object SparkEntry {
     "w_topn_per_group" -> (wTopnPerGroup _),
     "q_distinct_users" -> (qDistinctUsers _),
     "ev_hourly" -> (evHourly _),
+    "ev_sliding" -> (evSliding _),
     "ev_sessions" -> (evSessions _),
     "ev_asof" -> (evAsof _),
     "s_exclude_seen" -> (sExcludeSeen _),
@@ -1862,6 +1876,17 @@ object SparkEntry {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
           | event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      // sliding 2h/1h windows: each event is in the hour-aligned
+      // window starting at trunc(hour, ts) and the one 1h earlier
+      "ev_sliding" ->
+        """WITH w AS (
+          | SELECT event_type, date_trunc('hour', ts) AS s FROM events
+          | UNION ALL
+          | SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
+          |SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+          | count(*)::BIGINT AS n_events
+          |FROM w GROUP BY 1, 2""".stripMargin,
 
       "ev_sessions" ->
         """WITH g AS (
