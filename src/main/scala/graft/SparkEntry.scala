@@ -951,9 +951,13 @@ object SparkEntry {
     val idx = FtIndex.ensureIncremental(s, dir)
     val n = tbl(s, dir, "documents").count()
     val ids = Seq(0L, n / 5, (n * 9) / 10, n - 1)
+    // filter on the STORED conv_id (pushes into the parquet scan via
+    // min/max stats), not the derived origId — a by-id get must never
+    // decode the whole doc store
+    val convIds = ids.map(id => f"doc-$id%010d")
     graft.index.IndexBuilder.readDocs(s, idx)
+      .filter(col("conv_id").isInCollection(convIds))
       .select(FtIndex.origId(col("conv_id")).as("doc_id"), col("text"))
-      .filter(col("doc_id").isInCollection(ids))
   }
 
   /** LM Dirichlet similarity (Solr's per-field similarity alternative,

