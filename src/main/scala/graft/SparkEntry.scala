@@ -960,6 +960,18 @@ object SparkEntry {
       .select(FtIndex.origId(col("conv_id")).as("doc_id"), col("text"))
   }
 
+  /** Query-time synonym expansion (Lucene SynonymQuery): groups
+    * (scan|sort) and (merge|join) each score as ONE virtual term —
+    * member tfs summed before the saturation curve, idf from the max
+    * member df — which a plain OR of the members cannot reproduce. */
+  private def ftBm25Synonyms(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rankTop20DF(s,
+      rdr.scoredDocsSynonyms(Seq(Seq("scan", "sort"), Seq("merge", "join")))
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(20))
+  }
+
   /** LM Dirichlet similarity (Solr's per-field similarity alternative,
     * LMDirichletSimilarity): the flagship terms scored by the
     * Dirichlet-smoothed language model instead of BM25 — proves the
@@ -1231,6 +1243,7 @@ object SparkEntry {
     "ft_elevate" -> (ftElevate _),
     "ft_keywords" -> (ftKeywords _),
     "ft_lm_dirichlet" -> (ftLmDirichlet _),
+    "ft_bm25_synonyms" -> (ftBm25Synonyms _),
     "ft_rtg" -> (ftRtg _),
     "ft_join" -> (ftJoinQuery _),
     "ft_boost_by_field" -> (ftBoostByField _),
@@ -2423,6 +2436,28 @@ object SparkEntry {
       "ft_elevate" -> ftElevateSql,
       "ft_keywords" -> ftKeywordsSql,
       "ft_lm_dirichlet" -> ftLmDirichletSql,
+      // synonym groups (scan|sort), (merge|join): tf summed per group
+      // before tfNorm, idf from the group's max member df
+      "ft_bm25_synonyms" ->
+        s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+           |sel AS (SELECT doc_id, term,
+           |  CASE WHEN term IN ('scan', 'sort') THEN 0 ELSE 1 END AS grp
+           | FROM toks WHERE term IN ('scan', 'sort', 'merge', 'join')),
+           |tfg AS (SELECT doc_id, grp, count(*)::BIGINT AS tf FROM sel GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+           |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+           |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+           |mdf AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM sel GROUP BY 1),
+           |gdf AS (SELECT CASE WHEN term IN ('scan', 'sort') THEN 0 ELSE 1 END AS grp,
+           |  max(df) AS df FROM mdf GROUP BY 1),
+           |scores AS (
+           | SELECT tfg.doc_id,
+           |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+           | FROM tfg JOIN gdf USING (grp) JOIN dl USING (doc_id) CROSS JOIN stats
+           | GROUP BY tfg.doc_id)
+           |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+           | doc_id, round(s, 4) AS score
+           |FROM scores ORDER BY rank LIMIT 20""".stripMargin,
       // realtime get: by-id doc-store fetch through the delta overlays;
       // the final corpus equals documents, ids derived from count(*)
       "ft_rtg" ->

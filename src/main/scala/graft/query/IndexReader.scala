@@ -1022,6 +1022,47 @@ class IndexReader(spark: SparkSession, dir: String,
   }
 
   /**
+   * The full scored match set under query-time SYNONYM expansion
+   * (Solr's SynonymGraphFilter at query time / Lucene SynonymQuery):
+   * each group of terms scores as ONE virtual term — tf summed across
+   * the group's members, idf from the group's MAX member df — so a
+   * document mentioning any mix of the synonyms saturates the same
+   * curve a single term would, instead of stacking per-member scores
+   * the way a plain OR does. Groups must be disjoint. Same segment
+   * machinery and scale shape as [[scoredDocs]].
+   */
+  def scoredDocsSynonyms(groups: Seq[Seq[String]]): DataFrame = {
+    val gs = groups.map(g => g.flatMap(analyzer.tokenize(_)).distinct.sorted)
+      .filter(_.nonEmpty)
+    val flat = gs.flatten
+    require(flat.distinct.size == flat.size, "synonym groups must be disjoint")
+    def empty = spark.createDataset(Seq.empty[(Long, Double)]).toDF("doc_id", "score")
+    if (gs.isEmpty || stats.n_docs == 0) return empty
+    val dfs = docFreqs(flat)
+    // groups whose every member is absent contribute nothing
+    val live = gs.filter(_.exists(dfs.contains))
+    if (live.isEmpty) return empty
+    val groupIdfs = live.map { g =>
+      BM25.idf(g.flatMap(dfs.get).max, stats.n_docs)
+    }.toArray
+    val termGroup = live.zipWithIndex
+      .flatMap { case (g, i) => g.map(_ -> i) }.toMap
+    val terms = live.flatten
+    val avgdl = stats.avgdl
+    val g = groupSize
+    postings
+      .filter(col("term").isInCollection(terms))
+      .as[PostingBlockRow]
+      .groupByKey(_.segment / g)
+      .flatMapGroups { (_, rows) =>
+        Wand.bySegment(rows).iterator.flatMap { case (_, byTerm) =>
+          Wand.scoredDocIdsSynonyms(byTerm, termGroup, groupIdfs, avgdl)
+        }
+      }
+      .toDF("doc_id", "score")
+  }
+
+  /**
    * The full scored match set under the Dirichlet-smoothed
    * language-model similarity (Solr's per-field `similarity` config
    * with LMDirichletSimilarity; Zhai & Lafferty '01) — the engine's

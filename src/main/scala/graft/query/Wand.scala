@@ -486,6 +486,71 @@ object Wand extends Serializable {
   }
 
   /**
+   * Full scored match set under query-time SYNONYM semantics (Lucene
+   * SynonymQuery): each group of terms scores as ONE virtual term —
+   * tf(group, doc) = Σ member tf, df(group) = max member df (both
+   * Lucene's choices: summed tf treats members as occurrences of the
+   * same concept; max df keeps the idf of the most common member so
+   * expansion never inflates rarity). Groups combine disjunctively.
+   * Same ascending-term cursor merge as [[scoredDocIds]]; the group
+   * accumulation sums member tfs at the aligned doc BEFORE the
+   * saturation curve, which is what distinguishes a synonym group
+   * from a plain OR of its members. Deterministic: group scores sum
+   * in ascending group order.
+   */
+  def scoredDocIdsSynonyms(termBlocks: Map[String, IndexedSeq[PostingBlockRow]],
+                           termGroup: Map[String, Int],
+                           groupIdfs: Array[Double],
+                           avgdl: Double): Iterator[(Long, Double)] = {
+    val cursors = termBlocks.toArray.sortBy(_._1).map { case (t, blocks) =>
+      new Cursor(t, 0.0, blocks.sortBy(_.max_doc_id), avgdl)
+    }.filterNot(_.exhausted)
+    if (cursors.isEmpty) return Iterator.empty
+    val groupOf = cursors.map(c => termGroup(c.term))
+    val nGroups = groupIdfs.length
+    val groupTf = new Array[Int](nGroups)
+    val out = Vector.newBuilder[(Long, Double)] // bounded by segment size
+    var live = true
+    while (live) {
+      var min = Long.MaxValue
+      var i = 0
+      while (i < cursors.length) {
+        val d = cursors(i).docId
+        if (d < min) min = d
+        i += 1
+      }
+      if (min == Long.MaxValue) live = false
+      else {
+        java.util.Arrays.fill(groupTf, 0)
+        var dl = 0
+        i = 0
+        while (i < cursors.length) {
+          val c = cursors(i)
+          if (c.docId == min) {
+            groupTf(groupOf(i)) += c.currentTf
+            dl = c.currentDl
+          }
+          i += 1
+        }
+        var s = 0.0
+        var g = 0
+        while (g < nGroups) { // ascending group order
+          if (groupTf(g) > 0)
+            s += groupIdfs(g) * BM25.tfNorm(groupTf(g), dl, avgdl)
+          g += 1
+        }
+        out += ((min, s))
+        i = 0
+        while (i < cursors.length) {
+          if (cursors(i).docId == min) cursors(i).next()
+          i += 1
+        }
+      }
+    }
+    out.result().iterator
+  }
+
+  /**
    * Full scored match set under the Dirichlet-smoothed language-model
    * similarity (Zhai & Lafferty '01; Lucene LMDirichletSimilarity):
    * per matched term, max(0, ln(1 + tf/(μ·p(t|C))) + ln(μ/(dl+μ)))

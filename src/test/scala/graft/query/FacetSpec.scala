@@ -393,6 +393,42 @@ class FacetSpec extends SparkFunSuite {
     assert(want.size == ids.size * 4)
   }
 
+  test("scoredDocsSynonyms: group tf-sum + max-df idf == brute force; differs from plain OR") {
+    val (rdr, corpus) = fixture("idx-syn")
+    val docTfs = corpus.zipWithIndex.map { case (t, i) =>
+      (i.toLong, graft.analysis.Tokenizer.docLength(t.text),
+        graft.analysis.Tokenizer.termFreqs(t.text))
+    }
+    val nDocs = corpus.length.toLong
+    val avgdl = docTfs.map(_._2).sum.toDouble / nDocs
+    val dfs = docTfs.flatMap(_._3.keys).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val groups = Seq(Seq("la", "user"), Seq("ma")) // sorted within group
+    val gdfs = groups.map(g => g.map(t => dfs.getOrElse(t, 0L)).max)
+    val want = docTfs.flatMap { case (id, dl, tfs) =>
+      val gtfs = groups.map(g => g.map(t => tfs.getOrElse(t, 0)).sum)
+      if (gtfs.forall(_ == 0)) None
+      else {
+        var s = 0.0
+        groups.indices.foreach { i =>
+          if (gtfs(i) > 0)
+            s += BM25.idf(gdfs(i), nDocs) * BM25.tfNorm(gtfs(i), dl, avgdl)
+        }
+        Some(id -> s)
+      }
+    }.toMap
+    val got = rdr.scoredDocsSynonyms(groups).as[(Long, Double)].collect().toMap
+    assert(got == want) // bit-equal doubles (same summation order)
+    assert(got.size > 10)
+    // the group saturates member tfs together — a plain OR does not
+    val or = rdr.scoredDocs("la user ma").as[(Long, Double)].collect().toMap
+    assert(got != or)
+    intercept[IllegalArgumentException] {
+      rdr.scoredDocsSynonyms(Seq(Seq("la"), Seq("la")))
+    }
+    assert(rdr.scoredDocsSynonyms(Seq(Seq("nosuchterm"))).collect().isEmpty)
+  }
+
   test("scoredDocsDirichlet: LM similarity == brute force; clamp and p(t|C) exact") {
     val (rdr, corpus) = fixture("idx-lm")
     val docTfs = corpus.zipWithIndex.map { case (t, i) =>
