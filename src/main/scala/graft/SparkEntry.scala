@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators._
+import graft.sources.Export
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -960,6 +961,22 @@ object SparkEntry {
       .select(FtIndex.origId(col("conv_id")).as("doc_id"), col("text"))
   }
 
+  /** Sharded export round trip: write the corpus as 8 deterministic
+    * parquet shards, read it BACK, and summarize per shard (count +
+    * content-hash sum) — the oracle computes the same summary from
+    * the source table, so any row lost, duplicated, or corrupted by
+    * the write/read crossing hash-mismatches. The one gate entry that
+    * exercises a user-facing WRITE path. */
+  private def pExportShards(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_export_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    Export.exportShards(docs, "doc_id", out, 8)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Hashing.polyHash(col("text"))).as("content_sum"))
+  }
+
   /** Query-time synonym expansion (Lucene SynonymQuery): groups
     * (scan|sort) and (merge|join) each score as ONE virtual term —
     * member tfs summed before the saturation curve, idf from the max
@@ -1215,6 +1232,7 @@ object SparkEntry {
     "p_pack" -> (pPack _),
     "p_domain_cap" -> (pDomainCap _),
     "p_temperature_mix" -> (pTemperatureMix _),
+    "p_export_shards" -> (pExportShards _),
     "ta_lm_quality" -> (taLmQuality _),
     "ft_collate" -> (ftCollate _),
     "mm_features" -> (mmFeatures _),
@@ -2502,6 +2520,13 @@ object SparkEntry {
            | FROM d JOIN c USING (stratum) CROSS JOIN m)
            |SELECT doc_id, stratum, round(keep_rate, 6) AS keep_rate
            |FROM r WHERE u < keep_rate""".stripMargin,
+
+      // sharded export round trip: the oracle summarizes the SOURCE
+      // table; the entry summarizes what was read back from disk
+      "p_export_shards" ->
+        s"""SELECT (doc_id % 8)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+           | sum(${polySql("text")})::BIGINT AS content_sum
+           |FROM documents GROUP BY 1""".stripMargin,
 
       "p_domain_cap" ->
         """SELECT doc_id, source FROM (
