@@ -1139,6 +1139,28 @@ object SparkEntry {
       tbl(s, dir, "documents"), "doc_id", "source", "n_chars")
   }
 
+  /** Graph query (Solr {!graph}): BFS from the 'batch window -dup'
+    * match set over a derived follow relation (d₂ follows d₁ when
+    * d₂.t = d₁.f with f = id mod 37, t = (7·id+3) mod 37 — the
+    * synthetic corpus has no natural doc-to-doc edge field), 3 hops,
+    * depth = first reach. The oracle is a bounded recursive closure
+    * taking min(depth). */
+  private def ftGraph(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    val m = tbl(s, dir, "documents").select(col("doc_id"),
+      pmod(col("doc_id"), lit(37L)).as("f"),
+      pmod(col("doc_id") * 7 + 3, lit(37L)).as("t"))
+    rdr.graphTraverse("batch window", "dup", m, "doc_id", "f", "t", 3)
+  }
+
+  /** Stats percentiles (Solr stats.percentiles): exact p50/p95 of
+    * n_chars per source over the same match set as ft_facet_stats. */
+  private def ftFacetStatsPct(s: SparkSession, dir: String): DataFrame = {
+    val rdr = FtIndex.reader(s, dir)
+    rdr.facetPercentiles("batch window", "dup",
+      tbl(s, dir, "documents"), "doc_id", "source", "n_chars")
+  }
+
   /** Pivot faceting (Solr facet.pivot): match-set counts per
     * (source, lang) combination — the flat relational form of the
     * nested pivot tree, same single aggregate as ft_facets. */
@@ -1267,6 +1289,8 @@ object SparkEntry {
     "ft_boost_by_field" -> (ftBoostByField _),
     "ft_rerank" -> (ftRerank _),
     "ft_facet_stats" -> (ftFacetStats _),
+    "ft_facet_stats_pct" -> (ftFacetStatsPct _),
+    "ft_graph" -> (ftGraph _),
     "ft_facet_pivot" -> (ftFacetPivot _),
     "ft_facet_range" -> (ftFacetRange _),
     "ft_sort_by_field" -> (ftSortByField _),
@@ -2620,6 +2644,35 @@ object SparkEntry {
            |SELECT source, count(*)::BIGINT AS n_docs,
            |  min(n_chars)::BIGINT AS min_v, max(n_chars)::BIGINT AS max_v,
            |  sum(n_chars)::BIGINT AS sum_v
+           |FROM t
+           |WHERE list_contains(toks, 'batch') AND list_contains(toks, 'window')
+           |  AND NOT list_contains(toks, 'dup')
+           |GROUP BY source""".stripMargin,
+
+      // graph query: bounded recursive closure, min depth per doc
+      "ft_graph" ->
+        s"""WITH RECURSIVE t0 AS (SELECT doc_id, $ToksSql AS toks,
+           |  doc_id % 37 AS f, (doc_id * 7 + 3) % 37 AS t FROM documents),
+           |roots AS (SELECT doc_id FROM t0
+           | WHERE list_contains(toks, 'batch') AND list_contains(toks, 'window')
+           |   AND NOT list_contains(toks, 'dup')),
+           |reach(doc_id, depth) AS (
+           |  SELECT doc_id, 0::BIGINT AS depth FROM roots
+           |  UNION
+           |  SELECT m2.doc_id, r.depth + 1
+           |  FROM reach r JOIN t0 m1 ON m1.doc_id = r.doc_id
+           |       JOIN t0 m2 ON m2.t = m1.f
+           |  WHERE r.depth < 3)
+           |SELECT doc_id, min(depth)::BIGINT AS depth
+           |FROM reach GROUP BY 1""".stripMargin,
+
+      // stats percentiles: exact R-7 quantiles (quantile_cont ==
+      // Spark percentile), rounded on both sides
+      "ft_facet_stats_pct" ->
+        s"""WITH t AS (SELECT doc_id, source, n_chars, $ToksSql AS toks FROM documents)
+           |SELECT source, count(*)::BIGINT AS n_docs,
+           |  round(quantile_cont(n_chars, 0.5), 4) AS p_lo,
+           |  round(quantile_cont(n_chars, 0.95), 4) AS p_hi
            |FROM t
            |WHERE list_contains(toks, 'batch') AND list_contains(toks, 'window')
            |  AND NOT list_contains(toks, 'dup')

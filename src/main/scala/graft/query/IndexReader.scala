@@ -1485,6 +1485,67 @@ class IndexReader(spark: SparkSession, dir: String,
         max(col(statCol)).as("max_v"),
         sum(col(statCol)).as("sum_v"))
 
+  /** Graph query (Solr `{!graph from=f to=t maxDepth=N}`): BFS from
+    * the root query's match set over the edge relation "document d₂
+    * follows d₁ when d₂[to] = d₁[from]", up to `maxDepth` hops.
+    * Returns (doc_id, depth) with depth the FIRST-reach BFS depth
+    * (0 for roots) — equal to the min-depth over all paths, which the
+    * oracle reproduces with a bounded recursive closure.
+    *
+    * Scale shape: per hop, one frontier⨝meta projection to DISTINCT
+    * follow keys (bounded by the key domain, broadcastable — the same
+    * argument as [[searchJoin]]), one keyed join back, and one
+    * anti-join against the reached set; ≤ maxDepth rounds, each
+    * lineage-truncated with an eager localCheckpoint (see
+    * [[graft.operators.Dedup.nearDupComponents]] for why persist
+    * alone lets iterative plans grow 2^rounds). The metadata frame is
+    * NOT checkpointed — its plan is round-constant. */
+  def graphTraverse(rootMust: String, rootNot: String, meta: DataFrame,
+                    idCol: String, fromCol: String, toCol: String,
+                    maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be non-negative")
+    val m = meta.select(col(idCol).cast("long").as("doc_id"),
+      col(fromCol).as("f"), col(toCol).as("t"))
+    var reached = matchingDocs(rootMust, rootNot)
+      .withColumn("depth", lit(0L)).localCheckpoint(true)
+    var frontier = reached
+    var depth = 0L
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val keys = frontier.join(m, Seq("doc_id"))
+        .select(col("f").as("k")).distinct()
+      val newDocs = m.join(keys, m("t") === keys("k"))
+        .select(col("doc_id")).distinct()
+        .join(reached.select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("depth", lit(depth + 1L))
+        .localCheckpoint(true)
+      reached = reached.union(newDocs).localCheckpoint(true)
+      frontier = newDocs
+      depth += 1
+    }
+    reached
+  }
+
+  /** Stats-component percentiles (Solr `stats.percentiles`): EXACT
+    * linear-interpolated quantiles of a metadata stat per facet value
+    * over the boolean match set — Spark's exact `percentile` and
+    * DuckDB's `quantile_cont` share the same R-7 definition
+    * (rank = p·(n−1), linear interpolation), so the oracle reproduces
+    * the values to rounding. The exact aggregator holds each group's
+    * (value → count) map — bounded by the stat's per-group
+    * cardinality, the tradeoff Solr itself makes for exact
+    * percentiles (its default is t-digest approximation; swap in
+    * percentile_approx for that regime at 100 TB). */
+  def facetPercentiles(mustQuery: String, notQuery: String, meta: DataFrame,
+                       idCol: String, facetCol: String, statCol: String,
+                       pLo: Double = 0.5, pHi: Double = 0.95): DataFrame =
+    matchingDocs(mustQuery, notQuery)
+      .join(meta.select(col(idCol).cast("long").as("doc_id"),
+        col(facetCol), col(statCol)), Seq("doc_id"))
+      .groupBy(facetCol)
+      .agg(count(lit(1)).as("n_docs"),
+        round(percentile(col(statCol), lit(pLo)), 4).as("p_lo"),
+        round(percentile(col(statCol), lit(pHi)), 4).as("p_hi"))
+
   /** Top-k joined back to (conv_id, turn_idx) via doc_stats. */
   def searchRanked(query: String, k: Int = 10): Seq[RankedTurn] = {
     val hits = search(query, k)

@@ -393,6 +393,33 @@ class FacetSpec extends SparkFunSuite {
     assert(want.size == ids.size * 4)
   }
 
+  test("graphTraverse: BFS first-reach depth == recursive min-depth brute force") {
+    val (rdr, corpus) = fixture("idx-graph")
+    // derived follow relation: d2 follows d1 when d2.t == d1.f
+    val meta = corpus.indices.map(i => (i.toLong, i % 17L, (i * 5 + 2) % 17L))
+    val m = meta.toDF("doc_id", "f", "t")
+    val roots = rdr.matchingDocs("user la", "ma").as[Long].collect().toSet
+    assert(roots.nonEmpty)
+    // brute-force BFS over the same relation
+    val byT = meta.groupBy(_._3)
+    val fOf = meta.map(r => r._1 -> r._2).toMap
+    var want = roots.map(_ -> 0L).toMap
+    var frontier = roots
+    (1 to 2).foreach { d =>
+      val next = frontier.flatMap(id => byT.getOrElse(fOf(id), Nil).map(_._1))
+        .diff(want.keySet)
+      want ++= next.map(_ -> d.toLong)
+      frontier = next
+    }
+    val got = rdr.graphTraverse("user la", "ma", m, "doc_id", "f", "t", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(want.values.toSet == Set(0L, 1L, 2L), "fixture should have all depths")
+    // maxDepth 0 = roots only
+    assert(rdr.graphTraverse("user la", "ma", m, "doc_id", "f", "t", 0)
+      .as[(Long, Long)].collect().toMap == roots.map(_ -> 0L).toMap)
+  }
+
   test("scoredDocsSynonyms: group tf-sum + max-df idf == brute force; differs from plain OR") {
     val (rdr, corpus) = fixture("idx-syn")
     val docTfs = corpus.zipWithIndex.map { case (t, i) =>
