@@ -1139,6 +1139,24 @@ object SparkEntry {
       tbl(s, dir, "documents"), "doc_id", "source", "n_chars")
   }
 
+  /** Block join (Lucene ToParentBlockJoinQuery, ScoreMode.Max):
+    * flagship child matches roll up to parents (parent = id/10 — the
+    * synthetic corpus has no natural block structure), parent score =
+    * max child score, top-20 parents. Max of 4dp-rounded child scores
+    * is exact cross-engine (no summation-order concern). */
+  private def ftBlockJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rdr = FtIndex.reader(s, dir)
+    val meta = tbl(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") / lit(10)).cast("long").as("parent_id"))
+    rdr.searchParentsBlockJoin(FtQuery, meta, "doc_id", "parent_id",
+        "max", 20, scoreKey = c => round(c, 4))
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) =>
+        ((i + 1).toLong, r.getLong(0), r.getDouble(1), r.getLong(2)) }
+      .toDF("rank", "parent_id", "score", "n_children")
+  }
+
   /** Graph query (Solr {!graph}): BFS from the 'batch window -dup'
     * match set over a derived follow relation (d₂ follows d₁ when
     * d₂.t = d₁.f with f = id mod 37, t = (7·id+3) mod 37 — the
@@ -1291,6 +1309,7 @@ object SparkEntry {
     "ft_facet_stats" -> (ftFacetStats _),
     "ft_facet_stats_pct" -> (ftFacetStatsPct _),
     "ft_graph" -> (ftGraph _),
+    "ft_block_join" -> (ftBlockJoin _),
     "ft_facet_pivot" -> (ftFacetPivot _),
     "ft_facet_range" -> (ftFacetRange _),
     "ft_sort_by_field" -> (ftSortByField _),
@@ -2648,6 +2667,27 @@ object SparkEntry {
            |WHERE list_contains(toks, 'batch') AND list_contains(toks, 'window')
            |  AND NOT list_contains(toks, 'dup')
            |GROUP BY source""".stripMargin,
+
+      // block join: child scores (rounded) roll up to parents by MAX,
+      // parents ranked (score desc, parent_id asc)
+      "ft_block_join" ->
+        s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+           |stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+           |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+           |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftTermsIn GROUP BY 1),
+           |scores AS (
+           | SELECT tf.doc_id,
+           |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+           | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           | GROUP BY tf.doc_id),
+           |p AS (SELECT (doc_id // 10)::BIGINT AS parent_id, round(s, 4) AS cs FROM scores),
+           |agg AS (SELECT parent_id, max(cs) AS score, count(*)::BIGINT AS n_children
+           |        FROM p GROUP BY 1)
+           |SELECT row_number() OVER (ORDER BY score DESC, parent_id ASC) AS rank,
+           | parent_id, score, n_children
+           |FROM agg ORDER BY rank LIMIT 20""".stripMargin,
 
       // graph query: bounded recursive closure, min depth per doc
       "ft_graph" ->

@@ -1485,6 +1485,40 @@ class IndexReader(spark: SparkSession, dir: String,
         max(col(statCol)).as("max_v"),
         sum(col(statCol)).as("sum_v"))
 
+  /** Block-join parent query (Lucene ToParentBlockJoinQuery / Solr
+    * `{!parent}` with a score mode): children matching the query roll
+    * up to their parents, parent score = `max` | `avg` | `total` of
+    * the matching children's scores (Lucene's ScoreMode), plus the
+    * matching-child count. One scored-match-set ⨝ parent-key
+    * projection, one map-side-combinable aggregate, one TakeOrdered —
+    * the same scale shape as [[searchCollapse]], with the parent key
+    * playing the group. `scoreKey` (rounding) applies to child scores
+    * BEFORE the roll-up and to the parent score after, keeping both
+    * cutoffs engine-stable; `max` needs no re-round (max of rounded
+    * values is exact cross-engine). */
+  def searchParentsBlockJoin(query: String, meta: DataFrame, idCol: String,
+                             parentCol: String, scoreMode: String, k: Int = 10,
+                             scoreKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+                               = identity): DataFrame = {
+    require(k > 0, "k must be positive")
+    val agg = scoreMode match {
+      case "max"   => max(col("score"))
+      case "avg"   => avg(col("score"))
+      case "total" => sum(col("score"))
+      case other => throw new IllegalArgumentException(
+        s"unknown score mode '$other' (max | avg | total)")
+    }
+    scoredDocs(query)
+      .withColumn("score", scoreKey(col("score")))
+      .join(meta.select(col(idCol).cast("long").as("doc_id"),
+        col(parentCol).as("parent_id")), Seq("doc_id"))
+      .groupBy("parent_id")
+      .agg(agg.as("score"), count(lit(1)).as("n_children"))
+      .withColumn("score", scoreKey(col("score")))
+      .orderBy(col("score").desc, col("parent_id").asc).limit(k)
+      .select("parent_id", "score", "n_children")
+  }
+
   /** Graph query (Solr `{!graph from=f to=t maxDepth=N}`): BFS from
     * the root query's match set over the edge relation "document d₂
     * follows d₁ when d₂[to] = d₁[from]", up to `maxDepth` hops.

@@ -393,6 +393,35 @@ class FacetSpec extends SparkFunSuite {
     assert(want.size == ids.size * 4)
   }
 
+  test("searchParentsBlockJoin: child scores roll up by max/avg/total") {
+    val (rdr, corpus) = fixture("idx-bj")
+    val m = corpus.indices.map(i => (i.toLong, i.toLong / 7))
+      .toDF("doc_id", "parent_id")
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = rdr.scoredDocs("user la").as[(Long, Double)].collect()
+      .map { case (id, s) => (id, r4(s)) }
+    val byParent = scored.groupBy(_._1 / 7)
+    Seq("max", "avg", "total").foreach { mode =>
+      val want = byParent.map { case (p, xs) =>
+        val ss = xs.map(_._2)
+        val v = mode match {
+          case "max"   => ss.max
+          case "avg"   => ss.sum / ss.length
+          case "total" => ss.sum
+        }
+        (p, r4(v), xs.length.toLong)
+      }.toSeq.sortBy { case (p, v, _) => (-v, p) }.take(5)
+      val got = rdr.searchParentsBlockJoin("user la", m, "doc_id", "parent_id",
+          mode, 5, scoreKey = c => org.apache.spark.sql.functions.round(c, 4))
+        .as[(Long, Double, Long)].collect().toSeq
+      assert(got == want, s"mode $mode")
+    }
+    intercept[IllegalArgumentException] {
+      rdr.searchParentsBlockJoin("user la", m, "doc_id", "parent_id", "bogus")
+    }
+  }
+
   test("graphTraverse: BFS first-reach depth == recursive min-depth brute force") {
     val (rdr, corpus) = fixture("idx-graph")
     // derived follow relation: d2 follows d1 when d2.t == d1.f
