@@ -209,6 +209,46 @@ object FtIndex {
     out
   }
 
+  // ---- atomic-update gate fixture ----
+  // Base index over the true corpus, then Incremental.atomicSet
+  // patches a contiguous ~2% id band with `text || " patched dup"` —
+  // the Solr atomic-update verb driven end-to-end through the delta
+  // machinery. The oracle is plain BM25 SQL over the same CASE-patched
+  // corpus, so a lost patch, a ghost of the old text, or a corrupted
+  // unpatched document all hash-mismatch.
+
+  private val builtAtom = scala.collection.mutable.Set[String]()
+
+  def atomicIndexDir(sfDir: String): String = {
+    val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"/tmp/graft_ftatom_v$CacheVersion/$name"
+  }
+
+  def ensureAtomic(spark: SparkSession, sfDir: String): String = synchronized {
+    val out = atomicIndexDir(sfDir)
+    val marker = java.nio.file.Paths.get(out, "_atom_done")
+    if (!builtAtom.contains(out)) {
+      if (!java.nio.file.Files.exists(marker)) {
+        graft.store.Manifest.deleteRecursively(java.nio.file.Paths.get(out))
+        val cfg = BuildConfig(out, nSegments = 8, waveSize = 8)
+        val t = docsAsTurns(spark, sfDir)
+        IndexBuilder.build(spark, t, cfg)
+        val n = t.count()
+        val lo = n / 4
+        val cnt = math.max(1L, n / 50)
+        val sets = t.toDF()
+          .withColumn("id", origId(col("conv_id")))
+          .filter(col("id") >= lo && col("id") < lo + cnt)
+          .select(col("conv_id"), col("turn_idx"),
+            concat(col("text"), lit(" patched dup")).as("text"))
+        graft.index.Incremental.atomicSet(spark, cfg, sets)
+        java.nio.file.Files.createFile(marker)
+      }
+      builtAtom += out
+    }
+    out
+  }
+
   /** Original doc_id parsed back out of the engine conv_id
     * ("doc-%010d" → the zero-padded digits; safe for doc_id 0). */
   def origId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -724,6 +724,15 @@ object SparkEntry {
     bm25Top20DF(s, new graft.query.IndexReader(s, idx), FtQueryInc)
   }
 
+  /** BM25 over the atomically-patched index (Solr atomic update
+    * driven through the delta machinery: a ~2% id band got
+    * `text || " patched dup"` via Incremental.atomicSet) — must equal
+    * plain SQL over the CASE-patched corpus. */
+  private def ftAtomicUpdate(s: SparkSession, dir: String): DataFrame = {
+    val idx = FtIndex.ensureAtomic(s, dir)
+    bm25Top20DF(s, new graft.query.IndexReader(s, idx), FtQuery)
+  }
+
   /** QueryHits → top-20 (rank, doc_id, score) with 4-decimal rounding;
     * engine docIDs equal original doc_ids on this corpus (dense,
     * conv_id zero-padded), so results are oracle-mirrorable. */
@@ -1322,6 +1331,7 @@ object SparkEntry {
     "ft_bm25_mixed" -> (ftBm25Mixed _),
     "ft_incremental" -> (ftIncremental _),
     "ft_compacted" -> (ftCompacted _),
+    "ft_atomic_update" -> (ftAtomicUpdate _),
     "ft_facets" -> (ftFacets _)
   )
 
@@ -2688,6 +2698,29 @@ object SparkEntry {
            |SELECT row_number() OVER (ORDER BY score DESC, parent_id ASC) AS rank,
            | parent_id, score, n_children
            |FROM agg ORDER BY rank LIMIT 20""".stripMargin,
+
+      // atomic update: plain BM25 over the CASE-patched corpus (the
+      // same ~2% band atomicSet patched through the delta machinery)
+      "ft_atomic_update" ->
+        s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+           |d AS (SELECT doc_id,
+           |  CASE WHEN doc_id >= n // 4 AND doc_id < n // 4 + greatest(1, n // 50)
+           |       THEN text || ' patched dup' ELSE text END AS text
+           | FROM documents CROSS JOIN nn),
+           |toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM d),
+           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+           |stats AS (SELECT (SELECT count(*) FROM d)::BIGINT AS n,
+           |  (SELECT coalesce(sum(dl), 0)::DOUBLE FROM dl) / (SELECT count(*) FROM d) AS avgdl),
+           |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN $ftTermsIn GROUP BY 1),
+           |scores AS (
+           | SELECT tf.doc_id,
+           |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s
+           | FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           | GROUP BY tf.doc_id)
+           |SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank,
+           | doc_id, round(s, 4) AS score
+           |FROM scores ORDER BY rank LIMIT 20""".stripMargin,
 
       // graph query: bounded recursive closure, min depth per doc
       "ft_graph" ->

@@ -60,6 +60,51 @@ import java.nio.file.{Files, Paths}
  */
 object Incremental {
 
+  /** Atomic document updates (the Solr atomic-update verb
+    * `{"id": …, "field": {"set": v}}`): field-level patches keyed by
+    * (conv_id, turn_idx), realized as a DELTA BUILD — the patched
+    * corpus view feeds the same content-hash diff → per-segment
+    * overlay machinery as any other incremental update, so only
+    * segments holding a patched document rebuild and scores stay
+    * bit-equal to a full rebuild over the patched corpus. `sets`
+    * carries the key columns plus any subset of the updatable payload
+    * columns (text / role / tool); absent columns and NULL values keep
+    * the current value (Solr's partial-document semantics). Scale: one
+    * key-equi left join against the staging view plus the ordinary
+    * delta cost (only ids and 8-byte hashes cross a shuffle). */
+  def atomicSet(spark: SparkSession, cfg: BuildConfig,
+                sets: DataFrame): BuildReport = {
+    import spark.implicits._
+    val updatable = Seq("text", "role", "tool")
+    val provided = updatable.filter(sets.columns.contains)
+    require(provided.nonEmpty,
+      "sets must provide at least one updatable column (text/role/tool)")
+    val renamed = provided.foldLeft(
+      sets.select(("conv_id" +: "turn_idx" +: provided).map(col): _*))(
+      (d, c) => d.withColumnRenamed(c, s"__set_$c"))
+    // the staging view does not store ts (the content hash covers only
+    // role/text/tool, so a synthetic constant cannot dirty a document)
+    val cur0 = IndexBuilder.readDocs(spark, cfg.outDir)
+    val cur = if (cur0.columns.contains("ts")) cur0
+      else cur0.withColumn("ts",
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    val merged0 = cur.join(renamed, Seq("conv_id", "turn_idx"), "left")
+    val merged = provided.foldLeft(merged0)((d, c) =>
+      d.withColumn(c, coalesce(col(s"__set_$c"), col(c))))
+    // SNAPSHOT the patched view eagerly before the delta runs: the
+    // delta scans its source several times while rewriting the very
+    // staging this source reads — without the materialization the
+    // source would observe its own in-flight overlay writes. (At a
+    // scale where checkpointing the corpus is unacceptable, the same
+    // isolation comes from reading a pinned snapshot of the immutable
+    // staging version instead.)
+    val turns = merged.select(col("conv_id"),
+      col("turn_idx").cast("int").as("turn_idx"), col("role"), col("text"),
+      col("tool"), col("ts").cast("timestamp").as("ts")).as[Turn]
+      .localCheckpoint(true)
+    IndexBuilder.build(spark, turns, cfg)
+  }
+
   /** Diff + overlay + re-plan. Returns (nDocs, avgdl, segSize,
     * nSegEff) for the UPDATED corpus; Phase B (driven by the caller)
     * then rebuilds the STALE segments. */

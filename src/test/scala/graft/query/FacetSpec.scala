@@ -393,6 +393,29 @@ class FacetSpec extends SparkFunSuite {
     assert(want.size == ids.size * 4)
   }
 
+  test("round-5 serving edges: 1-member synonym == plain term; empty roots; all-zero elevation") {
+    val (rdr, _) = fixture("idx-r5edge")
+    // a synonym group of one IS the plain term (tf sum = tf, max df = df)
+    assert(rdr.scoredDocsSynonyms(Seq(Seq("user"))).as[(Long, Double)].collect().toMap ==
+      rdr.scoredDocs("user").as[(Long, Double)].collect().toMap)
+    // graph with no matching roots: empty at any depth, schema intact
+    val m = spark.range(0, 50).toDF("doc_id")
+      .withColumn("f", $"doc_id" % 5).withColumn("t", ($"doc_id" + 1) % 5)
+    val g = rdr.graphTraverse("nosuchterm", "", m, "doc_id", "f", "t", 3)
+    assert(g.collect().isEmpty && g.columns.toSeq == Seq("doc_id", "depth"))
+    // elevation of a query with no matches: the pinned docs, in order,
+    // all at score 0
+    val e = rdr.elevate("nosuchterm", Seq(9L, 3L), k = 10)
+      .as[(Long, Double, Boolean)].collect().toSeq
+    assert(e == Seq((9L, 0.0, true), (3L, 0.0, true)))
+    // dirichlet on an unknown term: empty, no totalTokens crash
+    assert(rdr.scoredDocsDirichlet("nosuchterm").collect().isEmpty)
+    // keywords with k beyond the doc vocabulary: every term, ranked
+    val kw = rdr.keywords(Seq(0L), 1000000)
+    assert(kw.count() ==
+      rdr.termVectors(Seq(0L)).count())
+  }
+
   test("searchParentsBlockJoin: child scores roll up by max/avg/total") {
     val (rdr, corpus) = fixture("idx-bj")
     val m = corpus.indices.map(i => (i.toLong, i.toLong / 7))
