@@ -64,6 +64,40 @@ class IncrementalSpec extends SparkFunSuite {
     }
   }
 
+  test("atomicSet: field patch via the delta path — touched segments only, equals full rebuild") {
+    val dir = tmpDir("atom-idx"); val fullDir = tmpDir("atom-full")
+    val cfg = BuildConfig(dir, nSegments = 8, waveSize = 8, autoCompactFraction = 0)
+    IndexBuilder.build(spark, v1, cfg)
+    val before = postingFiles(dir)
+    val word = "atomically patched contents xylophoneword"
+    val sets = Seq(("conv-000010", 0, word)).toDF("conv_id", "turn_idx", "text")
+    Incremental.atomicSet(spark, cfg, sets)
+    val touched = IndexBuilder.overlaidSegments(dir)
+    assert(touched.nonEmpty && touched.size < 8,
+      "a one-doc patch must not touch every segment")
+    val after = postingFiles(dir)
+    val untouchedFiles = before.keys.filterNot { p =>
+      touched.exists(s => p.contains(s"segment=$s/"))
+    }
+    assert(untouchedFiles.nonEmpty)
+    untouchedFiles.foreach { f =>
+      assert(after.get(f).contains(before(f)), s"untouched posting file rewritten: $f")
+    }
+    // equals a from-scratch build over the manually patched corpus
+    val patched = v1.withColumn("text",
+      when(col("conv_id") === "conv-000010" && col("turn_idx") === 0, lit(word))
+        .otherwise(col("text"))).as[Turn]
+    IndexBuilder.build(spark, patched, BuildConfig(fullDir, nSegments = 8, waveSize = 8))
+    val ri = new IndexReader(spark, dir); val rf = new IndexReader(spark, fullDir)
+    queriesEqual(ri, rf)
+    val hi = ri.searchRanked("xylophoneword", 100).map(h => (h.conv_id, h.turn_idx, h.score))
+    val hf = rf.searchRanked("xylophoneword", 100).map(h => (h.conv_id, h.turn_idx, h.score))
+    assert(hi.nonEmpty && hi.toSet == hf.toSet)
+    // a NULL set keeps the current value — the delta sees no change
+    val nullSets = Seq(("conv-000020", 0, null: String)).toDF("conv_id", "turn_idx", "text")
+    assert(Incremental.atomicSet(spark, cfg, nullSets).segmentsBuilt == 0)
+  }
+
   test("delta: update+delete+append rebuilds only touched segments; equals full rebuild") {
     val incDir = tmpDir("inc-idx"); val fullDir = tmpDir("inc-full")
     val cfgInc = BuildConfig(incDir, nSegments = 8, waveSize = 8)

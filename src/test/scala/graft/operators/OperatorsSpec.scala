@@ -693,6 +693,18 @@ class SamplingPackingSpec extends graft.SparkFunSuite {
     }
   }
 
+  test("exportShards: round trip preserves every row; shards deterministic at any parallelism") {
+    val df = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val want = (0L until 200L).map(i => (i, s"t$i", i % 4)).toSet
+    val back = graft.sources.Export.exportShards(df, "doc_id", tmpDir("export-4"), 4)
+    assert(back.select($"doc_id", $"text", $"shard".cast("long"))
+      .as[(Long, String, Long)].collect().toSet == want)
+    val back7 = graft.sources.Export.exportShards(
+      df.repartition(7), "doc_id", tmpDir("export-4b"), 4)
+    assert(back7.select($"doc_id", $"text", $"shard".cast("long"))
+      .as[(Long, String, Long)].collect().toSet == want)
+  }
+
   test("temperatureMix: sqrt-scaled keep rates; largest stratum keeps all; deterministic") {
     val df = (0L until 90L).map(i => (i, if (i < 81) "big" else "small"))
       .toDF("doc_id", "src")
