@@ -73,7 +73,35 @@ object Incremental {
     * key-equi left join against the staging view plus the ordinary
     * delta cost (only ids and 8-byte hashes cross a shuffle). */
   def atomicSet(spark: SparkSession, cfg: BuildConfig,
-                sets: DataFrame): BuildReport = {
+                sets: DataFrame): BuildReport =
+    IndexBuilder.build(spark, patchedCorpus(spark, cfg, sets)._1, cfg)
+
+  /** The patched corpus view [[atomicSet]] feeds to the delta build,
+    * staged O(patch) — NOT O(corpus): only the patched keys' merged
+    * rows are materialized (eager localCheckpoint of the second
+    * returned frame); the untouched rows stay a lazy anti-join over
+    * the immutable-valued staging view. The round-5 form checkpointed
+    * the ENTIRE corpus for any patch size — a one-document patch
+    * spooled the full staging view to executor disk.
+    *
+    * Why the lazy base side is safe against the delta rewriting the
+    * staging it reads: the delta only publishes overlays for segments
+    * holding PATCHED documents, and an overlay's surviving rows carry
+    * values identical to the base rows they replace — so any
+    * recomputation of the anti-joined (untouched-keys-only) branch
+    * observes the same values before and after the overlay publish.
+    * Only the patched keys' rows differ mid-delta, and exactly those
+    * are pinned by the checkpoint.
+    *
+    * Duplicate patch keys previously fanned out the join and silently
+    * indexed duplicated documents; patches are now deduplicated
+    * per-key first (deterministic max-struct pick — Solr applies
+    * repeated atomic updates last-wins, and a patch batch carries no
+    * arrival order, so the reduction just has to be deterministic).
+    * Patches addressed to keys absent from the corpus drop, as
+    * before. */
+  private[index] def patchedCorpus(spark: SparkSession, cfg: BuildConfig,
+                                   sets: DataFrame): (Dataset[Turn], DataFrame) = {
     import spark.implicits._
     val updatable = Seq("text", "role", "tool")
     val provided = updatable.filter(sets.columns.contains)
@@ -82,27 +110,28 @@ object Incremental {
     val renamed = provided.foldLeft(
       sets.select(("conv_id" +: "turn_idx" +: provided).map(col): _*))(
       (d, c) => d.withColumnRenamed(c, s"__set_$c"))
+    // per-key dedup: one deterministic patch row per (conv_id, turn_idx)
+    val oneSet = renamed.groupBy("conv_id", "turn_idx")
+      .agg(max(struct(provided.map(c => col(s"__set_$c")): _*)).as("__s"))
+      .select(col("conv_id") +: col("turn_idx") +:
+        provided.map(c => col(s"__s.__set_$c").as(s"__set_$c")): _*)
     // the staging view does not store ts (the content hash covers only
     // role/text/tool, so a synthetic constant cannot dirty a document)
     val cur0 = IndexBuilder.readDocs(spark, cfg.outDir)
     val cur = if (cur0.columns.contains("ts")) cur0
       else cur0.withColumn("ts",
         lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
-    val merged0 = cur.join(renamed, Seq("conv_id", "turn_idx"), "left")
-    val merged = provided.foldLeft(merged0)((d, c) =>
-      d.withColumn(c, coalesce(col(s"__set_$c"), col(c))))
-    // SNAPSHOT the patched view eagerly before the delta runs: the
-    // delta scans its source several times while rewriting the very
-    // staging this source reads — without the materialization the
-    // source would observe its own in-flight overlay writes. (At a
-    // scale where checkpointing the corpus is unacceptable, the same
-    // isolation comes from reading a pinned snapshot of the immutable
-    // staging version instead.)
-    val turns = merged.select(col("conv_id"),
+    def toTurns(d: DataFrame): Dataset[Turn] = d.select(col("conv_id"),
       col("turn_idx").cast("int").as("turn_idx"), col("role"), col("text"),
       col("tool"), col("ts").cast("timestamp").as("ts")).as[Turn]
-      .localCheckpoint(true)
-    IndexBuilder.build(spark, turns, cfg)
+    val mergedPatch0 = cur.join(oneSet, Seq("conv_id", "turn_idx"))
+    val mergedPatch = provided.foldLeft(mergedPatch0)((d, c) =>
+      d.withColumn(c, coalesce(col(s"__set_$c"), col(c))))
+    val patched = toTurns(mergedPatch).toDF().localCheckpoint(true)
+    val untouched = toTurns(
+      cur.join(oneSet.select("conv_id", "turn_idx"),
+        Seq("conv_id", "turn_idx"), "left_anti"))
+    (untouched.toDF().unionByName(patched).as[Turn], patched)
   }
 
   /** Diff + overlay + re-plan. Returns (nDocs, avgdl, segSize,

@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /**
  * Deduplication operators for large-scale training-data pipelines.
@@ -18,6 +18,24 @@ import org.apache.spark.sql.functions._
  * results are deterministic at any parallelism.
  */
 object Dedup {
+
+  /** Keep-lowest-k bucket cap as ONE map-side-combinable aggregate
+    * (Spark's own `CollectTopK`, a `TypedImperativeAggregate` holding a
+    * bounded priority queue of ≤ k members): returns each group's k
+    * smallest `member` structs as an ascending-sorted array — exactly
+    * `sort_array(collect_list(...))` over rows a `row_number() ≤ k`
+    * window kept, but WITHOUT the window. The window form was the hot-
+    * key sort it defended against: every member of a pathological
+    * bucket (one boilerplate chunk value shared by 10⁷ docs — carrying
+    * full embedding vectors in [[embeddingNearDups]]) was shuffled into
+    * ONE window-sort task before the cap dropped it. Partial
+    * aggregation caps each bucket at k members PER MAP TASK before the
+    * exchange, so the reduce side of a hot bucket merges ≤ k·tasks
+    * bounded queues instead of sorting 10⁷ rows. Deterministic at any
+    * parallelism (ids are unique per bucket, so the struct ordering is
+    * the id ordering the window used). */
+  private[operators] def bottomK(member: Column, k: Int): Column =
+    ColumnBridge.bottomK(member, k)
 
   /** Exact dedup: keep the lowest-id row per distinct content hash.
     * One hash-groupBy shuffle on a 64-bit key; at 100 TB this is a
@@ -142,18 +160,15 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => bandHash(array_join(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), ",")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    // cap pathological buckets (boilerplate-heavy corpora), then emit
-    // each bucket's pairs from ONE collected member list. The groupBy
-    // shares the window's (band, band_hash) partitioning, so the whole
-    // candidate generation is a SINGLE shuffle of (id, sig) rows — the
-    // old self-join re-derived the signature pipeline for each side
-    // and shuffled it twice more. Aggregator memory is bounded by the
-    // cap: ≤ maxBucketSize members are ever collected per bucket.
-    val w = Window.partitionBy("band", "band_hash").orderBy("id")
-    val capped = banded.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= maxBucketSize).drop("rn")
-    val buckets = capped.groupBy("band", "band_hash")
-      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("m"))
+    // cap pathological buckets (boilerplate-heavy corpora) and collect
+    // each bucket's member list in ONE keep-lowest-k aggregate
+    // ([[bottomK]]): a single shuffle of ≤ maxBucketSize (id, sig)
+    // members per bucket PER MAP TASK — no window, so a hot band value
+    // never funnels its members into one sort task (the old self-join
+    // shuffled the signature pipeline three times; the round-5 window
+    // cap still sorted every hot-bucket member in one task).
+    val buckets = banded.groupBy("band", "band_hash")
+      .agg(bottomK(struct(col("id"), col("sig")), maxBucketSize).as("m"))
       .filter(size(col("m")) >= 2)
     // pairs (i < j over the id-sorted member list ⇒ id_a < id_b);
     // est_jaccard = fraction of matching signature positions, counted
@@ -239,11 +254,8 @@ object Dedup {
       posexplode(array((0 until nChunks).map(c =>
         shiftrightunsigned(col("simhash"), c * chunkBits).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-    val w = Window.partitionBy("chunk", "chunk_val").orderBy("id")
-    val capped = banded.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= maxBucketSize).drop("rn")
-    val buckets = capped.groupBy("chunk", "chunk_val")
-      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("m"))
+    val buckets = banded.groupBy("chunk", "chunk_val")
+      .agg(bottomK(struct(col("id"), col("simhash")), maxBucketSize).as("m"))
       .filter(size(col("m")) >= 2)
     val pairs = flatten(transform(sequence(lit(0), size(col("m")) - 2), i =>
       transform(sequence(i + 1, size(col("m")) - 1), j =>
@@ -449,11 +461,8 @@ object Dedup {
                         maxBucketSize: Int = 64): DataFrame = {
     val withKey = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), planes))
-    val w = Window.partitionBy("bucket").orderBy("id")
-    val capped = withKey.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= maxBucketSize).drop("rn")
-    val buckets = capped.groupBy("bucket")
-      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("m"))
+    val buckets = withKey.groupBy("bucket")
+      .agg(bottomK(struct(col("id"), col("v")), maxBucketSize).as("m"))
       .filter(size(col("m")) >= 2)
     val pairs = flatten(transform(sequence(lit(0), size(col("m")) - 2), i =>
       transform(sequence(i + 1, size(col("m")) - 1), j =>

@@ -379,23 +379,47 @@ class IndexReader(spark: SparkSession, dir: String,
     * distance 0, so correct terms pass through unchanged and no
     * separate presence check is needed — plus the corrected query's
     * boolean (all-terms) hit count, Solr's "collation with hits"
-    * response shape. One banded dictionary scan per DISTINCT term
-    * (O(terms) driver work, like every query-rewrite path) and one
-    * distributed match-set count. A term with no suggestion within
+    * response shape. ONE banded dictionary scan covers every distinct
+    * query term (the [[searchManyMixed]] batched-fuzzy pattern: the
+    * OR of the per-term length bands pushes to Parquet, candidates
+    * come back with df, and the per-term best pick runs driver-side
+    * under the same suggest order via the parity-pinned
+    * [[Wand.editDistance]]) plus one distributed match-set count —
+    * two Spark jobs total, where the round-5 form paid one sequential
+    * suggest job per distinct term. A term with no suggestion within
     * `maxEdits` stays as typed; the collation then counts 0 hits,
     * exactly Solr's response for an uncorrectable term. */
   def collate(query: String, maxEdits: Int = 2): DataFrame = {
     import spark.implicits._
+    require(maxEdits >= 0 && maxEdits <= 2, s"maxEdits $maxEdits not in 0..2")
     val raw = analyzer.tokenize(query)
-    val bestOf = raw.distinct.map { t =>
-      t -> suggest(t, maxEdits, 1).collect().headOption.map(_.getString(0))
-    }.toMap
+    val bestOf = bestSuggestions(raw.distinct, maxEdits)
     val corrected = raw.map(t => bestOf(t).getOrElse(t))
     val collation = corrected.mkString(" ")
     val nHits = if (corrected.isEmpty) 0L else matchingDocs(collation).count()
     // column named `collated`: COLLATION is a reserved word in ANSI
     // SQL engines, which would break the cross-engine oracle
     Seq((collation, nHits)).toDF("collated", "n_hits")
+  }
+
+  /** Best dictionary suggestion per input term, in ONE batched
+    * banded-Levenshtein dictionary job (CollateJobSpec pins the job
+    * count): None for a term with no candidate within `maxEdits`. */
+  private[query] def bestSuggestions(ts: Seq[String],
+                                     maxEdits: Int): Map[String, Option[String]] = {
+    import spark.implicits._
+    if (ts.isEmpty) return Map.empty
+    val matched = dictionary
+      .filter(ts.map(t =>
+        length(col("term")).between(t.length - maxEdits, t.length + maxEdits) &&
+          levenshtein(col("term"), lit(t)) <= maxEdits).reduce(_ || _))
+      .select("term", "df").as[(String, Long)].collect()
+    ts.map { t =>
+      val cands = matched.iterator
+        .map { case (term, df) => (Wand.editDistance(term, t), -df, term) }
+        .filter(_._1 <= maxEdits).toSeq
+      t -> (if (cands.isEmpty) None else Some(cands.min._3))
+    }.toMap
   }
 
   /**

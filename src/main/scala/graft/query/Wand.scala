@@ -805,11 +805,15 @@ object Wand extends Serializable {
     * used to assign batch-wide fuzzy dictionary matches back to their
     * query term driver-side. MUST agree with Spark's / DuckDB's
     * `levenshtein` (all three are the same unit-cost distance; the
-    * fuzzy specs pin the parity). */
+    * fuzzy specs pin the parity) — hence the CODE-POINT alphabet:
+    * both engines count code points, so supplementary-plane tokens
+    * must not be split into surrogate halves here. */
   def editDistanceWithin(a: String, b: String, max: Int): Boolean = {
     if (a == b) return true
-    if (math.abs(a.length - b.length) > max) return false
-    val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+    val s0 = a.codePoints().toArray
+    val t0 = b.codePoints().toArray
+    if (math.abs(s0.length - t0.length) > max) return false
+    val (s, t) = if (s0.length <= t0.length) (s0, t0) else (t0, s0)
     var prev = Array.tabulate(s.length + 1)(identity)
     var cur = new Array[Int](s.length + 1)
     var j = 1
@@ -818,7 +822,7 @@ object Wand extends Serializable {
       var rowMin = j
       var i = 1
       while (i <= s.length) {
-        val sub = prev(i - 1) + (if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1)
+        val sub = prev(i - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1)
         val v = math.min(sub, math.min(prev(i), cur(i - 1)) + 1)
         cur(i) = v
         if (v < rowMin) rowMin = v
@@ -829,6 +833,33 @@ object Wand extends Serializable {
       j += 1
     }
     prev(s.length) <= max
+  }
+
+  /** Exact unit-cost Levenshtein distance, same code-point alphabet
+    * and parity contract as [[editDistanceWithin]] — used by the
+    * batched collation to rank a shared dictionary scan's candidates
+    * per query term driver-side (distance asc is the primary key of
+    * the suggest order). */
+  def editDistance(a: String, b: String): Int = {
+    if (a == b) return 0
+    val s0 = a.codePoints().toArray
+    val t0 = b.codePoints().toArray
+    val (s, t) = if (s0.length <= t0.length) (s0, t0) else (t0, s0)
+    var prev = Array.tabulate(s.length + 1)(identity)
+    var cur = new Array[Int](s.length + 1)
+    var j = 1
+    while (j <= t.length) {
+      cur(0) = j
+      var i = 1
+      while (i <= s.length) {
+        val sub = prev(i - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1)
+        cur(i) = math.min(sub, math.min(prev(i), cur(i - 1)) + 1)
+        i += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      j += 1
+    }
+    prev(s.length)
   }
 
   /** Translate a Lucene-style glob (`*` = any run, `?` = exactly one

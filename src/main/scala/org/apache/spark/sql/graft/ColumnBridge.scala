@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Keep-lowest-k aggregate over `member`'s natural ordering, evaluated
+    * to an ascending-sorted array — Spark's own `CollectTopK`
+    * (`private[sql]`, hence surfaced here): a `TypedImperativeAggregate`
+    * over a bounded priority queue, so partial (map-side) aggregation
+    * caps every group at k members before the exchange. `reverse=true`
+    * keeps the k SMALLEST and sorts the result ascending. */
+  def bottomK(member: Column, k: Int): Column = column(
+    org.apache.spark.sql.catalyst.expressions.aggregate
+      .GraftCollectTopK(expression(member), k, reverse = true))
 }

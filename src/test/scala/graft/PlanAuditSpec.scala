@@ -102,6 +102,12 @@ class PlanAuditSpec extends SparkFunSuite {
     // an interpreted zip_with + filter (runs maxBucketSize²/2 times
     // per hot bucket)
     assert(plan.contains("graft_sig_eq_count"), plan.take(2000))
+    // the maxBucketSize cap is the map-side-combinable keep-lowest-k
+    // aggregate (collect_top_k), NOT a row_number window: a window
+    // funnels every hot-bucket member into one sort task — the exact
+    // skew the cap exists to bound
+    assert(!plan.contains("Window"), "bucket cap must not plan a window")
+    assert(plan.contains("collect_top_k"), plan.take(2000))
   }
 
   test("native kernels stay in the production plans (no silent fallback to interpreted HOFs)") {

@@ -98,6 +98,25 @@ class IncrementalSpec extends SparkFunSuite {
     assert(Incremental.atomicSet(spark, cfg, nullSets).segmentsBuilt == 0)
   }
 
+  test("atomicSet staging is O(patch): only the patched keys' rows are checkpointed") {
+    val dir = tmpDir("atom-opatch")
+    val cfg = BuildConfig(dir, nSegments = 8, waveSize = 8, autoCompactFraction = 0)
+    IndexBuilder.build(spark, v1, cfg)
+    val corpusN = v1.count()
+    val sets = Seq(
+      ("conv-000010", 0, "opatch one"),
+      ("conv-000011", 0, "opatch two"),
+      ("conv-000011", 0, "opatch two duplicate"), // duplicate key: deduped, not fanned out
+      ("conv-does-not-exist", 0, "dropped")       // absent key: silently dropped
+    ).toDF("conv_id", "turn_idx", "text")
+    val (turns, staged) = Incremental.patchedCorpus(spark, cfg, sets)
+    // the materialized (checkpointed) side is the PATCH, not the corpus
+    assert(staged.count() == 2,
+      "staged rows must equal the distinct-in-corpus patch size")
+    assert(turns.count() == corpusN, "patched view keeps every corpus row exactly once")
+    assert(turns.filter(col("text").startsWith("opatch")).count() == 2)
+  }
+
   test("delta: update+delete+append rebuilds only touched segments; equals full rebuild") {
     val incDir = tmpDir("inc-idx"); val fullDir = tmpDir("inc-full")
     val cfgInc = BuildConfig(incDir, nSegments = 8, waveSize = 8)

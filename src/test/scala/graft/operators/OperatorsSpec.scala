@@ -314,11 +314,21 @@ class OperatorsSpec extends SparkFunSuite {
     // bucket; cap 8 → 28 pairs of the lowest ids, all cosine 1
     val vecs = (0L until 50L).map(i => (i, Seq(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "embedding")
-    val ep = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+    val epDf = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
       threshold = 0.5, planes = 4, maxBucketSize = 8)
-      .as[(Long, Long, Double)].collect()
+    val ep = epDf.as[(Long, Long, Double)].collect()
     assert(ep.length == 28, s"expected 28 capped pairs, got ${ep.length}")
     assert(ep.forall(p => p._1 < 8 && p._2 < 8 && math.abs(p._3 - 1.0) < 1e-12))
+
+    // the cap itself must be the map-side keep-lowest-k aggregate, not
+    // a row_number window (a hot bucket would carry every member — the
+    // full vectors here — into ONE window-sort task)
+    for (df <- Seq(epDf, Dedup.simHashNearDupsFrom(fp, bits = 32, nChunks = 4,
+        maxHammingDistance = 3, maxBucketSize = 8))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), "capped path must not plan a window")
+      assert(plan.contains("collect_top_k"), plan.take(2000))
+    }
   }
 
   test("SimHashExpr: bit-parity with the declarative per-bit fold (16 and 64 bits; null text → 0)") {

@@ -274,6 +274,22 @@ class FacetSpec extends SparkFunSuite {
     assert(uc == "user zzzzqqqzz" && ucHits == 0L)
   }
 
+  test("collate's suggestion phase is ONE dictionary job for an n-term query") {
+    val (rdr, _) = fixture("idx-collate-jobs")
+    rdr.collate("user la", 2).collect() // warm the lazy dictionary read
+    val group = s"collate-batch-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "collate suggestion batching")
+    try rdr.bestSuggestions(Seq("usr", "laq", "mb", "user", "la"), 2)
+    finally spark.sparkContext.clearJobGroup()
+    // the status store is fed asynchronously; wait for it to settle
+    def jobs() = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (jobs() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+    Thread.sleep(500) // catch any straggler jobs beyond the first
+    assert(jobs() == 1,
+      s"batched suggestion phase must run exactly one dictionary job, ran ${jobs()}")
+  }
+
   test("facetQueries: named subquery counts == brute-force boolean counts") {
     val (rdr, corpus) = fixture("idx-facetq")
     val tokSets = corpus.map(t => graft.analysis.Tokenizer.termFreqs(t.text).keySet)
