@@ -59,8 +59,20 @@ object Dedup {
       t => length(t) > lit(0))
 
   /** Word k-shingles as a distinct array (engine-analyzer tokens, so
-    * dedup and the fulltext index agree on what a "word" is). */
-  def shingles(textCol: Column, k: Int): Column = {
+    * dedup and the fulltext index agree on what a "word" is).
+    * Tokenize → window → join → first-occurrence dedup run in ONE
+    * native pass ([[graft.functions.ShinglesExpr]]; null text → null,
+    * token-less text → empty array, exactly like the declarative
+    * [[shinglesDecl]] twin it replaced — the shingle stream is
+    * corpus × tokens wide, and the interpreted transform/slice/
+    * array_join/array_distinct chain dominated the decontamination
+    * and n-gram-Jaccard profiles). */
+  def shingles(textCol: Column, k: Int): Column =
+    graft.functions.ShinglesExpr(lower(textCol), k)
+
+  /** Declarative (pure functions._) twin, kept only as the spec'd
+    * parity reference for the native kernel (OperatorsSpec). */
+  def shinglesDecl(textCol: Column, k: Int): Column = {
     val toks = tokens(textCol)
     // sliding k-grams via transform over indices; filter out ragged tail
     array_distinct(filter(
@@ -349,8 +361,9 @@ object Dedup {
     // and every later round plans against a flat checkpointed scan
     val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
+    var ckpt = edges.select(col("a").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint(true)
+    var labels = ckpt
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -365,18 +378,22 @@ object Dedup {
       val stepped = own
         .union(prop.select(col("id").as("id"), col("component").as("component")))
         .groupBy("id").agg(min(col("component")).as("component"))
-      // pointer jump: follow the label one more hop through itself
+      // pointer jump (follow the label one more hop through itself) and
+      // the changed-vs-previous flag ride ONE materialization: the
+      // convergence check is then a checkpoint-partition scan, not the
+      // second shuffle-join job per round it used to be
       val next = stepped.as("x")
         .join(stepped.select(col("id").as("cid"), col("component").as("cc")).as("y"),
           col("x.component") === col("y.cid"), "left")
-        .select(col("x.id").as("id"),
-          coalesce(col("y.cc"), col("x.component")).as("component"))
+        .join(labels.select(col("id").as("id"), col("component").as("old")), Seq("id"))
+        .select(col("id"),
+          coalesce(col("cc"), col("x.component")).as("component"),
+          (coalesce(col("cc"), col("x.component")) < col("old")).as("chg"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") < col("old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("chg")).count()
+      ckpt.unpersist()
+      ckpt = next
+      labels = next.select("id", "component")
       converged = changed == 0
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))

@@ -261,10 +261,18 @@ object TextAnalysis {
           slice(col("ts"), lit(1), n1), slice(col("ts"), lit(2), n1))).as("bg"))
       .select(col("doc_id"), col("bg.0").as("a"), col("bg.1").as("b"))
     val cab = bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-    val ca = bi.groupBy("a").agg(count(lit(1)).as("c_a"))
+    // c(a) = Σ_b c(a,b) exactly — derived from the bigram counts, so
+    // the model costs one corpus scan, not two
+    val ca = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
     val v = base.select(explode(col("ts")).as("t"))
       .agg(countDistinct(col("t"))).first().getLong(0)
-    bi.join(cab, Seq("a", "b")).join(ca, Seq("a"))
+    // EXPLICIT broadcast of the model tables (vocab² / vocab rows):
+    // the planner's post-explode size estimates are unreliable here
+    // and were observed to flip the join build side onto the scored
+    // STREAM — collecting the whole bigram stream to the driver. The
+    // hints pin the only scale-safe shape: stream stays distributed,
+    // model ships to the tasks.
+    bi.join(broadcast(cab), Seq("a", "b")).join(broadcast(ca), Seq("a"))
       .withColumn("lp",
         log((col("c_ab") + lit(alpha)) / (col("c_a") + lit(alpha * v))))
       .groupBy("doc_id")

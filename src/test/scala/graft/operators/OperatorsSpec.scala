@@ -331,6 +331,22 @@ class OperatorsSpec extends SparkFunSuite {
     }
   }
 
+  test("ShinglesExpr: parity with the declarative chain (several k; null/empty/short/unicode edges)") {
+    val edge = Seq((9001L, null: String), (9002L, ""), (9003L, "!!! ?? --"),
+      (9004L, "one"), (9005L, "one two"), (9006L, "Tab\tsep and CAPS 123 caps"),
+      (9007L, "répété tokens über straße 42"), (9008L, "a a a a a b a a"))
+      .toDF("doc_id", "text")
+    val all = docs.select($"doc_id", $"text").unionByName(edge)
+    for (k <- Seq(1, 2, 3, 5)) {
+      def rows(c: org.apache.spark.sql.Column) =
+        all.select($"doc_id", c.as("s")).orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[String](1)))
+      val got = rows(Dedup.shingles($"text", k))
+      val want = rows(Dedup.shinglesDecl($"text", k))
+      assert(got.sameElements(want), s"k=$k")
+    }
+  }
+
   test("SimHashExpr: bit-parity with the declarative per-bit fold (16 and 64 bits; null text → 0)") {
     val withNull = docs.select($"doc_id", $"text")
       .unionByName(Seq((9999L, null: String)).toDF("doc_id", "text"))
