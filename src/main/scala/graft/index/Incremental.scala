@@ -183,26 +183,27 @@ object Incremental {
         if (nFresh == 0) spark.createDataFrame(
           java.util.Collections.emptyList[Row](), IndexBuilder.StagingSchema)
         else {
-          val assigned = sortedFresh.mapPartitions { it =>
-            val off = offB.value(TaskContext.getPartitionId())
-            var i = 0L
-            it.map { t =>
-              val id = maxId + 1 + off + i; i += 1
-              DocTurn(id, (id / segSize).toInt, t.conv_id, t.turn_idx, t.role,
-                t.text, t.tool, az.docLength(t.text))
-            }
-          }.toDF().withColumn("src_hash",
+          val assigned = spark.createDataset(
+            sortedFresh.mapPartitions { it =>
+              val off = offB.value(TaskContext.getPartitionId())
+              var i = 0L
+              it.map { t =>
+                val id = maxId + 1 + off + i; i += 1
+                DocTurn(id, (id / segSize).toInt, t.conv_id, t.turn_idx, t.role,
+                  t.text, t.tool, az.docLength(t.text))
+              }
+            }).toDF().withColumn("src_hash",
             xxhash64(col("role"), col("text"), col("tool")))
-            // DISK_ONLY like sortAndOffsets' cache: the appended batch
-            // is corpus-sized on an initial-load-via-delta, and the
-            // in-memory columnar builder OOMs on corpus-sized text
+            // DISK_ONLY: the appended batch is corpus-sized on an
+            // initial-load-via-delta, and the in-memory columnar
+            // builder OOMs on corpus-sized text
             .persist(StorageLevel.DISK_ONLY)
-          // materialize in an ISOLATED job: here the stage is
-          // cache-scan → map, so getPartitionId is the sorted-cache
-          // partition index the counts pass saw. Evaluated lazily
-          // inside the overlay union instead, this map becomes a
-          // UnionRDD branch whose partition ids are OFFSET by the
-          // other branches — offsets would be misindexed.
+          // materialize in an ISOLATED job: here the stage re-runs the
+          // sorted shuffle's reduce side (same RDD → same partition
+          // ids the counts pass saw). Evaluated lazily inside the
+          // overlay union instead, this map becomes a UnionRDD branch
+          // whose partition ids are OFFSET by the other branches —
+          // offsets would be misindexed.
           assigned.count()
           assigned
         }
@@ -261,7 +262,6 @@ object Incremental {
         }
         Manifest.deleteRecursively(tmp)
       }
-      sortedFresh.unpersist()
       freshRows.unpersist()
 
       // ---- refresh phase A stats from the UPDATED view (narrow

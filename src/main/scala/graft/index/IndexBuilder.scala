@@ -407,31 +407,47 @@ object IndexBuilder {
    * mapPartitions can assign id = offset(pid) + local index. Range
    * partitions are globally ordered and keys unique, so the id equals
    * the row's rank in the total order at ANY parallelism (the 2-vs-13
-   * partition stability spec). Returns (sorted persisted dataset,
-   * offsets by partition id, total rows); the caller must unpersist.
+   * partition stability spec). Returns (sorted dataset — shuffle-
+   * reused across passes, see below — offsets by partition id, total
+   * rows).
    *
-   * The counting action also MATERIALIZES the cache; any later
-   * offset-indexing mapPartitions over `sorted` must likewise run in
-   * its own job against the cache — evaluated lazily inside a union it
-   * would see UNION-GLOBAL partition ids and misindex the offsets.
+   * NOT persisted — SHUFFLE REUSE is the materialization. The sorted
+   * data is surfaced as ONE `RDD[Turn]` (`Dataset.rdd`, taken once):
+   * every pass — the counting action here and any later
+   * offset-indexing mapPartitions — is a result-stage re-run over
+   * that same RDD, so the exchange's map output is fetched from disk,
+   * never recomputed, and partition ids and the in-partition order
+   * (total — keys are unique) are identical across passes; each extra
+   * pass re-runs only the reduce-side in-partition sort. The RDD
+   * identity is LOAD-BEARING: running the passes as separate
+   * DataFrame actions instead plans a fresh exchange per action, and
+   * `RangePartitioner` re-SAMPLES its boundaries with a seed derived
+   * from the new RDD's id — pass 2's partition boundaries then
+   * disagree with pass 1's counts and the assigned ids are garbage
+   * (observed as non-monotone docIds crashing the encoder).
    *
-   * DISK_ONLY, deliberately: this cache is CORPUS-SIZED (the sorted
-   * text), read exactly twice, and at scale it never fits the storage
-   * fraction — MEMORY_AND_DISK routes it through the in-memory
-   * COLUMNAR batch builder, whose per-task stat-gathering over ~KB
-   * strings allocates outside the managed-memory accounting and
-   * OOM-killed the 52.8 M-turn (10×) build at a heap 10× smaller than
-   * the corpus (BASELINE.md round 5). Serialized rows on the
-   * executor-local disk cost one write + two cheap reads and hold at
-   * any corpus:heap ratio.
+   * This replaced a DISK_ONLY persist deliberately: Dataset caching
+   * routes corpus-sized text through the in-memory COLUMNAR batch
+   * builder even at DISK_ONLY (round 5 had already demoted it from
+   * MEMORY_AND_DISK after the builder's per-task stat-gathering over
+   * ~KB strings OOM-killed the 52.8 M-turn build), and profiling this
+   * round put the cache build at 5.3 s cold / 1.1 s warm on the 5.28
+   * M-turn bench corpus PLUS a corpus-sized copy in the block-manager
+   * disk store — against ~2 s for the re-sort the reuse pass pays.
+   * Shuffle files live on executor-local disk at any corpus:heap
+   * ratio; no storage-memory interaction at all.
+   *
+   * Offset-indexing passes must still run in their OWN job (not
+   * lazily inside a union): a union branch sees UNION-GLOBAL partition
+   * ids and would misindex the offsets.
    */
   private[index] def sortAndOffsets(spark: SparkSession, turns: Dataset[Turn],
-                                    p: Int): (Dataset[Turn], Array[Long], Long) = {
+                                    p: Int): (org.apache.spark.rdd.RDD[Turn], Array[Long], Long) = {
     import spark.implicits._
     val sorted = turns
       .repartitionByRange(p, col("conv_id"), col("turn_idx"))
       .sortWithinPartitions("conv_id", "turn_idx")
-      .persist(StorageLevel.DISK_ONLY)
+      .rdd // ONE RDD: pins the sampled range boundaries across passes
     val counts = sorted.mapPartitions { it =>
       Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
     }.collect().sortBy(_._1)
@@ -468,18 +484,19 @@ object IndexBuilder {
     val hashAcc = new XorAcc
     spark.sparkContext.register(hashAcc, "graft.srcHash")
     val needHash = srcHash == null // fresh build: hash rides this pass
-    val docTurns: Dataset[DocTurn] = sorted.mapPartitions { it =>
-      val off = offB.value(TaskContext.getPartitionId())
-      var i = 0L
-      it.map { t =>
-        val id = off + i; i += 1
-        val dl = az.docLength(t.text)
-        dlAcc.add(dl)
-        if (needHash) hashAcc.add(RowHash.turnHash(t))
-        DocTurn(id, (id / segSize).toInt, t.conv_id, t.turn_idx, t.role,
-          t.text, t.tool, dl)
-      }
-    }
+    val docTurns: Dataset[DocTurn] = spark.createDataset(
+      sorted.mapPartitions { it =>
+        val off = offB.value(TaskContext.getPartitionId())
+        var i = 0L
+        it.map { t =>
+          val id = off + i; i += 1
+          val dl = az.docLength(t.text)
+          dlAcc.add(dl)
+          if (needHash) hashAcc.add(RowHash.turnHash(t))
+          DocTurn(id, (id / segSize).toInt, t.conv_id, t.turn_idx, t.role,
+            t.text, t.tool, dl)
+        }
+      })
 
     // staging: corpus + ids (atomic publish). One file per sort
     // partition — NOT partitionBy(segment): segment is monotone
@@ -499,7 +516,6 @@ object IndexBuilder {
     }
     dbg(s"phaseA staging-write ${tStag}ms")
     Manifest.publishDir(stagingTmp, Paths.get(stagingDir(cfg.outDir)))
-    sorted.unpersist()
 
     // avgdl — defined as sum(dl)/n_docs in double (the dictionary is
     // derived AFTER phase B from the encoded posting blocks, so the
@@ -538,6 +554,10 @@ object IndexBuilder {
     // yields 0 rows and the dictionary comes out empty (EdgeCasesSpec)
     val hasPostings = nSegEff > 0 && Files.exists(Paths.get(postingsDir(cfg.outDir)))
 
+    // n_terms rides the dictionary write as an Observation (one row per
+    // written row) — the separate count job it replaces re-read the
+    // freshly written dictionary for a number the write already knew
+    val obs = org.apache.spark.sql.Observation()
     writeAtomic(spark, cfg.outDir, "dictionary") { tmp =>
       val dict =
         if (hasPostings)
@@ -547,9 +567,10 @@ object IndexBuilder {
         else Seq.empty[DictEntry].toDS().toDF()
       dict.repartitionByRange(math.max(1, p / 4), col("term"))
         .sortWithinPartitions("term")
+        .observe(obs, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(tmp)
     }
-    val nTerms = spark.read.parquet(dictionaryDir(cfg.outDir)).count()
+    val nTerms = obs.get("n").asInstanceOf[Long]
 
     writeAtomic(spark, cfg.outDir, "corpus_stats") { tmp =>
       Seq(CorpusStats(nDocs, avgdl, nTerms, IndexFormat.Version, Tokenizer.Version,

@@ -61,14 +61,16 @@ object Dedup {
   /** Word k-shingles as a distinct array (engine-analyzer tokens, so
     * dedup and the fulltext index agree on what a "word" is).
     * Tokenize → window → join → first-occurrence dedup run in ONE
-    * native pass ([[graft.functions.ShinglesExpr]]; null text → null,
-    * token-less text → empty array, exactly like the declarative
-    * [[shinglesDecl]] twin it replaced — the shingle stream is
-    * corpus × tokens wide, and the interpreted transform/slice/
-    * array_join/array_distinct chain dominated the decontamination
-    * and n-gram-Jaccard profiles). */
+    * native pass ([[graft.functions.ShinglesExpr]]); null and
+    * token-less text both degrade to an EMPTY array, exactly like the
+    * declarative [[shinglesDecl]] twin it replaced (whose greatest()
+    * skips the null size, so even null text folds to []) — the
+    * shingle stream is corpus × tokens wide, and the interpreted
+    * transform/slice/array_join/array_distinct chain dominated the
+    * decontamination and n-gram-Jaccard profiles. */
   def shingles(textCol: Column, k: Int): Column =
-    graft.functions.ShinglesExpr(lower(textCol), k)
+    coalesce(graft.functions.ShinglesExpr(lower(textCol), k),
+      array().cast("array<string>"))
 
   /** Declarative (pure functions._) twin, kept only as the spec'd
     * parity reference for the native kernel (OperatorsSpec). */
@@ -161,16 +163,17 @@ object Dedup {
     // shared, so the oracle validates the banding/capping/pairing
     // construction itself. Shingling + hashing + signature mins run in
     // one native loop (graft.functions.MinHashSigExpr).
-    val bandHash: Column => Column =
-      if (crossEngine) Hashing.polyHash else xxhash64(_)
     val sig = df.select(col(idCol).as("id"),
         graft.functions.MinHashSigExpr(tokens(col(textCol)), shingleK,
           numHashes, crossEngine).as("sig"))
       .filter(col("sig").isNotNull)
-    // band key = hash of the band's slice of the signature
+    // band key = hash of the band's slice of the signature, all bands
+    // in ONE native loop ([[graft.functions.BandHashExpr]]; the
+    // declarative transform/slice/array_join twin is [[bandHashDecl]],
+    // parity spec'd)
     val banded = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => bandHash(array_join(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), ",")))))
+      posexplode(graft.functions.BandHashExpr(col("sig"), bands, rowsPerBand,
+        crossEngine)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     // cap pathological buckets (boilerplate-heavy corpora) and collect
     // each bucket's member list in ONE keep-lowest-k aggregate
@@ -199,6 +202,18 @@ object Dedup {
     buckets.select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.est_jaccard"))
       .distinct()
+  }
+
+  /** Declarative (pure functions._) twin of the native band hash
+    * ([[graft.functions.BandHashExpr]]), kept only as the spec'd
+    * parity reference. */
+  def bandHashDecl(sig: Column, bands: Int, rowsPerBand: Int,
+                   crossEngine: Boolean): Column = {
+    val bandHash: Column => Column =
+      if (crossEngine) Hashing.polyHash else xxhash64(_)
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => bandHash(array_join(
+        slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), ",")))
   }
 
   /** Declarative (pure functions._) twin of the native signature

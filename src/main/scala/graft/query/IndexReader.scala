@@ -46,6 +46,28 @@ class IndexReader(spark: SparkSession, dir: String,
   private lazy val postings = spark.read.parquet(IndexBuilder.postingsDir(dir))
   private lazy val dictionary = spark.read.parquet(IndexBuilder.dictionaryDir(dir))
 
+  /** Dedicated session for the fixed-shape top-k collect paths (same
+    * SparkContext, isolated SQLConf) with ADAPTIVE EXECUTION OFF: the
+    * WAND serving jobs are one postings scan + one groupByKey whose
+    * task count the reader already right-sizes ([[groupSize]] targets
+    * 2x parallelism), so AQE's per-exchange stage materialization adds
+    * a scheduling round-trip per query without adding information —
+    * measured ~40% of a warm top-10 search's latency (median 111 ms ->
+    * 68 ms on the 5.28 M-doc bench index). Relational compositions
+    * (matchingDocs / scoredDocs / facets), whose join sizes DO vary
+    * with the match set, stay on the caller's session with AQE as
+    * configured. */
+  private lazy val serveSession: SparkSession = {
+    val s2 = spark.newSession()
+    Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone").foreach { k =>
+      spark.conf.getOption(k).foreach(s2.conf.set(k, _))
+    }
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2
+  }
+  private lazy val postingsServe =
+    serveSession.read.parquet(IndexBuilder.postingsDir(dir))
+
   /** Segments per query task (contiguous ranges keep docIds ascending
     * within a task — the θ-carry correctness condition). */
   private[query] lazy val groupSize: Int = {
@@ -112,7 +134,7 @@ class IndexReader(spark: SparkSession, dir: String,
     val kk = k
     val g = groupSize
 
-    postings
+    postingsServe
       .filter(col("term").isInCollection(terms))
       .as[PostingBlockRow]
       .groupByKey(_.segment / g)
@@ -493,7 +515,7 @@ class IndexReader(spark: SparkSession, dir: String,
     val kk = k
     val g = groupSize
 
-    val perTask = postings
+    val perTask = postingsServe
       .filter(col("term").isInCollection(terms))
       .as[PostingBlockRow]
       .groupByKey(_.segment / g)
@@ -537,7 +559,7 @@ class IndexReader(spark: SparkSession, dir: String,
     val g = groupSize
     val perTask =
       try {
-        postings
+        postingsServe
           .filter(col("term").isInCollection(allTerms))
           .as[PostingBlockRow]
           .groupByKey(_.segment / g)
@@ -715,7 +737,7 @@ class IndexReader(spark: SparkSession, dir: String,
 
     val perTask =
       try {
-        postings
+        postingsServe
           .filter(col("term").isInCollection(allTerms))
           .as[PostingBlockRow]
           .groupByKey(_.segment / g)
@@ -853,7 +875,7 @@ class IndexReader(spark: SparkSession, dir: String,
     val allTerms = must ++ not
 
     val g = groupSize
-    val perTask = postings
+    val perTask = postingsServe
       .filter(col("term").isInCollection(allTerms))
       .as[PostingBlockRow]
       .groupByKey(_.segment / g)
@@ -915,7 +937,7 @@ class IndexReader(spark: SparkSession, dir: String,
     val seq = terms.toIndexedSeq
 
     val g = groupSize
-    val perTask = postings
+    val perTask = postingsServe
       .filter(col("term").isInCollection(terms.distinct))
       .as[PostingBlockRow]
       .groupByKey(_.segment / g)
@@ -962,7 +984,7 @@ class IndexReader(spark: SparkSession, dir: String,
     val kk = k
     val sl = slop
     val g = groupSize
-    val perTask = postings
+    val perTask = postingsServe
       .filter(col("term").isInCollection(Seq(a, b)))
       .as[PostingBlockRow]
       .groupByKey(_.segment / g)

@@ -347,6 +347,20 @@ class OperatorsSpec extends SparkFunSuite {
     }
   }
 
+  test("BandHashExpr: parity with the declarative slice/join/hash chain (both hash modes)") {
+    for (crossEngine <- Seq(true, false)) {
+      val sigs = docs.select($"doc_id",
+        graft.functions.MinHashSigExpr(Dedup.tokens($"text"), 3, 64, crossEngine).as("sig"))
+        .filter($"sig".isNotNull)
+      def rows(c: org.apache.spark.sql.Column) =
+        sigs.select($"doc_id", c.as("bh")).orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      val got = rows(graft.functions.BandHashExpr($"sig", 16, 4, crossEngine))
+      val want = rows(Dedup.bandHashDecl($"sig", 16, 4, crossEngine))
+      assert(got.sameElements(want), s"crossEngine=$crossEngine")
+    }
+  }
+
   test("SimHashExpr: bit-parity with the declarative per-bit fold (16 and 64 bits; null text → 0)") {
     val withNull = docs.select($"doc_id", $"text")
       .unionByName(Seq((9999L, null: String)).toDF("doc_id", "text"))
