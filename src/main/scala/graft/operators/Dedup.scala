@@ -448,16 +448,14 @@ object Dedup {
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int = 8): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
-    val ts = tokens(col(textCol))
-    val nCh = ceil(size(col("ts")).cast("double") / chunkTokens).cast("int")
-    val chunksCol = when(size(col("ts")) > 0,
-      transform(sequence(lit(1), nCh), i =>
-        array_join(slice(col("ts"), (i - lit(1)) * lit(chunkTokens) + lit(1),
-          lit(chunkTokens)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // tokenize + fixed-width windowing in ONE native pass
+    // ([[graft.functions.ChunksExpr]]; declarative twin [[chunksDecl]]
+    // parity spec'd — the interpreted transform/slice/array_join chain
+    // dominated this operator's noop-isolated compute)
     val withChunks = df
-      .select(col(idCol).cast("long").as("doc_id"), ts.as("ts"))
-      .select(col("doc_id"), chunksCol.as("chunks"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        coalesce(graft.functions.ChunksExpr(lower(col(textCol)), chunkTokens),
+          array().cast("array<string>")).as("chunks"))
     val ex = withChunks
       .select(col("doc_id"), posexplode(col("chunks")))
       .withColumnRenamed("pos", "idx")
@@ -478,6 +476,19 @@ object Dedup {
       .select(col("doc_id"), col("n_units"),
         (col("n_units") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /** Declarative (pure functions._) twin of the native chunk builder
+    * ([[graft.functions.ChunksExpr]]), kept only as the spec'd parity
+    * reference. */
+  def chunksDecl(textCol: Column, chunkTokens: Int): Column = {
+    val ts = tokens(textCol)
+    val nCh = ceil(size(ts).cast("double") / chunkTokens).cast("int")
+    when(size(ts) > 0,
+      transform(sequence(lit(1), nCh), i =>
+        array_join(slice(ts, (i - lit(1)) * lit(chunkTokens) + lit(1),
+          lit(chunkTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Embedding near-dup: cosine ≥ threshold among LSH-bucketed

@@ -35,7 +35,8 @@ class IndexReader(spark: SparkSession, dir: String,
   import spark.implicits._
 
   lazy val stats: CorpusStats = {
-    val s = spark.read.parquet(IndexBuilder.corpusStatsDir(dir)).as[CorpusStats].head()
+    val s = IndexReader.readStatsDirect(dir).getOrElse(
+      spark.read.parquet(IndexBuilder.corpusStatsDir(dir)).as[CorpusStats].head())
     graft.model.IndexFormat.check(s, dir)
     s
   }
@@ -1584,6 +1585,9 @@ class IndexReader(spark: SparkSession, dir: String,
                     idCol: String, fromCol: String, toCol: String,
                     maxDepth: Int): DataFrame = {
     require(maxDepth >= 0, "maxDepth must be non-negative")
+    // the edge relation stays a lazy column-pruned scan: each hop
+    // re-reads 3 columns, which scales (a localCheckpoint here would
+    // materialize a corpus-sized copy — the atomicSet anti-pattern)
     val m = meta.select(col(idCol).cast("long").as("doc_id"),
       col(fromCol).as("f"), col(toCol).as("t"))
     var reached = matchingDocs(rootMust, rootNot)
@@ -1598,7 +1602,11 @@ class IndexReader(spark: SparkSession, dir: String,
         .join(reached.select("doc_id"), Seq("doc_id"), "left_anti")
         .withColumn("depth", lit(depth + 1L))
         .localCheckpoint(true)
-      reached = reached.union(newDocs).localCheckpoint(true)
+      // each frontier is checkpointed, so `reached` stays a FLAT union
+      // of ≤ maxDepth+1 checkpointed scans — linear, not the
+      // 2^rounds self-reference growth the CC loop guards against; no
+      // per-hop re-materialization of the whole reached set needed
+      reached = reached.union(newDocs)
       frontier = newDocs
       depth += 1
     }
@@ -1670,6 +1678,35 @@ private[query] final class LongBuf {
 
 /** Query shapes for [[IndexReader.searchManyMixed]] — the Solr/Lucene
   * query-type family the reference's sinks serve. */
+object IndexReader {
+
+  /** Driver-side read of the one-row corpus_stats table via
+    * parquet-hadoop directly — opening a reader costs a Spark JOB
+    * (scheduler round-trip + task launch) per IndexReader instance
+    * just to fetch six scalars. Falls back to the Spark read (None)
+    * when the table is not the single-file single-row shape this
+    * fast path expects. */
+  private[query] def readStatsDirect(dir: String): Option[CorpusStats] = try {
+    val d = new java.io.File(IndexBuilder.corpusStatsDir(dir))
+    val fs = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet"))
+    if (fs.length != 1) return None
+    val reader = org.apache.parquet.hadoop.ParquetReader.builder(
+        new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(fs.head.getPath))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .build()
+    try {
+      val g = reader.read()
+      if (g == null || reader.read() != null) return None // not exactly one row
+      Some(CorpusStats(
+        g.getLong("n_docs", 0), g.getDouble("avgdl", 0), g.getLong("n_terms", 0),
+        g.getInteger("index_version", 0), g.getInteger("tokenizer_version", 0),
+        g.getString("analyzer", 0)))
+    } finally reader.close()
+  } catch { case scala.util.control.NonFatal(_) => None }
+}
+
 sealed trait QuerySpec extends Serializable
 object QuerySpec {
   /** Free-text disjunctive BM25 (the [[IndexReader.search]] shape). */

@@ -347,6 +347,23 @@ class OperatorsSpec extends SparkFunSuite {
     }
   }
 
+  test("ChunksExpr: parity with the declarative windowing chain (several widths; edges)") {
+    val edge = Seq((9001L, null: String), (9002L, ""), (9003L, "!!! ?? --"),
+      (9004L, "one"), (9005L, "one two three"), (9006L, "Tab\tsep and CAPS 123 caps"),
+      (9007L, "répété tokens über straße 42"))
+      .toDF("doc_id", "text")
+    val all = docs.select($"doc_id", $"text").unionByName(edge)
+    for (w <- Seq(1, 2, 3, 8)) {
+      def rows(c: org.apache.spark.sql.Column) =
+        all.select($"doc_id", c.as("s")).orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[String](1)))
+      val got = rows(coalesce(graft.functions.ChunksExpr(lower($"text"), w),
+        array().cast("array<string>")))
+      val want = rows(Dedup.chunksDecl($"text", w))
+      assert(got.sameElements(want), s"w=$w")
+    }
+  }
+
   test("BandHashExpr: parity with the declarative slice/join/hash chain (both hash modes)") {
     for (crossEngine <- Seq(true, false)) {
       val sigs = docs.select($"doc_id",
