@@ -99,8 +99,26 @@ object Tokenizer extends Serializable {
     m
   }
 
-  /** Document length = token count under the V1 chain. */
-  def docLength(text: String): Int = tokenize(text).length
+  /** Document length = token count under the V1 chain. Counts maximal
+    * alnum runs directly — `tokenize(text).length` built (and
+    * discarded) a full token Vector per document, which profiled as a
+    * top allocation site of the index build's phase A. */
+  def docLength(text: String): Int = {
+    if (text == null || text.isEmpty) return 0
+    val n = text.length
+    var i = 0
+    var cnt = 0
+    var inRun = false
+    while (i < n) {
+      val c = text.charAt(i)
+      val alnum = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9')
+      if (alnum) { if (!inRun) { cnt += 1; inRun = true } }
+      else inRun = false
+      i += 1
+    }
+    cnt
+  }
 
   /** Growable position list (per-term, per-doc — typically 1-2 long). */
   final class IntBuf {

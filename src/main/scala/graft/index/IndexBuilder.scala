@@ -700,6 +700,7 @@ object IndexBuilder {
     * task memory is bounded by `maxBufferedPostings`, not
     * vocab × BlockSize. */
   private final class TermBuf {
+    var term: String = _
     var blockId = 0
     var ids = new Array[Long](4)
     var tfs = new Array[Int](4)
@@ -719,6 +720,82 @@ object IndexBuilder {
     def addPos(p: Int): Unit = {
       if (pn == pos.length) pos = java.util.Arrays.copyOf(pos, pos.length << 1)
       pos(pn) = p; pn += 1
+    }
+  }
+
+  /** Open-addressing term → [[TermBuf]] table for one segment, probed
+    * by token CONTENT (builder chars + an incrementally-computed
+    * String-compatible hash): the `sb.toString` per token OCCURRENCE
+    * the previous per-doc HashMap path paid — ~10⁹ transient strings
+    * per bench build, the top allocation site of the encode profile —
+    * now happens once per DISTINCT term per segment, at insertion.
+    * Linear probing at ≤ 0.5 load; the key lives in `TermBuf.term`. */
+  private final class TermTable {
+    private var tab = new Array[TermBuf](1 << 12)
+    var size = 0
+    @inline private def spread(h: Int): Int = h ^ (h >>> 16)
+    private def growTable(): Unit = {
+      val old = tab
+      tab = new Array[TermBuf](old.length << 1)
+      val mask = tab.length - 1
+      var i = 0
+      while (i < old.length) {
+        val b = old(i)
+        if (b != null) {
+          var j = spread(b.term.hashCode) & mask
+          while (tab(j) != null) j = (j + 1) & mask
+          tab(j) = b
+        }
+        i += 1
+      }
+    }
+    /** Probe by builder content; `h` must equal what String.hashCode
+      * yields for the builder's chars. */
+    def probe(sb: java.lang.StringBuilder, h: Int): TermBuf = {
+      if ((size + 1) * 2 > tab.length) growTable()
+      val mask = tab.length - 1
+      var j = spread(h) & mask
+      while (true) {
+        val b = tab(j)
+        if (b == null) {
+          val nb = new TermBuf
+          nb.term = sb.toString
+          tab(j) = nb; size += 1
+          return nb
+        }
+        if (b.term.length == sb.length && b.term.contentEquals(sb)) return b
+        j = (j + 1) & mask
+      }
+      throw new IllegalStateException("unreachable")
+    }
+    /** Probe by an already-materialized term string (non-V1 chains). */
+    def probeString(t: String): TermBuf = {
+      if ((size + 1) * 2 > tab.length) growTable()
+      val mask = tab.length - 1
+      var j = spread(t.hashCode) & mask
+      while (true) {
+        val b = tab(j)
+        if (b == null) {
+          val nb = new TermBuf
+          nb.term = t
+          tab(j) = nb; size += 1
+          return nb
+        }
+        if (b.term == t) return b
+        j = (j + 1) & mask
+      }
+      throw new IllegalStateException("unreachable")
+    }
+    /** Non-empty buffers in sorted term order (flush determinism). */
+    def drainSorted: Iterator[TermBuf] = {
+      val out = new scala.collection.mutable.ArrayBuffer[TermBuf](size)
+      var i = 0
+      while (i < tab.length) {
+        val b = tab(i)
+        if (b != null && b.n > 0) out += b
+        i += 1
+      }
+      out.sortInPlaceBy(_.term).iterator
     }
   }
 
@@ -750,13 +827,19 @@ object IndexBuilder {
                                 maxBufferedPostings: Long = 1L << 22,
                                 storePositions: Boolean = true): Iterator[PostingBlockRow] =
     new Iterator[PostingBlockRow] {
-      private var bufs = new java.util.HashMap[String, TermBuf]()
+      // default (V1) chain: tokenize INLINE, streaming each occurrence
+      // straight into the term table — no per-doc term→positions map,
+      // no string per occurrence (see [[TermTable]]). Non-V1 chains
+      // (stop/stem rewrite tokens) keep the analyzer-map path.
+      private val inlineV1 = az.id == Analyzer.V1.id
+      private var table = new TermTable
       private var nBuffered = 0L
       private var nBufferedPos = 0L
       private var curSeg = Int.MinValue
       private var pending: (Long, Int, String, Int) = _
       private var segFlush: Iterator[PostingBlockRow] = Iterator.empty
       private val ready = new java.util.ArrayDeque[PostingBlockRow]()
+      private val sb = new java.lang.StringBuilder(16)
 
       private def encodeBlock(term: String, seg: Int, b: TermBuf): PostingBlockRow = {
         val ids = java.util.Arrays.copyOf(b.ids, b.n)
@@ -801,42 +884,81 @@ object IndexBuilder {
       }
 
       /** Lazily drain a finished segment's partial blocks in sorted
-        * term order; the iterator owns the old map, `bufs` is replaced
-        * so the next segment starts fresh. */
+        * term order; the iterator owns the old table, `table` is
+        * replaced so the next segment starts fresh. */
       private def startSegFlush(seg: Int): Unit = {
-        val old = bufs
-        bufs = new java.util.HashMap[String, TermBuf]()
+        val old = table
+        table = new TermTable
         nBuffered = 0L
         nBufferedPos = 0L
-        if (old.isEmpty) { segFlush = Iterator.empty; return }
-        val keys = old.keySet.toArray(new Array[String](old.size))
-        java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
-        segFlush = keys.iterator.filter(old.get(_).n > 0)
-          .map(k => encodeBlock(k, seg, old.get(k)))
+        if (old.size == 0) { segFlush = Iterator.empty; return }
+        segFlush = old.drainSorted.map(b => encodeBlock(b.term, seg, b))
+      }
+
+      /** Open a new posting in `b` (flushing a full block first — a
+        * block is emitted when the NEXT posting arrives rather than
+        * the moment it fills; block contents are identical and the
+        * wave's (segment, term, block_id) sort fixes row order). */
+      private def openPosting(b: TermBuf, docId: Long, dl: Int, seg: Int): Unit = {
+        if (b.n == PostingCodec.BlockSize) {
+          nBuffered -= b.n; nBufferedPos -= b.pn
+          ready.addLast(encodeBlock(b.term, seg, b))
+        }
+        if (b.n == b.ids.length) b.grow()
+        b.ids(b.n) = docId; b.tfs(b.n) = 1; b.dls(b.n) = dl; b.n += 1
+        nBuffered += 1
+      }
+
+      /** Whole-posting append for the analyzer-map (non-V1) path. */
+      private def addWhole(b: TermBuf, tf: Int, posBuf: graft.analysis.Tokenizer.IntBuf,
+                           docId: Long, dl: Int, seg: Int): Unit = {
+        openPosting(b, docId, dl, seg)
+        b.tfs(b.n - 1) = tf
+        if (posBuf != null) {
+          var j = 0
+          while (j < tf) { b.addPos(posBuf.a(j)); j += 1 }
+          nBufferedPos += tf
+        }
       }
 
       private def process(row: (Long, Int, String, Int)): Unit = {
         val (docId, seg, text, dl) = row
-        def add(term: String, tf: Int, posBuf: graft.analysis.Tokenizer.IntBuf): Unit = {
-          var b = bufs.get(term)
-          if (b == null) { b = new TermBuf; bufs.put(term, b) }
-          if (b.n == b.ids.length) b.grow()
-          b.ids(b.n) = docId; b.tfs(b.n) = tf; b.dls(b.n) = dl; b.n += 1
-          if (posBuf != null) {
-            var j = 0
-            while (j < tf) { b.addPos(posBuf.a(j)); j += 1 }
-            nBufferedPos += tf
+        if (inlineV1) {
+          // one fused scan: classify chars, build the token in `sb`
+          // with a String-compatible incremental hash, stream each
+          // occurrence into the table. Positions are indices in the
+          // analyzed stream, ascending per doc by construction.
+          if (text != null && !text.isEmpty) {
+            val n = text.length
+            var i = 0
+            var p = 0
+            var h = 0
+            sb.setLength(0)
+            while (i <= n) {
+              val c = if (i < n) text.charAt(i) else 0.toChar
+              val lc =
+                if (c >= 'a' && c <= 'z') c
+                else if (c >= 'A' && c <= 'Z') (c + 32).toChar
+                else if (c >= '0' && c <= '9') c
+                else 0.toChar
+              if (lc != 0) { sb.append(lc); h = h * 31 + lc }
+              else if (sb.length > 0) {
+                val b = table.probe(sb, h)
+                if (b.n > 0 && b.ids(b.n - 1) == docId) b.tfs(b.n - 1) += 1
+                else openPosting(b, docId, dl, seg)
+                if (storePositions) { b.addPos(p); nBufferedPos += 1 }
+                p += 1; sb.setLength(0); h = 0
+              }
+              i += 1
+            }
           }
-          nBuffered += 1
-          if (b.n == PostingCodec.BlockSize) {
-            nBuffered -= b.n; nBufferedPos -= b.pn
-            ready.addLast(encodeBlock(term, seg, b))
-          }
+        } else if (storePositions) {
+          az.termPositions(text).foreach { case (t, pb) =>
+            addWhole(table.probeString(t), pb.n, pb, docId, dl, seg) }
+        } else {
+          az.termFreqs(text).foreach { case (t, tf) =>
+            addWhole(table.probeString(t), tf, null, docId, dl, seg) }
         }
-        if (storePositions)
-          az.termPositions(text).foreach { case (t, pb) => add(t, pb.n, pb) }
-        else
-          az.termFreqs(text).foreach { case (t, tf) => add(t, tf, null) }
         // memory cap: pathological vocabulary (open-term count) OR raw
         // buffered-posting volume → flush every open buffer now (doc
         // boundary keeps block doc ranges disjoint). The posting-volume
@@ -844,7 +966,7 @@ object IndexBuilder {
         // position — the position cap is 4x the posting cap, so both
         // budgets top out around the same byte volume) even when a few
         // hot terms hold near-full blocks across a huge vocab.
-        if (bufs.size >= maxOpenTerms || nBuffered >= maxBufferedPostings ||
+        if (table.size >= maxOpenTerms || nBuffered >= maxBufferedPostings ||
             nBufferedPos >= 4L * maxBufferedPostings)
           startSegFlush(seg)
       }
@@ -853,7 +975,7 @@ object IndexBuilder {
         while (ready.isEmpty && !segFlush.hasNext && (pending != null || docs.hasNext)) {
           val row = if (pending != null) { val x = pending; pending = null; x }
                     else docs.next()
-          if (row._2 != curSeg && curSeg != Int.MinValue && !bufs.isEmpty) {
+          if (row._2 != curSeg && curSeg != Int.MinValue && table.size > 0) {
             pending = row // replay after the finished segment drains
             val finished = curSeg
             curSeg = row._2
@@ -864,7 +986,7 @@ object IndexBuilder {
           }
         }
         if (ready.isEmpty && !segFlush.hasNext && pending == null && !docs.hasNext &&
-            !bufs.isEmpty) {
+            table.size > 0) {
           startSegFlush(curSeg)
         }
       }
