@@ -120,6 +120,27 @@ object Tokenizer extends Serializable {
     cnt
   }
 
+  /** [[docLength]] over a raw UTF8String view (no String decode):
+    * ASCII alnum BYTE runs equal alnum CHAR runs — every byte of a
+    * multi-byte UTF-8 char is ≥ 0x80, i.e. a separator in both views
+    * (the same equivalence the native shingles/simhash kernels use). */
+  def docLengthU8(s: org.apache.spark.unsafe.types.UTF8String): Int = {
+    if (s == null) return 0
+    val bytes = s.getBytes
+    var i = 0
+    var cnt = 0
+    var inRun = false
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val alnum = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+        (b >= '0' && b <= '9')
+      if (alnum) { if (!inRun) { cnt += 1; inRun = true } }
+      else inRun = false
+      i += 1
+    }
+    cnt
+  }
+
   /** Growable position list (per-term, per-doc — typically 1-2 long). */
   final class IntBuf {
     var a = new Array[Int](2)

@@ -187,10 +187,17 @@ object Incremental {
             sortedFresh.mapPartitions { it =>
               val off = offB.value(TaskContext.getPartitionId())
               var i = 0L
-              it.map { t =>
+              // raw InternalRows in SortedOrdinals order (conv_id,
+              // turn_idx, role, text, tool); toString copies, so the
+              // rows' reused buffers are never retained
+              it.map { r =>
                 val id = maxId + 1 + off + i; i += 1
-                DocTurn(id, (id / segSize).toInt, t.conv_id, t.turn_idx, t.role,
-                  t.text, t.tool, az.docLength(t.text))
+                val text = if (r.isNullAt(3)) null else r.getUTF8String(3).toString
+                DocTurn(id, (id / segSize).toInt, r.getUTF8String(0).toString,
+                  r.getInt(1),
+                  if (r.isNullAt(2)) null else r.getUTF8String(2).toString, text,
+                  if (r.isNullAt(4)) null else r.getUTF8String(4).toString,
+                  az.docLength(text))
               }
             }).toDF().withColumn("src_hash",
             xxhash64(col("role"), col("text"), col("tool")))

@@ -441,13 +441,22 @@ object IndexBuilder {
    * lazily inside a union): a union branch sees UNION-GLOBAL partition
    * ids and would misindex the offsets.
    */
+  /** Fixed column order of the rows [[sortAndOffsets]] returns:
+    * conv_id(0), turn_idx(1), role(2), text(3), tool(4) — `ts` is
+    * deliberately dropped before the exchange (nothing downstream
+    * reads it; guide §2.3, shuffle fewer bytes). */
+  private[index] val SortedOrdinals: Seq[String] =
+    Seq("conv_id", "turn_idx", "role", "text", "tool")
+
   private[index] def sortAndOffsets(spark: SparkSession, turns: Dataset[Turn],
-                                    p: Int): (org.apache.spark.rdd.RDD[Turn], Array[Long], Long) = {
-    import spark.implicits._
-    val sorted = turns
+                                    p: Int): (org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow], Array[Long], Long) = {
+    val sorted = turns.toDF().select(SortedOrdinals.map(col): _*)
       .repartitionByRange(p, col("conv_id"), col("turn_idx"))
       .sortWithinPartitions("conv_id", "turn_idx")
-      .rdd // ONE RDD: pins the sampled range boundaries across passes
+      // ONE RDD of RAW InternalRows: pins the sampled range boundaries
+      // across passes AND lets the count pass run without decoding a
+      // Turn object per row (the offset pass reads UTF8String views)
+      .queryExecution.toRdd
     val counts = sorted.mapPartitions { it =>
       Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
     }.collect().sortBy(_._1)
@@ -484,19 +493,34 @@ object IndexBuilder {
     val hashAcc = new XorAcc
     spark.sparkContext.register(hashAcc, "graft.srcHash")
     val needHash = srcHash == null // fresh build: hash rides this pass
-    val docTurns: Dataset[DocTurn] = spark.createDataset(
-      sorted.mapPartitions { it =>
-        val off = offB.value(TaskContext.getPartitionId())
-        var i = 0L
-        it.map { t =>
-          val id = off + i; i += 1
-          val dl = az.docLength(t.text)
-          dlAcc.add(dl)
-          if (needHash) hashAcc.add(RowHash.turnHash(t))
-          DocTurn(id, (id / segSize).toInt, t.conv_id, t.turn_idx, t.role,
-            t.text, t.tool, dl)
-        }
-      })
+    val v1 = az.id == Analyzer.V1.id
+    // staging rows are built as InternalRows straight from the sorted
+    // shuffle's UTF8String views — no Turn decode, no String re-encode
+    // (each row is consumed by the parquet writer before the next is
+    // pulled, so holding views is safe); src_hash and the fresh-build
+    // content hash fold into the same pass via the raw-field mirrors
+    // (RowHashSpec pins their equality to the SQL xxhash64 forms)
+    val stagingRows = sorted.mapPartitions { it =>
+      val off = offB.value(TaskContext.getPartitionId())
+      var i = 0L
+      it.map { r =>
+        val id = off + i; i += 1
+        val conv = r.getUTF8String(0)
+        val tix = r.getInt(1)
+        val role = if (r.isNullAt(2)) null else r.getUTF8String(2)
+        val text = if (r.isNullAt(3)) null else r.getUTF8String(3)
+        val tool = if (r.isNullAt(4)) null else r.getUTF8String(4)
+        val dl =
+          if (v1) Tokenizer.docLengthU8(text)
+          else az.docLength(if (text == null) null else text.toString)
+        dlAcc.add(dl)
+        if (needHash) hashAcc.add(RowHash.turnHashRaw(conv, tix, role, text, tool))
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](id, (id / segSize).toInt, conv, tix, role, text, tool, dl,
+            RowHash.contentHashRaw(role, text, tool)))
+          : org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
 
     // staging: corpus + ids (atomic publish). One file per sort
     // partition — NOT partitionBy(segment): segment is monotone
@@ -510,8 +534,8 @@ object IndexBuilder {
     val stagingTmp = Paths.get(cfg.outDir, "_tmp_staging_docs")
     Manifest.deleteRecursively(stagingTmp)
     val (_, tStag) = timedMs {
-      docTurns.toDF()
-        .withColumn("src_hash", xxhash64(col("role"), col("text"), col("tool")))
+      org.apache.spark.sql.graft.ColumnBridge
+        .internalDF(spark, stagingRows, StagingSchema)
         .write.mode("overwrite").parquet(stagingTmp.toString)
     }
     dbg(s"phaseA staging-write ${tStag}ms")

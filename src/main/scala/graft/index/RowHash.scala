@@ -29,6 +29,35 @@ object RowHash {
     h
   }
 
+  /** [[turnHash]] over raw UTF8String fields (phase A's staging pass
+    * reads InternalRows and hashes the views directly — no String
+    * round-trip). Null fields skipped, exactly like the SQL fold. */
+  def turnHashRaw(conv: UTF8String, turnIdx: Int, role: UTF8String,
+                  text: UTF8String, tool: UTF8String): Long = {
+    var h = 42L
+    h = u8(conv, h)
+    h = XxHash64Function.hash(turnIdx, IntegerType, h)
+    h = u8(role, h)
+    h = u8(text, h)
+    h = u8(tool, h)
+    h
+  }
+
+  /** Mirror of the staging column `xxhash64(role, text, tool)` the
+    * incremental diff compares against — MUST stay bit-equal to the
+    * SQL form (the delta classifies every doc as changed otherwise;
+    * RowHashSpec pins it). */
+  def contentHashRaw(role: UTF8String, text: UTF8String, tool: UTF8String): Long = {
+    var h = 42L
+    h = u8(role, h)
+    h = u8(text, h)
+    h = u8(tool, h)
+    h
+  }
+
+  private def u8(s: UTF8String, seed: Long): Long =
+    if (s == null) seed else XxHash64Function.hash(s, StringType, seed)
+
   private def str(s: String, seed: Long): Long =
     if (s == null) seed
     else XxHash64Function.hash(UTF8String.fromString(s), StringType, seed)

@@ -22,4 +22,15 @@ object ColumnBridge {
   def bottomK(member: Column, k: Int): Column = column(
     org.apache.spark.sql.catalyst.expressions.aggregate
       .GraftCollectTopK(expression(member), k, reverse = true))
+
+  /** `RDD[InternalRow]` → DataFrame without the external-row encoder
+    * round-trip (`internalCreateDataFrame` is `private[sql]`): the
+    * staging writer hands Spark rows whose string fields are the
+    * UTF8String views read from the sorted shuffle, skipping a
+    * UTF8String → String → UTF8String copy per field per row. */
+  def internalDF(spark: org.apache.spark.sql.SparkSession,
+                 rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                 schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
