@@ -53,8 +53,16 @@ object Dedup {
   }
 
   /** Engine-analyzer token array (mirrors graft.analysis.Tokenizer V1:
-    * lowercase + maximal [a-z0-9] runs) as a column expression. */
+    * lowercase + maximal [a-z0-9] runs) as a column expression —
+    * ONE native scan ([[graft.functions.TokensExpr]]; the declarative
+    * twin [[tokensDecl]] is kept as the spec'd parity reference: its
+    * trailing `filter` HOF was interpreted per row). */
   def tokens(textCol: Column): Column =
+    graft.functions.TokensExpr(lower(textCol))
+
+  /** Declarative (pure functions._) twin of [[tokens]], kept only as
+    * the spec'd parity reference. */
+  def tokensDecl(textCol: Column): Column =
     filter(split(regexp_replace(lower(textCol), "[^a-z0-9]+", " "), " "),
       t => length(t) > lit(0))
 

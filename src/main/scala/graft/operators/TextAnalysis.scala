@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Tokens under the engine's V1 analysis chain, as a column
-    * expression mirroring graft.analysis.Tokenizer.tokenize. */
+    * expression mirroring graft.analysis.Tokenizer.tokenize — the
+    * native fused scan ([[graft.functions.TokensExpr]]; parity with
+    * the declarative chain pinned via [[Dedup.tokensDecl]]). */
   def tokensCol(text: Column): Column =
-    filter(split(regexp_replace(lower(text), "[^a-z0-9]+", " "), " "),
-      t => length(t) > 0)
+    graft.functions.TokensExpr(lower(text))
 
   private val StopwordLists: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),

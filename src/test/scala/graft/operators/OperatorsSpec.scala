@@ -347,6 +347,18 @@ class OperatorsSpec extends SparkFunSuite {
     }
   }
 
+  test("TokensExpr: parity with the declarative tokenize chain (edges incl. null/unicode)") {
+    val edge = Seq((9001L, null: String), (9002L, ""), (9003L, "!!! ?? --"),
+      (9004L, "one"), (9005L, "a a b 42 A"), (9006L, "Tab\tsep and CAPS 123 caps"),
+      (9007L, "répété tokens über straße 42"))
+      .toDF("doc_id", "text")
+    val all = docs.select($"doc_id", $"text").unionByName(edge)
+    def rows(c: org.apache.spark.sql.Column) =
+      all.select($"doc_id", c.as("s")).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[String](1)))
+    assert(rows(Dedup.tokens($"text")).sameElements(rows(Dedup.tokensDecl($"text"))))
+  }
+
   test("ChunksExpr: parity with the declarative windowing chain (several widths; edges)") {
     val edge = Seq((9001L, null: String), (9002L, ""), (9003L, "!!! ?? --"),
       (9004L, "one"), (9005L, "one two three"), (9006L, "Tab\tsep and CAPS 123 caps"),
