@@ -131,6 +131,17 @@ object BenchExtra {
       else probePhaseA(s0, names.head)
       s0.stop(); return
     }
+    if (suffix == "probe-battery") {
+      val s0 = SparkSession.builder().master(s"local[$cpus]")
+        .appName("graft-probe").config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s0.sparkContext.setLogLevel("WARN")
+      for (i <- 1 to 2) {
+        val r = Bench.queryLatencies(s0, names(0), names(1), includeLocal = false)
+        println(s"BATTERY$i\t" + r.map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+      }
+      s0.stop(); return
+    }
     if (suffix == "probe-query") {
       val s0 = SparkSession.builder().master(s"local[$cpus]")
         .appName("graft-probe").config("spark.sql.shuffle.partitions", cpus)

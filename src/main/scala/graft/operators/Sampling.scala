@@ -86,7 +86,13 @@ object Sampling {
     * nothing shuffles the corpus. */
   def temperatureMix(df: DataFrame, idCol: String, srcCol: String): DataFrame = {
     val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_s"))
-    val scale = counts.agg(max(sqrt(col("n_s")))).head().getDouble(0)
+    val scaleRow = counts.agg(max(sqrt(col("n_s")))).head()
+    // empty input: the max aggregate is NULL — return the (empty)
+    // frame in the output shape instead of NPE-ing on getDouble
+    if (scaleRow.isNullAt(0))
+      return df.select(col(idCol), col(srcCol),
+        lit(0.0).as("keep_rate")).limit(0)
+    val scale = scaleRow.getDouble(0)
     df.join(broadcast(counts), Seq(srcCol))
       .withColumn("keep_rate", sqrt(col("n_s")) / lit(scale))
       .withColumn("u",

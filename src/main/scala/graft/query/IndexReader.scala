@@ -63,7 +63,8 @@ class IndexReader(spark: SparkSession, dir: String,
     Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone").foreach { k =>
       spark.conf.getOption(k).foreach(s2.conf.set(k, _))
     }
-    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.adaptive.enabled",
+      sys.env.getOrElse("GRAFT_SERVE_AQE", "false")) // A/B escape hatch
     s2
   }
   private lazy val postingsServe =
@@ -1457,8 +1458,12 @@ class IndexReader(spark: SparkSession, dir: String,
     * (8 B rows) and the count is map-side combinable. */
   def facetCounts(mustQuery: String, notQuery: String,
                   meta: DataFrame, idCol: String, facetCol: String): DataFrame =
+    // cast like the sibling facet methods: a string id column would
+    // otherwise coerce BOTH join sides to double and silently mis-join
+    // ids above 2^53
     matchingDocs(mustQuery, notQuery)
-      .join(meta.select(col(idCol).as("doc_id"), col(facetCol)), Seq("doc_id"))
+      .join(meta.select(col(idCol).cast("long").as("doc_id"), col(facetCol)),
+        Seq("doc_id"))
       .groupBy(facetCol).agg(count(lit(1)).as("n_docs"))
 
   /** Pivot (multi-level) faceting (Solr facet.pivot): match-set

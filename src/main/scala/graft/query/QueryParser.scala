@@ -46,15 +46,30 @@ object QueryParser {
       val i = t.lastIndexOf('^')
       val b = t.substring(i + 1)
       require(i > 0 && b.nonEmpty, s"malformed boost clause '$t'")
-      val boost = b.toDouble
+      val base = t.substring(0, i)
+      // reject at the PARSER with a clear message instead of letting a
+      // downstream analyzer require / NumberFormatException surface:
+      // this engine boosts single analyzed terms only
+      require(!base.exists(c => c == '*' || c == '?' || c == '~'),
+        s"'$t': boost cannot combine with wildcard/fuzzy in this engine " +
+          "(boost a plain term)")
+      val boost =
+        try b.toDouble
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"non-numeric boost in '$t'") }
       require(boost >= 0, s"negative boost in '$t'")
-      Boosted(t.substring(0, i), boost)
+      Boosted(base, boost)
     case t if t.exists(c => c == '*' || c == '?') => Wild(t)
     case t if t.contains("~") =>
       val i = t.lastIndexOf('~')
       require(i > 0, s"malformed fuzzy clause '$t'")
       val e = t.substring(i + 1)
-      val maxEdits = if (e.isEmpty) 2 else e.toInt
+      val maxEdits =
+        if (e.isEmpty) 2
+        else try e.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"'$t': fuzzy edits must be an " +
+            "integer 0..2 (Lucene float similarity syntax like ~0.8 is not supported)") }
       require(maxEdits >= 0 && maxEdits <= 2, s"fuzzy edits out of range in '$t'")
       Fuzzy(t.substring(0, i), maxEdits)
     case t => Bare(t)

@@ -788,6 +788,9 @@ class SamplingPackingSpec extends graft.SparkFunSuite {
     val out7 = Sampling.temperatureMix(df.repartition(7), "doc_id", "src")
       .as[(Long, String, Double)].collect().toSet
     assert(out == out7) // deterministic at any parallelism
+    // empty input: empty frame in the output shape, not an NPE on the
+    // null max aggregate
+    assert(Sampling.temperatureMix(df.limit(0), "doc_id", "src").count() == 0)
   }
 
   test("stratified: per-stratum rates, zero default drops unlisted strata") {

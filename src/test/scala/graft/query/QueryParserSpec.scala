@@ -74,5 +74,15 @@ class QueryParserSpec extends SparkFunSuite {
     intercept[IllegalArgumentException] { rdr.searchParsed("+a b*", 10) }
     intercept[IllegalArgumentException] { rdr.searchParsed("\"a b\" c", 10) }
     intercept[IllegalArgumentException] { rdr.searchParsed("", 10) }
+    // parser-level rejections with clear messages (not downstream
+    // analyzer requires / raw NumberFormatExceptions)
+    assert(intercept[IllegalArgumentException] { QueryParser.parse("wi*d^2") }
+      .getMessage.contains("wildcard"))
+    assert(intercept[IllegalArgumentException] { QueryParser.parse("term~1^2") }
+      .getMessage.contains("fuzzy"))
+    assert(intercept[IllegalArgumentException] { QueryParser.parse("term~0.8") }
+      .getMessage.contains("integer"))
+    assert(intercept[IllegalArgumentException] { QueryParser.parse("term^abc") }
+      .getMessage.contains("boost"))
   }
 }
