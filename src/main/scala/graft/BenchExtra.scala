@@ -131,6 +131,38 @@ object BenchExtra {
       else probePhaseA(s0, names.head)
       s0.stop(); return
     }
+    if (suffix == "probe-minhash") {
+      val s0 = SparkSession.builder().master(s"local[$cpus]")
+        .appName("graft-probe").config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s0.sparkContext.setLogLevel("WARN")
+      import org.apache.spark.sql.functions._
+      val docs = s0.read.parquet(s"$sfDir/documents.parquet")
+      def t(label: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"PROBE\t$label\t${(System.nanoTime() - t0) / 1e9}%.3f")
+      }
+      for (_ <- 1 to 2) {
+        val sig = docs.select(col("doc_id").as("id"),
+          graft.functions.MinHashSigExpr(
+            graft.operators.Dedup.tokens(col("text")), 3, 64, true).as("sig"))
+          .filter(col("sig").isNotNull)
+        t("sig")(sig.write.format("noop").mode("overwrite").save())
+        val banded = sig.select(col("id"), col("sig"),
+          posexplode(graft.functions.BandHashExpr(col("sig"), 16, 4, true)))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+        t("sig+band")(banded.write.format("noop").mode("overwrite").save())
+        val buckets = banded.groupBy("band", "band_hash")
+          .agg(org.apache.spark.sql.graft.ColumnBridge.bottomK(
+            struct(col("id"), col("sig")), 64).as("m"))
+          .filter(size(col("m")) >= 2)
+        t("sig+band+agg")(buckets.write.format("noop").mode("overwrite").save())
+        t("full")(graft.operators.Dedup.minHashNearDups(docs, "doc_id", "text",
+          threshold = 0.5, crossEngine = true)
+          .write.format("noop").mode("overwrite").save())
+      }
+      s0.stop(); return
+    }
     if (suffix == "probe-battery") {
       val s0 = SparkSession.builder().master(s"local[$cpus]")
         .appName("graft-probe").config("spark.sql.shuffle.partitions", cpus)

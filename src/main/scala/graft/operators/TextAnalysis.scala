@@ -128,6 +128,43 @@ object TextAnalysis {
                         maxDupTokenFrac: Double = 0.95,
                         maxTopTokenFrac: Double = 0.20,
                         maxDupBigramFrac: Double = 0.90): DataFrame = {
+    // integer stats in ONE native pass
+    // ([[graft.functions.RepetitionStatsExpr]]); the fractions stay
+    // declarative over those ints, so the doubles are bit-identical to
+    // the [[repetitionSignalsDecl]] chain it replaced (parity spec'd).
+    // Null text → zero-token row, like the declarative when(n > 0).
+    val tmp = "__graft_rep"
+    val st = col(tmp)
+    val n = st.getField("n_tokens")
+    val dupTok = when(n > 0,
+      (n - st.getField("n_distinct")).cast("double") / n).otherwise(lit(0.0))
+    val topTok = when(n > 0,
+      st.getField("max_tf").cast("double") / n).otherwise(lit(0.0))
+    val nb = st.getField("n_bigrams")
+    val dupBi = when(nb > 0,
+      (nb - st.getField("n_distinct_bigrams")).cast("double") / nb)
+      .otherwise(lit(0.0))
+    df.withColumn(tmp, coalesce(
+        graft.functions.RepetitionStatsExpr(lower(col(textCol))),
+        struct(lit(0L).as("n_tokens"), lit(0L).as("n_distinct"),
+          lit(0L).as("max_tf"), lit(0L).as("n_bigrams"),
+          lit(0L).as("n_distinct_bigrams"))))
+      .withColumn("dup_token_frac", dupTok)
+      .withColumn("top_token_frac", topTok)
+      .withColumn("dup_bigram_frac", dupBi)
+      .withColumn("repetition_ok",
+        col("dup_token_frac") <= maxDupTokenFrac &&
+          col("top_token_frac") <= maxTopTokenFrac &&
+          col("dup_bigram_frac") <= maxDupBigramFrac)
+      .drop(tmp)
+  }
+
+  /** Declarative (pure functions._) twin of [[repetitionSignals]],
+    * kept only as the spec'd parity reference. */
+  def repetitionSignalsDecl(df: DataFrame, textCol: String,
+                            maxDupTokenFrac: Double = 0.95,
+                            maxTopTokenFrac: Double = 0.20,
+                            maxDupBigramFrac: Double = 0.90): DataFrame = {
     val tmp = "__graft_toks"
     val toks = col(tmp)
     val n = size(toks)

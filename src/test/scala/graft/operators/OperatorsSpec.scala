@@ -581,6 +581,16 @@ class OperatorsSpec extends SparkFunSuite {
           size(TextAnalysis.tokensCol($"text"))).as("f"))
       .as[(Long, Double)].collect().toMap
     assert(fold == naive)
+    // native kernel == declarative chain, bit-for-bit, incl. null text
+    val edge = docs.unionByName(Seq((9L, null: String)).toDF("doc_id", "text"))
+      .unionByName(messy)
+    val cols = Seq("doc_id", "dup_token_frac", "top_token_frac",
+      "dup_bigram_frac", "repetition_ok")
+    def vals(d: org.apache.spark.sql.DataFrame) =
+      d.select(cols.head, cols.tail: _*)
+        .as[(Long, Double, Double, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(vals(TextAnalysis.repetitionSignals(edge, "text")) ==
+      vals(TextAnalysis.repetitionSignalsDecl(edge, "text")))
   }
 
   test("fingerprint is whitespace/case-insensitive") {
